@@ -1,0 +1,58 @@
+"""Table catalog over the driver-generated parquet fixtures.
+
+The reference's "catalog" is a flat file namespace listed by its
+controller (`ls` over metadata stubs, reference
+dfs/controller/controller.go:131-149).  Here the catalog is simply
+parquet paths under a scale-factor directory; Spark's own catalog
+(temp views) provides the `ls`-equivalent listing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan => pushdown + pruning free."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ls`-equivalent: one row per table with file size — the
+    reference's `ls` + `info` diagnostics surface (SURVEY.md S4/S5)
+    as a DataFrame instead of a REPL printout."""
+    rows = []
+    for name in TABLES:
+        p = table_path(sf_dir, name)
+        size = os.path.getsize(p) if os.path.exists(p) else None
+        rows.append((name, p, size))
+    return spark.createDataFrame(rows, "table_name string, path string, size_bytes long")

@@ -1,0 +1,81 @@
+"""Shared test fixtures: one SparkSession per test run, DuckDB oracle
+connection with fixture views registered, and the oracle-parity
+comparator mirroring the driver's check."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from dfs_w_mapreduce_spark.catalog import TABLES, table_path
+from dfs_w_mapreduce_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    s = get_spark("tests", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle(sf_dir):
+    """DuckDB connection with every fixture table registered as a view
+    (mirrors the driver's pre-registered views)."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_normalize_cell(x) for x in v)
+    return str(v)
+
+
+def normalized_rows(columns, rows):
+    """Order-insensitive, column-name-sorted row multiset (the same
+    comparison shape the driver hashes)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_normalize_cell(r[i]) for i in order) for r in rows)
+
+
+def assert_matches_oracle(spark_df, oracle_con, oracle_sql_text):
+    got_cols = spark_df.columns
+    got = [tuple(r) for r in spark_df.collect()]
+    res = oracle_con.execute(oracle_sql_text)
+    want_cols = [d[0] for d in res.description]
+    want = res.fetchall()
+    assert sorted(got_cols) == sorted(want_cols), (
+        f"column mismatch: spark={sorted(got_cols)} oracle={sorted(want_cols)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    ngot = normalized_rows(got_cols, got)
+    nwant = normalized_rows(want_cols, want)
+    if ngot != nwant:
+        diff_g = [r for r in ngot if r not in nwant][:5]
+        diff_w = [r for r in nwant if r not in ngot][:5]
+        raise AssertionError(
+            f"value mismatch; spark-only sample={diff_g}; oracle-only sample={diff_w}"
+        )

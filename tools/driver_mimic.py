@@ -1,0 +1,54 @@
+"""Driver-mimic: consume __spark_entry__ exactly as the round harness does."""
+import sys, math
+sys.path.insert(0, "/root/repo")
+import duckdb
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# 1. smoke: entry()
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+print("sample:", rows[:3])
+assert len(rows) > 0
+
+# 2. correctness at sf0.01 (the driver's t2 gate)
+import os
+SF = os.environ.get("SF", "/root/testdata/sf0.01")
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6g}"
+    if isinstance(v, list): return tuple(norm(x) for x in v)
+    return str(v)
+
+qs, os_ = e.queries(), e.oracle_sql()
+fails = 0
+for name, fn in sorted(qs.items()):
+    sdf = fn(spark, SF)
+    got_cols = sdf.columns
+    got = [tuple(r) for r in sdf.collect()]
+    if name not in os_:
+        print(f"{name}: rows-only, {len(got)} rows"); continue
+    res = con.execute(os_[name]); want_cols = [d[0] for d in res.description]; want = res.fetchall()
+    order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+    order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+    ng = sorted(tuple(norm(r[i]) for i in order_g) for r in got)
+    nw = sorted(tuple(norm(r[i]) for i in order_w) for r in want)
+    ok = sorted(got_cols)==sorted(want_cols) and ng==nw
+    print(f"{name}: spark_rows={len(got)} oracle_rows={len(want)} cols_match={sorted(got_cols)==sorted(want_cols)} values_match={ng==nw}")
+    if not ok:
+        fails += 1
+        print("  spark-only:", [r for r in ng if r not in nw][:3])
+        print("  oracle-only:", [r for r in nw if r not in ng][:3])
+print("RESULT:", "ALL MATCH" if fails==0 else f"{fails} MISMATCHES")
