@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -34,10 +35,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet scan => pushdown + pruning free."""
+    """Read one fixture table. Parquet scan => pushdown + pruning free.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    long (nanosAsLong); convert to a microsecond timestamp with the
+    same truncation DuckDB applies when reading the same file.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # Set on whatever session the caller owns (the round driver
+        # builds its own); this is a runtime SQL conf, not static.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,191 @@
+"""Generic map/reduce operator pair — the reference's core compute contract.
+
+The reference's entire query surface is a user-supplied job binary
+implementing (SURVEY.md §2.2, reference dfs/wordcountjob.go:16-39):
+
+    Map(lineNumber int, line []byte) []keyValuePair          # 1 -> 0..N
+    Reduce(key []byte, values [][]byte) keyValuePair         # per-key agg
+
+re-expressed here in three tiers, fastest first:
+
+1. **Expression tier** (JVM, whole-stage codegen): ``flat_map_expr`` /
+   ``reduce_by_key`` — the map fn is a Column expression producing an
+   array of (key, value) structs; reduce is ``groupBy().agg()``.
+   Catalyst gets partial aggregation (the combiner the reference
+   lacks), pushdown, and codegen for free.  Both reference jobs fit
+   this tier.
+2. **Arrow tier** (vectorized Python): ``flat_map_pandas`` /
+   ``reduce_apply_in_pandas`` — arbitrary Python logic at Arrow batch
+   granularity; ``applyInPandas`` reproduces Reduce's full
+   ``(key, all values)`` generality.
+3. **Grouped-values materialization**: ``group_values`` — the
+   reference's ``keyListOfValuesPair`` (wordcountjob.go:189-192) as a
+   ``key -> sorted array<value>`` DataFrame, for consumers that truly
+   need the value list (prefer direct aggregates; a giant hot key's
+   value list is a memory hazard at 100 TB, which is why this tier is
+   explicitly last).
+
+Scale notes: tier 1 shuffles pre-aggregated rows (map-side combine);
+tier 2 shuffles raw pairs exactly like the reference's md5(key)%R
+shuffle (node.go:259-264) but through Spark's spillable sort shuffle;
+AQE handles skewed keys (the reference would OOM its in-memory
+reduce groups, wordcountjob.go:44-68).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- tier 1
+
+KV_SCHEMA = "key string, value string"
+
+
+def flat_map_expr(df: DataFrame, pairs_expr: Column) -> DataFrame:
+    """Map tier 1: ``pairs_expr`` evaluates per input row to an
+    ``array<struct<key,value>>``; one output row per element (0..N),
+    matching the reference Map contract.  Stays in codegen."""
+    return df.select(F.explode(pairs_expr).alias("kv")).select("kv.key", "kv.value")
+
+
+def reduce_by_key(df: DataFrame, *aggs: Column, key: str = "key") -> DataFrame:
+    """Reduce tier 1: per-key aggregate expressions (partial+final)."""
+    return df.groupBy(key).agg(*aggs)
+
+
+def map_reduce(df: DataFrame, pairs_expr: Column, *aggs: Column) -> DataFrame:
+    """The reference's fixed chain: scan -> map -> shuffle -> reduce."""
+    return reduce_by_key(flat_map_expr(df, pairs_expr), *aggs)
+
+
+# ---------------------------------------------------------------- tier 2
+
+
+def flat_map_pandas(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str = KV_SCHEMA,
+) -> DataFrame:
+    """Map tier 2: arbitrary Python map over Arrow batches
+    (``mapInPandas``).  ``fn`` receives a pandas DataFrame of input
+    rows and returns any number of output rows — the 1->0..N UDTF
+    shape of the reference Map, vectorized."""
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fn(pdf)
+
+    return df.mapInPandas(runner, schema=schema)
+
+
+def reduce_apply_in_pandas(
+    df: DataFrame,
+    fn: Callable[[str, pd.Series], Any],
+    value_col: str = "value",
+    key: str = "key",
+    schema: str = KV_SCHEMA,
+) -> DataFrame:
+    """Reduce tier 2: fully general ``Reduce(key, values) -> (key, v)``
+    via ``applyInPandas`` — the UDAF escape hatch equivalent to the
+    reference's arbitrary job binary (node.go:556-590 execs it; here
+    the "binary" is a Python closure shipped by Spark)."""
+
+    def runner(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf[key].iloc[0]
+        return pd.DataFrame({"key": [k], "value": [fn(k, pdf[value_col])]})
+
+    return df.groupBy(key).applyInPandas(runner, schema=schema)
+
+
+# ---------------------------------------------------------------- tier 3
+
+
+def group_values(df: DataFrame, key: str = "key", value_col: str = "value") -> DataFrame:
+    """The reference's ``keyListOfValuesPair``: key -> sorted value
+    array (sorted for deterministic comparison; the reference's hash
+    grouping is unordered)."""
+    return df.groupBy(key).agg(
+        F.array_sort(F.collect_list(value_col)).alias("values")
+    )
+
+
+# ------------------------------------------------------------- registry
+
+
+def _q_mr_wordcount_generic(spark, sf_dir: str) -> DataFrame:
+    """WordCount routed through the generic tier-1 map/reduce API —
+    proves the generic operator pair reproduces job #1 exactly."""
+    from dfs_w_mapreduce_spark.sources.readers import text_lines
+
+    lines = text_lines(spark, sf_dir)
+    tokens = F.filter(F.split(F.col("value"), r"\s+"), lambda t: t != F.lit(""))
+    pairs = F.transform(tokens, lambda t: F.struct(t.alias("key"), F.lit("1").alias("value")))
+    return map_reduce(lines, pairs, F.count("*").alias("cnt")).withColumnRenamed(
+        "key", "word"
+    )
+
+
+def _q_kv_group_values(spark, sf_dir: str) -> DataFrame:
+    """keyListOfValuesPair materialization over the skewed kv fixture."""
+    from dfs_w_mapreduce_spark.sources.readers import kv_pairs
+
+    return group_values(kv_pairs(spark, sf_dir))
+
+
+def _q_mr_reduce_pandas(spark, sf_dir: str) -> DataFrame:
+    """Tier-2 generality: arbitrary Python Reduce(key, values) via
+    applyInPandas — the reference's Atoi/sum/Itoa reduce shape
+    (wordcountjob.go:29-39) on the skewed kv fixture."""
+    from dfs_w_mapreduce_spark.sources.readers import kv_pairs
+
+    return reduce_apply_in_pandas(
+        kv_pairs(spark, sf_dir), lambda k, values: str(values.astype(int).sum())
+    )
+
+
+def specs():
+    from dfs_w_mapreduce_spark.registry import QuerySpec
+    from dfs_w_mapreduce_spark.sources.readers import KV_PAIRS_SQL, TEXT_LINES_SQL
+
+    return [
+        QuerySpec(
+            name="mr_wordcount_generic",
+            fn=_q_mr_wordcount_generic,
+            oracle=f"""
+                SELECT word, count(*) AS cnt
+                FROM (SELECT unnest(string_split_regex(value, '\\s+')) AS word
+                      FROM ({TEXT_LINES_SQL}))
+                WHERE word <> ''
+                GROUP BY word
+            """,
+            tags=("mapreduce", "generic"),
+            doc="Generic tier-1 map/reduce API reproducing reference job #1.",
+        ),
+        QuerySpec(
+            name="kv_group_values",
+            fn=_q_kv_group_values,
+            oracle=f"""
+                SELECT key, list_sort(list(value)) AS values
+                FROM ({KV_PAIRS_SQL})
+                GROUP BY key
+            """,
+            tags=("mapreduce", "grouping"),
+            doc="key -> sorted value list (reference keyListOfValuesPair).",
+        ),
+        QuerySpec(
+            name="mr_reduce_pandas",
+            fn=_q_mr_reduce_pandas,
+            oracle=f"""
+                SELECT key, CAST(CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS VARCHAR) AS value
+                FROM ({KV_PAIRS_SQL})
+                GROUP BY key
+            """,
+            tags=("mapreduce", "udaf", "pandas"),
+            doc="applyInPandas UDAF escape hatch (arbitrary Reduce parity).",
+        ),
+    ]

@@ -35,6 +35,7 @@ class QuerySpec:
 def collect() -> dict[str, QuerySpec]:
     """Assemble the full registry from every operator module."""
     from dfs_w_mapreduce_spark.jobs import specs as job_specs
+    from dfs_w_mapreduce_spark.operators import mapreduce
     from dfs_w_mapreduce_spark.operators import relational
     from dfs_w_mapreduce_spark.operators import dedup
     from dfs_w_mapreduce_spark.operators import similarity
@@ -45,6 +46,7 @@ def collect() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         job_specs,
+        mapreduce,
         relational,
         dedup,
         similarity,

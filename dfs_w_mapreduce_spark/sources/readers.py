@@ -66,6 +66,27 @@ def dialog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(line.alias("value"))
 
 
+def kv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 kv_pairs fixture: the reference's intermediate key->value
+    record model (FIXTURES.md A3), synthesized from `events` with a
+    deliberately skewed key distribution (~75% of rows share key
+    'hot') to exercise shuffle/AQE skew handling."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.when(F.col("event_id") % 4 != 0, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("key"),
+        (F.col("event_id") % 100).cast("string").alias("value"),
+    )
+
+
+KV_PAIRS_SQL = """
+    SELECT CASE WHEN event_id % 4 <> 0 THEN 'hot' ELSE event_type END AS key,
+           CAST(event_id % 100 AS VARCHAR) AS value
+    FROM events
+"""
+
+
 def dialog_lines_sql() -> str:
     """DuckDB twin of :func:`dialog_lines` (same corpus, same parquet)."""
     return """
