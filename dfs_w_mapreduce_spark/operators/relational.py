@@ -1,9 +1,675 @@
-"""Placeholder — populated in a later phase."""
+"""Standard relational operator surface.
+
+The reference implements none of this (SURVEY.md §2.5 — single-input
+MapReduce jobs only); our engine exposes the full built-in Spark
+relational surface, one oracle-verified query per operator family.
+Every query is declarative DataFrame/SQL so Catalyst supplies
+predicate pushdown, column pruning, partial aggregation, join
+selection, and whole-stage codegen.
+
+Scale posture (100 TB):
+- Dimension joins (region/nation/customer/supplier/part) are
+  broadcast — `F.broadcast` hints where the side is known small, so
+  the fact table never shuffles for them.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; AQE
+  (enabled in the session factory) coalesces post-shuffle partitions
+  and splits skewed ones.
+- Double-typed aggregates are rounded in-query (both engines) so
+  results are hash-stable across accumulation orders — at 1000
+  executors the reduction tree order is nondeterministic.
+- Top-k uses orderBy+limit (planned as TakeOrderedAndProject: per
+  partition heap + driver merge of k rows, never a full sort).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table, register_views
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 
+def _r2(c):
+    return F.round(c, 2)
+
+
+# ------------------------------------------------------------ aggregates
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: scan-heavy groupBy with 8 aggregates.
+    Catalyst plans partial+final HashAggregate; the shipdate filter is
+    pushed to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+AGG_STATS_ORACLE = """
+    SELECT c_mktsegment, count(*) AS n,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           round(var_samp(c_acctbal), 4) AS var_bal,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+AGG_DISTINCT_ORACLE = """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping-null markers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _r2(F.sum("l_quantity")).alias("qty"))
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _r2(F.sum("o_totalprice")).alias("total")
+    )
+
+
+AGG_CUBE_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("spend"))
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+HAVING_ORACLE = """
+    SELECT o_custkey, count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) + median."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
+PERCENTILES_ORACLE = """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — engine-specific sketch, so no
+    value oracle (driver records rows-only); the test suite bounds its
+    error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ----------------------------------------------------------------- joins
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: broadcast dim join + fact-fact
+    shuffle join + agg + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+TPCH_Q3_ORACLE = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: five-way join through the dimension chain with
+    every dimension broadcast; only lineitem ever shuffles."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+TPCH_Q5_ORACLE = """
+    SELECT n_name,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers with at least one open order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_ORACLE = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_ANTI_ORACLE = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers without orders (null side
+    aggregated with count of non-null keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("spend"),
+        )
+    )
+
+
+JOIN_OUTER_ORACLE = """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(CAST(coalesce(sum(o_totalprice), 0) AS DOUBLE), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+"""
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of the two smallest dims (region x nation) — the
+    only safe cardinality for a cartesian product; anything larger is
+    an error at scale, which is why Spark gates it behind crossJoin."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+JOIN_CROSS_ORACLE = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / scalar subqueries via the SQL API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+IN_SUBQUERY_ORACLE = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+# --------------------------------------------------------------- windows
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand — the window top-k
+    pattern (rank inside partition, filter k). Deterministic tiebreak
+    on p_partkey."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", _r2(F.col("p_retailprice")).alias("price"), "rk")
+    )
+
+
+WINDOW_TOPK_ORACLE = """
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rk
+          FROM part)
+    WHERE rk <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per supplier ordered by ship date;
+    ROWS frame with a unique composite order key for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).over(w)).alias(
+            "running_rev"
+        ),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice * (1 - l_discount)) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+    FROM lineitem
+"""
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank/dense_rank/ntile battery over orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WINDOW_ANALYTIC_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey, 1) OVER w AS prev_order,
+           lead(o_orderkey, 1) OVER w AS next_order,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ------------------------------------------------- sorts / limits / sets
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (orderBy+limit -> TakeOrderedAndProject: per-
+    partition heaps, driver merges k rows — no full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_custkey", _r2(F.col("o_totalprice")).alias("price"))
+    )
+
+
+TOPK_GLOBAL_ORACLE = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation keys of customers vs
+    suppliers, tagged by which set op produced the row."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    union = c.union(s).distinct().withColumn("op", F.lit("union"))
+    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
+    diff = c.exceptAll(s).distinct().withColumn("op", F.lit("except"))
+    return union.unionByName(inter).unionByName(diff)
+
+
+SET_OPS_ORACLE = """
+    SELECT nationkey, 'union' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'intersect' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT DISTINCT nationkey, 'except' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT ALL SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup of a two-column slice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_ROWS_ORACLE = """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# ---------------------------------------------- scalar fns / projection
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery: string/date/math/conditional — the
+    library the reference's jobs hand-roll in Go (split, concat,
+    contains, Atoi) plus what they lack."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("uname"),
+        F.lower(F.col("p_brand")).alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").contains("a").cast("int").alias("has_a"),
+        F.round(F.sqrt(F.abs(F.col("p_retailprice"))), 4).alias("sqrt_price"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+SCALAR_FUNCS_ORACLE = """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 5) AS prefix,
+           p_brand || '-' || p_type AS brand_type,
+           CAST(contains(p_name, 'a') AS INT) AS has_a,
+           round(sqrt(abs(p_retailprice)), 4) AS sqrt_price,
+           p_size % 5 AS size_mod,
+           CASE WHEN p_size > 25 THEN 'large'
+                WHEN p_size > 10 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over order dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+DATE_FUNCS_ORACLE = """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+    FROM orders
+"""
+
+
+def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + posexplode (UDTF shape): part-name tokens
+    with position — the lateral-view surface."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "token")
+    )
+
+
+EXPLODE_ARRAY_ORACLE = """
+    SELECT p_partkey, CAST(i - 1 AS INT) AS pos, toks[CAST(i AS INT)] AS token
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_r2(F.sum("l_quantity")))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+PIVOT_ORACLE = """
+    SELECT l_returnflag,
+           round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 2) AS qty_open,
+           round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery: nullif/coalesce/null-safe equality.
+    Fixtures have no nulls, so nullif manufactures them."""
+    c = load_table(spark, sf_dir, "customer")
+    neg_bal = F.when(F.col("c_acctbal") < 0, F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(neg_bal, F.lit(0.0)).alias("neg_or_zero"),
+        neg_bal.isNull().cast("int").alias("is_nonneg"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+    )
+
+
+NULL_HANDLING_ORACLE = """
+    SELECT c_custkey,
+           coalesce(CASE WHEN c_acctbal < 0 THEN c_acctbal END, 0.0) AS neg_or_zero,
+           CAST(CASE WHEN c_acctbal < 0 THEN c_acctbal END IS NULL AS INT) AS is_nonneg,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+    FROM customer
+"""
+
+
 def specs() -> list[QuerySpec]:
-    return []
+    mk = QuerySpec
+    return [
+        mk("tpch_q1", q_tpch_q1, TPCH_Q1_ORACLE, ("relational", "agg"), "TPC-H Q1 pricing summary."),
+        mk("agg_stats", q_agg_stats, AGG_STATS_ORACLE, ("relational", "agg"), "min/max/avg/stddev/var battery."),
+        mk("agg_distinct", q_agg_distinct, AGG_DISTINCT_ORACLE, ("relational", "agg"), "COUNT DISTINCT single+multi column."),
+        mk("agg_rollup", q_agg_rollup, AGG_ROLLUP_ORACLE, ("relational", "agg"), "ROLLUP hierarchy totals."),
+        mk("agg_cube", q_agg_cube, AGG_CUBE_ORACLE, ("relational", "agg"), "CUBE over two dims."),
+        mk("grouping_sets", q_grouping_sets, GROUPING_SETS_ORACLE, ("relational", "agg", "sql"), "GROUPING SETS via SQL API."),
+        mk("having", q_having, HAVING_ORACLE, ("relational", "agg"), "Post-agg HAVING filter."),
+        mk("percentiles", q_percentiles, PERCENTILES_ORACLE, ("relational", "agg"), "Exact continuous percentiles."),
+        mk("approx_distinct", q_approx_distinct, None, ("relational", "approx"), "HLL++ approx distinct (rows-only; error bounded in tests)."),
+        mk("tpch_q3", q_tpch_q3, TPCH_Q3_ORACLE, ("relational", "join", "topk"), "TPC-H Q3: 3-way join + top-10."),
+        mk("tpch_q5", q_tpch_q5, TPCH_Q5_ORACLE, ("relational", "join"), "TPC-H Q5-style 6-way broadcast-dim join."),
+        mk("join_semi", q_join_semi, JOIN_SEMI_ORACLE, ("relational", "join"), "LEFT SEMI (EXISTS)."),
+        mk("join_anti", q_join_anti, JOIN_ANTI_ORACLE, ("relational", "join"), "LEFT ANTI (NOT EXISTS)."),
+        mk("join_outer", q_join_outer, JOIN_OUTER_ORACLE, ("relational", "join"), "LEFT OUTER with null-side agg."),
+        mk("join_cross", q_join_cross, JOIN_CROSS_ORACLE, ("relational", "join"), "Cartesian product (small dims)."),
+        mk("in_subquery", q_in_subquery, IN_SUBQUERY_ORACLE, ("relational", "subquery", "sql"), "IN + scalar subqueries."),
+        mk("window_topk", q_window_topk, WINDOW_TOPK_ORACLE, ("relational", "window"), "Per-group top-k via row_number."),
+        mk("window_running", q_window_running, WINDOW_RUNNING_ORACLE, ("relational", "window"), "Cumulative sum, ROWS frame."),
+        mk("window_analytic", q_window_analytic, WINDOW_ANALYTIC_ORACLE, ("relational", "window"), "lag/lead/rank/dense_rank/ntile."),
+        mk("topk_global", q_topk_global, TOPK_GLOBAL_ORACLE, ("relational", "sort"), "Global top-k (TakeOrderedAndProject)."),
+        mk("set_ops", q_set_ops, SET_OPS_ORACLE, ("relational", "setop"), "UNION/INTERSECT/EXCEPT tagged."),
+        mk("distinct_rows", q_distinct_rows, DISTINCT_ROWS_ORACLE, ("relational", "setop"), "DISTINCT projection."),
+        mk("scalar_funcs", q_scalar_funcs, SCALAR_FUNCS_ORACLE, ("relational", "scalar"), "String/math/conditional battery."),
+        mk("date_funcs", q_date_funcs, DATE_FUNCS_ORACLE, ("relational", "scalar"), "Date/time battery."),
+        mk("explode_array", q_explode_array, EXPLODE_ARRAY_ORACLE, ("relational", "array"), "posexplode / lateral view."),
+        mk("pivot", q_pivot, PIVOT_ORACLE, ("relational", "pivot"), "Pivot to columns."),
+        mk("null_handling", q_null_handling, NULL_HANDLING_ORACLE, ("relational", "scalar"), "NULL semantics battery."),
+    ]

@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the 100 TB-posture regression gate.
+
+Correct results with a wrong plan (no pushdown, shuffled dim join,
+full sort for top-k) would still pass the oracle tests but fall over
+at scale — these tests pin the plan properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.operators import relational as R
+from dfs_w_mapreduce_spark.plans.explain import (
+    formatted_plan,
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02")
+    )
+    assert has_pushed_filters(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    read = scan_read_schema(df)
+    assert set(read) == {"l_orderkey", "l_quantity"}, read
+
+
+def test_tpch_q1_prunes_and_pushes(spark, sf_dir):
+    df = R.q_tpch_q1(spark, sf_dir)
+    read = set(scan_read_schema(df))
+    # 7 of 11 lineitem columns needed; scan must not read the rest
+    assert "l_orderkey" not in read and "l_partkey" not in read, read
+    assert has_pushed_filters(df)
+
+
+def test_tpch_q3_broadcasts_customer(spark, sf_dir):
+    df = R.q_tpch_q3(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = formatted_plan(R.q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = R.q_topk_global(spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    # Map-side combine: two HashAggregate nodes (partial + final)
+    # around the exchange — the combiner the reference lacks.
+    plan = formatted_plan(R.q_tpch_q1(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct has no cross-engine oracle; bound its
+    relative error against the exact count instead (HLL++ rsd=5%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in R.q_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.15 * n), (k, approx[k], n)
