@@ -1,0 +1,82 @@
+"""Benchmark runner — the driver executes this per round.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly
+one JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization via the noop sink (no
+driver-side collect cost, no result truncation), after a small warmup
+to exclude JVM/codegen warm-up from the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from dfs_w_mapreduce_spark.registry import collect
+from dfs_w_mapreduce_spark.session import get_spark
+
+# The headline set: reference-fidelity jobs, the heaviest relational
+# pipelines, and (as they land) the LLM-pipeline operators.
+HEADLINE = [
+    "wordcount",
+    "question_pct",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "window_running",
+    "topk_global",
+    "agg_distinct",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    registry = collect()
+
+    # warmup: touch the biggest fact table once (JIT + FS cache)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
