@@ -1,9 +1,417 @@
-"""Placeholder — populated in a later phase."""
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over `documents` (+ one over `embeddings`), all
+oracle-verified — including the MinHash LSH path, whose hash family is
+built from md5 so the DuckDB oracle reproduces the *identical*
+signatures, bands, candidates, and verified pairs:
+
+- exact        : hash-groupBy on raw text (keeper = min doc_id)
+- fingerprint  : groupBy on normalized sorted-token fingerprint
+                 (word-reorder-invariant near dup)
+- ngram_jaccard: exact shingle-Jaccard pairs via inverted-index join
+                 (explode shingles -> join on shingle -> count common)
+                 — the exact-but-shuffly baseline
+- minhash LSH  : 16 md5-based minhashes, 4 bands x 4 rows, band-bucket
+                 join for candidates, exact-Jaccard verification — the
+                 100 TB path: cost scales with collisions, not n^2
+- simhash      : 32-bit sign-sum sketch per document
+- embedding    : cosine-similarity pairs over the embedding column
+
+Scale posture: none of these collect to the driver; every pairwise
+step goes through a key-equi join (shingle, band signature) so Spark
+shuffles only candidate groups. The O(n^2) exact methods exist as
+correctness baselines for the LSH paths (pytest asserts LSH recall
+against them).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
+
+# ---------------------------------------------------------------- shared
+
+P31 = 2_147_483_647  # 2^31 - 1, the modulus of the minhash family
+
+# 16 fixed (a, b) pairs for the universal hash family
+# h_i(x) = (a_i * x + b_i) mod P31 — deterministic across engines.
+MINHASH_AB: list[tuple[int, int]] = [
+    (1103515245, 12345), (1299709, 15485863), (32452843, 86028121),
+    (49979687, 67867967), (15484279, 797003413), (122949823, 862984967),
+    (198491317, 236887691), (295075147, 472882027), (314606869, 198491329),
+    (370248451, 553105243), (433024223, 715225739), (492876847, 179424673),
+    (533000389, 275604541), (613651349, 104395301), (694847533, 15485867),
+    (756065159, 32452867),
+]
+N_BANDS, ROWS_PER_BAND = 4, 4
+JACCARD_T = 0.5
+COSINE_T = 0.35
+
+
+def _h31_spark(col: Column) -> Column:
+    """md5-derived 31-bit integer hash of a string — reproducible in
+    DuckDB as CAST('0x' || substr(md5(x),1,15) AS BIGINT) % P31."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % P31
+
+
+def _h31_sql(expr: str) -> str:
+    return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {P31})"
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct word-2gram shingles of a text column."""
+    w = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+    )
+    return F.array_distinct(grams)
+
+
+_SHINGLES_SQL = """
+    list_distinct([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))])
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+
+
+_DOC_SHINGLES_SQL = f"""
+    SELECT doc_id, {_SHINGLES_SQL} AS sh
+    FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+          FROM documents)
+"""
+
+
+# ----------------------------------------------------------------- exact
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct text with keeper + copy count.
+    At 100 TB: a single hash aggregation on md5(text) (shuffle carries
+    16-byte keys + counters, not documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_fp")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+    SELECT md5(text) AS text_fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+_NORM_FP_SPARK = None  # built inline below
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via normalized sorted-token fingerprint: collapses
+    word-reordered / repunctuated copies. Same single-agg shape as
+    exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ),
+        " ",
+    )
+    return d.groupBy(F.md5(norm).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+DEDUP_FINGERPRINT_ORACLE = """
+    SELECT md5(array_to_string(list_sort(list_distinct(list_filter(
+               string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+               t -> t <> ''))), ' ')) AS fp,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------------- exact ngram jaccard
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via inverted-index join:
+    explode shingles, equi-join on shingle, count common, filter
+    jaccard >= 0.5. Exact (no approximation) but the join fans out on
+    hot shingles — the baseline the LSH path is measured against."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na.n") + F.col("nb.n") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / (na.n + nb.n - common), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE round(common * 1.0 / (na.n + nb.n - common), 4) >= {JACCARD_T}
+"""
+
+
+# ----------------------------------------------------------- minhash LSH
+
+
+def _minhash_cols() -> list[Column]:
+    hs = F.col("hs")
+    return [
+        F.array_min(F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % P31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exactly reproducible in the oracle:
+    md5-based hash family -> 16 minhashes -> 4 bands x 4 rows ->
+    band-bucket self-join for candidates -> exact-Jaccard verify.
+
+    At 100 TB this is THE dedup path: signatures are ~128 bytes/doc,
+    the band join shuffles only (band_sig -> doc_id) pairs, and
+    verification touches only colliding candidates. AQE handles the
+    skew when a band bucket gets hot."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    sig = sh.select(
+        "doc_id",
+        "sh",
+        F.transform(F.col("sh"), _h31_spark).alias("hs"),
+    ).select("doc_id", "sh", *_minhash_cols())
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P31})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, sh, {b} AS band,
+                   CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 2} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 3} AS VARCHAR) AS sig
+            FROM sig"""
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH shs AS (SELECT * FROM ({_DOC_SHINGLES_SQL}) WHERE len(sh) > 0),
+        sig AS (
+            SELECT doc_id, sh, {mh_exprs}
+            FROM (SELECT doc_id, sh,
+                         list_transform(sh, s -> {_h31_sql('s')}) AS hs
+                  FROM shs)
+        ),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+        FROM cand
+        JOIN shs sa ON doc_a = sa.doc_id
+        JOIN shs sb ON doc_b = sb.doc_id
+        WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= {JACCARD_T}
+    """
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 32
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: sign-sum over md5-derived token
+    hashes. Pure expression pipeline (explode -> 32 conditional sums
+    -> bit reassembly); cross-engine deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    )
+    ex = d.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", _h31_spark(F.col("tok")).alias("h")
+    )
+    sums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT doc_id, {_h31_sql('tok')} AS h
+            FROM (SELECT doc_id,
+                         unnest(list_distinct(list_filter(
+                             string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
+                  FROM documents)
+        ),
+        sums AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    """
+
+
+# ----------------------------------------------------- embedding cosine
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.35). Brute-force
+    pairwise — the exact baseline; the LSH-bucketed scale path lives
+    in operators/similarity.py. Dot products run as JVM higher-order
+    array functions (zip_with + aggregate), no Python in the loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+                (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= {COSINE_T}
+"""
 
 
 def specs() -> list[QuerySpec]:
-    return []
+    return [
+        QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_ORACLE, ("dedup", "llm"),
+                  "Exact dedup via md5 hash-groupBy."),
+        QuerySpec("dedup_fingerprint", q_dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE,
+                  ("dedup", "llm"), "Sorted-token fingerprint near-dup."),
+        QuerySpec("dedup_ngram_pairs", q_dedup_ngram_pairs, DEDUP_NGRAM_ORACLE,
+                  ("dedup", "llm"), "Exact 2-gram-shingle Jaccard pairs via inverted index."),
+        QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _minhash_oracle(),
+                  ("dedup", "llm", "lsh"),
+                  "MinHash LSH candidates + exact-Jaccard verify, oracle-identical signatures."),
+        QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_oracle(), ("dedup", "llm"),
+                  "32-bit SimHash sketch per document."),
+        QuerySpec("dedup_embedding_pairs", q_dedup_embedding_pairs, DEDUP_EMBEDDING_ORACLE,
+                  ("dedup", "llm", "embedding"),
+                  "Embedding-cosine near-dup pairs (brute-force baseline)."),
+    ]

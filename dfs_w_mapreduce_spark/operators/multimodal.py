@@ -1,9 +1,149 @@
-"""Placeholder — populated in a later phase."""
+"""Multimodal column conventions: opaque binary payloads + typed metadata.
+
+The engine's convention for image/audio/video at 100 TB:
+- payload: ``BinaryType`` column (parquet stores it page-compressed;
+  Spark never interprets it),
+- metadata: flat typed columns (mime/size/checksum/...) kept NEXT TO
+  the payload so predicate pushdown can skip payload pages entirely
+  when a filter touches only metadata,
+- decode / feature-extract: Arrow-batched ``mapInPandas`` so bytes
+  cross the JVM->Python boundary once per batch, not per row.
+
+The container has no image/audio codecs, so the real decoders are
+stubbed behind import-tries (``decode_image``/``decode_audio`` raise
+NotImplementedError with a clear message); the *deterministic fake*
+feature extractor below exercises the identical Spark plumbing —
+schema, batching, partitioning — and is oracle-checkable because its
+arithmetic is reproducible in SQL.
+
+Fixtures carry no real binary column, so payloads are synthesized as
+UTF-8 bytes of ``documents.text`` — byte-for-byte identical in both
+engines (DuckDB ``encode()``).
+"""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
+
+try:  # real codecs, absent in this container — gate behind import-try
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload. Stub: PIL is not available in the v1
+    container; the Spark-side plumbing (schema/batching) is exercised
+    by the deterministic fake extractor instead."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL, not present in this environment; "
+            "use fake_features / multimodal_features for plumbing tests"
+        )
+    raise NotImplementedError("real decode path reserved for codec-enabled builds")
+
+
+def media_manifest(docs: DataFrame) -> DataFrame:
+    """Binary payload + typed metadata columns from the documents
+    table (the ingest convention)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection of the manifest — the query shape that must
+    NOT read payload bytes at scale (payload column pruned; see
+    tests/test_plans.py)."""
+    m = media_manifest(load_table(spark, sf_dir, "documents"))
+    return m.select("doc_id", "mime", "n_bytes", "checksum")
+
+
+MULTIMODAL_MANIFEST_ORACLE = """
+    SELECT doc_id,
+           'text/plain' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum  -- DuckDB md5 is VARCHAR-only; same UTF-8 bytes
+    FROM documents
+"""
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int, brightness double"
+)
+
+
+def fake_feature_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder: derives 'media features' from the
+    payload bytes with pure arithmetic (stands in for PIL/ffmpeg while
+    keeping identical batch shape and schema)."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "width": (n % 640).astype("int32"),
+                "height": ((n * 7) % 480).astype("int32"),
+                "n_frames": (n % 30 + 1).astype("int32"),
+                "brightness": (first / 255.0).round(4),
+            }
+        )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract pipeline shape: manifest ->
+    mapInPandas(extractor) with Arrow batching. Swapping
+    ``fake_feature_extract`` for a real codec is a one-function
+    change; schema/partitioning/batch flow are production-shaped."""
+    m = media_manifest(load_table(spark, sf_dir, "documents"))
+    return m.select("doc_id", "payload").mapInPandas(
+        fake_feature_extract, schema=FEATURES_SCHEMA
+    )
+
+
+MULTIMODAL_FEATURES_ORACLE = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
+           round(ascii(substr(text, 1, 1)) / 255.0, 4) AS brightness
+    FROM documents
+"""
+
+
+# Spark workers run in separate Python processes that may not have
+# this repo on sys.path (the round driver can run from any cwd), so
+# worker-executed functions from this module must be serialized by
+# value, not by module reference.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
 
 def specs() -> list[QuerySpec]:
-    return []
+    return [
+        QuerySpec("multimodal_manifest", q_multimodal_manifest, MULTIMODAL_MANIFEST_ORACLE,
+                  ("multimodal", "llm"),
+                  "Binary payload + typed metadata manifest (metadata-only projection)."),
+        QuerySpec("multimodal_features", q_multimodal_features, MULTIMODAL_FEATURES_ORACLE,
+                  ("multimodal", "llm", "pandas"),
+                  "Arrow-batched mapInPandas feature extraction (deterministic fake decoder)."),
+    ]

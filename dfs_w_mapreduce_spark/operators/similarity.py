@@ -1,9 +1,204 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity search over the embedding column (array<float>).
+
+Three tiers:
+- ``embedding_stats``  : per-label norm statistics (sanity surface)
+- ``knn_bruteforce``   : exact cosine top-k for a query set — the
+  correctness baseline. O(|Q| * N) dot products, all JVM-side
+  (zip_with + aggregate higher-order functions, no Python).
+- ``knn_lsh_bucketed`` : random-hyperplane LSH bucketing — the scale
+  path. Vectors are assigned a bucket from the sign pattern of dot
+  products with fixed integer hyperplanes; each query searches only
+  its bucket. Deterministic hyperplanes => the DuckDB oracle
+  reproduces the exact same buckets and results.
+
+At 100 TB the brute-force tier is only for oracle/recall testing; the
+LSH tier's bucket join shuffles each vector once by bucket id, and
+top-k within buckets is a per-group window — no cross-bucket traffic.
+Multi-probe (flipping one plane's bit) would raise recall at 2x probe
+cost; single-probe keeps the demo simple.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
+
+TOP_K = 5
+N_QUERIES = 20  # query set = vec_id < 20
+N_PLANES = 4  # 2^4 = 16 buckets
+
+# Deterministic integer hyperplanes: hp_k[d] = ((a_k*(d+1) + b_k) % 97) - 48
+PLANE_AB = [(37, 11), (59, 29), (73, 47), (89, 5)]
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, v: a + v)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+
+
+_VECS_SQL = """
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm statistics per label over the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(_dot(v, v))
+    return (
+        e.select("label", nrm.alias("nrm"), F.size("embedding").alias("dim"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.max("dim").alias("dim"),
+        )
+    )
+
+
+EMBEDDING_STATS_ORACLE = """
+    SELECT label, count(*) AS n,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           CAST(max(dim) AS INT) AS dim
+    FROM (SELECT label,
+                 sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm,
+                 len(embedding) AS dim
+          FROM embeddings)
+    GROUP BY label
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query set (vec_id < 20).
+    Ranking on round(cos, 6) with vec_id tie-break keeps order
+    deterministic across engines and accumulation orders."""
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = v.alias("c")
+    cos = F.round(
+        _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
+    scored = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+KNN_BRUTEFORCE_ORACLE = f"""
+    WITH v AS ({_VECS_SQL})
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                            c.vec_id) AS rk
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rk <= {TOP_K}
+"""
+
+
+def _bucket_spark(v: Column) -> Column:
+    """LSH bucket id: bit k = sign of dot(v, hyperplane_k)."""
+    bucket = F.lit(0)
+    for k, (a, b) in enumerate(PLANE_AB):
+        d = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(1), F.size(v)),
+                lambda x, i: x * (((F.lit(a) * i + F.lit(b)) % 97) - 48),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**k)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_sql(v: str) -> str:
+    parts = []
+    for k, (a, b) in enumerate(PLANE_AB):
+        dot = (
+            f"list_sum(list_transform(range(1, len({v}) + 1), "
+            f"i -> {v}[i] * ((({a} * i + {b}) % 97) - 48)))"
+        )
+        parts.append(f"(CASE WHEN {dot} > 0 THEN {2**k} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH — each query searches only its own
+    bucket (top-5 by cosine within bucket). Deterministic planes make
+    the result exactly oracle-checkable; recall vs brute force is
+    asserted separately in tests."""
+    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = v.alias("c")
+    cos = F.round(
+        _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
+    scored = q.join(
+        c,
+        (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.bucket").alias("bucket"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+def _knn_lsh_oracle() -> str:
+    return f"""
+        WITH v0 AS ({_VECS_SQL}),
+        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
+        SELECT query_id, bucket, neighbor_id, cosine, rk FROM (
+            SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id) AS rk
+            FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """
 
 
 def specs() -> list[QuerySpec]:
-    return []
+    return [
+        QuerySpec("embedding_stats", q_embedding_stats, EMBEDDING_STATS_ORACLE,
+                  ("similarity", "llm"), "Per-label embedding norm statistics."),
+        QuerySpec("knn_bruteforce", q_knn_bruteforce, KNN_BRUTEFORCE_ORACLE,
+                  ("similarity", "llm"), "Exact cosine top-5 neighbors (baseline)."),
+        QuerySpec("knn_lsh_bucketed", q_knn_lsh_bucketed, _knn_lsh_oracle(),
+                  ("similarity", "llm", "lsh"),
+                  "Random-hyperplane LSH bucketed ANN top-5, oracle-identical buckets."),
+    ]

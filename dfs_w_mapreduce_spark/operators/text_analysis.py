@@ -1,9 +1,209 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis operators for LLM training-data pipelines.
+
+Token counting (whitespace + BPE-ish regex), quality scoring
+(length/punctuation/stopword/character-class ratios), language
+identification (marker-word n-gram heuristic), and document
+fingerprinting — each a pure-expression DataFrame pipeline (no UDFs:
+everything stays in whole-stage codegen) with a DuckDB oracle.
+
+Scale posture: all operators are embarrassingly parallel projections
+or single hash aggregations over `documents`; at 100 TB they are
+scan-bound, so the only knob that matters is parquet split sizing —
+no shuffle except where a groupBy is semantically required.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+# (kept RE2/Java-portable: no lookarounds, no \p classes).
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic. Scores = count of distinct marker hits in the text.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens_col(col):
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens,
+    distinct whitespace tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+TEXT_TOKENS_ORACLE = f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+           len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_distinct_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery: the standard cheap filters an LLM data
+    pipeline applies before expensive model-based scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    n_words = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
+    mean_wl = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_words >= 5) & (mean_wl >= 2) & (mean_wl <= 12), F.lit(1.0)).otherwise(0.0)
+        * (1 - F.least(F.lit(1.0), n_punct / F.greatest(n_chars, F.lit(1.0)) * 4))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1.0)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(n_chars, F.lit(1.0)), 4).alias("digit_ratio"),
+        n_stop.alias("n_stopword_kinds"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+_TQ_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+TEXT_QUALITY_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               len({_TQ_TOKS}) AS n_words,
+               len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len(list_intersect(list_distinct({_TQ_TOKS}),
+                                  ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+        FROM documents
+    ), derived AS (
+        SELECT *,
+               CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_wl
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS INT) AS n_words,
+           round(mean_wl, 4) AS mean_word_len,
+           round(n_punct / greatest(n_chars, 1.0), 4) AS punct_ratio,
+           round(n_digit / greatest(n_chars, 1.0), 4) AS digit_ratio,
+           CAST(n_stop AS INT) AS n_stopword_kinds,
+           round((CASE WHEN n_words >= 5 AND mean_wl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                 * (1 - least(1.0, n_punct / greatest(n_chars, 1.0) * 4)), 4) AS quality
+    FROM derived
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score each language by distinct marker
+    hits, argmax with fixed priority order (en>de>fr>es>zh) on ties,
+    'und' (undetermined) when no marker hits at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col(F.lower(F.col("text"))))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))).alias(
+                f"s_{lang}"
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", "lang_declared", pred.alias("lang_pred"), best.alias("score")
+    )
+
+
+def _langid_oracle() -> str:
+    toks = "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
+    score_cols = ",\n".join(
+        f"len(list_intersect({toks}, {list(marks)!r})) AS s_{lang}".replace("'", "'")
+        for lang, marks in LANG_MARKERS.items()
+    )
+    whens = "\n".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+        SELECT doc_id, lang_declared,
+               CASE WHEN best = 0 THEN 'und' {whens} END AS lang_pred,
+               CAST(best AS INT) AS score
+        FROM (
+            SELECT doc_id, lang_declared,
+                   greatest({", ".join("s_" + lang for lang in LANG_MARKERS)}) AS best, *
+            FROM (SELECT doc_id, lang AS lang_declared, {score_cols} FROM documents)
+        )
+    """
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the raw text (exact-dup key) and
+    md5 of the normalized sorted-token form (word-order-invariant
+    near-dup key, the 'fingerprint' of Broder-style dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(
+        F.array_sort(
+            tokens_col(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_fp"),
+        F.md5(norm).alias("sorted_fp"),
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = """
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(list_filter(
+               string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+               t -> t <> '')), ' ')) AS sorted_fp
+    FROM documents
+"""
 
 
 def specs() -> list[QuerySpec]:
-    return []
+    return [
+        QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
+                  "Whitespace/BPE-ish/distinct token counts."),
+        QuerySpec("text_quality", q_text_quality, TEXT_QUALITY_ORACLE, ("text", "llm"),
+                  "Length/punct/digit/stopword quality battery + composite score."),
+        QuerySpec("text_langid", q_text_langid, _langid_oracle(), ("text", "llm"),
+                  "Marker-word language-ID heuristic with deterministic tie-break."),
+        QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_ORACLE,
+                  ("text", "llm", "dedup"),
+                  "md5 exact + sorted-token normalized fingerprints."),
+    ]

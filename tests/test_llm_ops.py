@@ -1,0 +1,98 @@
+"""Quality tests for the LLM-pipeline operators beyond oracle parity:
+LSH recall against exact baselines, decode-stub contract, and the
+payload-pruning plan property."""
+
+from __future__ import annotations
+
+import pytest
+
+from dfs_w_mapreduce_spark.operators import dedup as D
+from dfs_w_mapreduce_spark.operators import multimodal as M
+from dfs_w_mapreduce_spark.operators import similarity as S
+from dfs_w_mapreduce_spark.plans.explain import scan_read_schema
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """Every exact Jaccard>=0.5 pair should be found by the LSH path
+    at high recall; with 4 bands x 4 rows, P(candidate | j=0.5) =
+    1-(1-0.5^4)^4 ~= 0.23 per band family... but planted near-dups in
+    the fixture sit at j>=0.8 where recall is ~0.94+; require >=70%
+    overall and NO false positives (verification step guarantees)."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in D.q_dedup_ngram_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in D.q_dedup_minhash_pairs(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, f"LSH produced non-near-dup pairs: {lsh - exact}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.7, f"recall {recall}: {len(lsh)}/{len(exact)}"
+
+
+def test_knn_lsh_subset_of_bucket_and_sane(spark, sf_dir):
+    """Bucketed ANN results must be true neighbors (cosine computed
+    exactly) and each query returns at most k rows."""
+    rows = S.q_knn_lsh_bucketed(spark, sf_dir).collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert -1.0 <= r.cosine <= 1.0
+    assert all(n <= S.TOP_K for n in per_q.values())
+
+
+def test_knn_lsh_recall_measured(spark, sf_dir):
+    """Report-style check: bucketed ANN finds a nonzero fraction of
+    true top-5 neighbors (16 buckets over 500 vectors => expected
+    recall ~1/16 per neighbor by chance; planted structure may raise
+    it). This pins the plumbing, not a quality SLA."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.q_knn_bruteforce(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in S.q_knn_lsh_bucketed(spark, sf_dir).collect()
+    }
+    assert brute, "brute-force produced no rows"
+    assert ann, "bucketed ANN produced no rows"
+
+
+def test_simhash_near_dups_have_close_hashes(spark, sf_dir):
+    """Near-dup pairs (exact Jaccard >= 0.5) should sit within small
+    simhash Hamming distance most of the time."""
+    pairs = [(r.doc_a, r.doc_b) for r in D.q_dedup_ngram_pairs(spark, sf_dir).collect()]
+    if not pairs:
+        pytest.skip("no near-dup pairs at this SF")
+    sh = {r.doc_id: r.simhash for r in D.q_dedup_simhash(spark, sf_dir).collect()}
+    close = sum(
+        1 for a, b in pairs if bin(sh[a] ^ sh[b]).count("1") <= 10
+    )
+    assert close / len(pairs) >= 0.6, f"{close}/{len(pairs)} pairs within Hamming 10"
+
+
+def test_decode_image_stub_raises_cleanly():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M.decode_image(b"\x89PNG")
+
+
+def test_manifest_metadata_projection_prunes_payload(spark, sf_dir):
+    """The metadata-only query must not materialize payload bytes from
+    more columns than needed: scan reads only doc_id + text (payload
+    is derived from text here; with a real binary parquet column this
+    asserts payload-page skip)."""
+    df = M.q_multimodal_manifest(spark, sf_dir)
+    read = set(scan_read_schema(df))
+    assert read == {"doc_id", "text"}, read
+
+
+def test_feature_extractor_deterministic(spark, sf_dir):
+    a = sorted(
+        (r.doc_id, r.width, r.height, r.n_frames, r.brightness)
+        for r in M.q_multimodal_features(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.width, r.height, r.n_frames, r.brightness)
+        for r in M.q_multimodal_features(spark, sf_dir).collect()
+    )
+    assert a == b and len(a) > 0
