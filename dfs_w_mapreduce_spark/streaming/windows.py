@@ -1,9 +1,208 @@
-"""Placeholder — populated in a later phase."""
+"""Streaming surface over the `events` table.
+
+The reference is batch-only (SURVEY.md §2.5 — its only "stream" is
+infra heartbeats), so the streaming semantics here are defined by this
+engine and verified two ways:
+
+1. **Batch-equivalent queries** (this module's registry entries):
+   tumbling / sliding / session windows and JSON extraction expressed
+   over the static events table with DuckDB oracles. Spark's window
+   functions produce identical results in batch and streaming mode,
+   so these pin the *semantics*.
+2. **Stream-batch equivalence tests** (tests/test_streaming.py): the
+   same aggregations run as real Structured Streaming jobs (file
+   source -> availableNow trigger -> memory sink) and must equal the
+   batch result; plus watermark late-data and stateful
+   applyInPandasWithState coverage.
+
+Plus one live entry (`stream_tumbling_live`, rows-only): an actual
+readStream pipeline executed to completion through the driver
+contract.
+
+Scale posture: windowed aggs shuffle on (window, key) — at 100 TB
+the watermark bounds state; session windows use Spark's native
+session_window operator (state merges adjacent sessions); JSON
+extraction is expression-level (no UDF).
+"""
 
 from __future__ import annotations
 
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table, table_path
 from dfs_w_mapreduce_spark.registry import QuerySpec
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+SESSION_GAP_MIN = 10
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """5-minute tumbling window per event_type: the canonical
+    streaming aggregation (same expression batch or stream)."""
+    return (
+        events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+STREAM_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, count(*) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+STREAM_SLIDING_ORACLE = """
+    SELECT window_start, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS total
+    FROM (
+        SELECT value,
+               time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS window_start
+        FROM events, LATERAL (SELECT unnest([0, 1]) AS k)
+    )
+    GROUP BY 1
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization per user with a 10-minute inactivity gap, using
+    Spark's native session_window (streaming-stateful-ready)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+# DuckDB has no session_window; reproduce via the lag/gap/cumsum idiom.
+# Spark's session end = last event ts + gap.
+STREAM_SESSION_ORACLE = f"""
+    WITH marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '{SESSION_GAP_MIN} minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+           count(*) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total
+    FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_stream_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload column (expression-level
+    get_json_object — no UDF in the hot path)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+STREAM_JSON_ORACLE = """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+"""
+
+
+def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming execution through the driver
+    contract: file-replay the events parquet, run the tumbling agg
+    with a watermark, availableNow trigger into a memory sink, return
+    the sink as a DataFrame. Rows-only check (the semantics oracle is
+    `stream_tumbling`; equality of the two is asserted in tests)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The parquet streaming source requires a directory; point it at
+    # the sf dir with a glob so only events.parquet matches.
+    raw = (
+        spark.readStream.schema("event_id long, ts long, user_id long, "
+                                "event_type string, value double, props string")
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = tumbling_agg(raw.withWatermark("ts", "1 hour"))
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
 
 
 def specs() -> list[QuerySpec]:
-    return []
+    return [
+        QuerySpec("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_ORACLE,
+                  ("streaming", "window"),
+                  "5-min tumbling window agg (batch form of the streaming query)."),
+        QuerySpec("stream_sliding", q_stream_sliding, STREAM_SLIDING_ORACLE,
+                  ("streaming", "window"),
+                  "10-min/5-min sliding window agg."),
+        QuerySpec("stream_session", q_stream_session, STREAM_SESSION_ORACLE,
+                  ("streaming", "window", "session"),
+                  "Native session_window sessionization (10-min gap)."),
+        QuerySpec("stream_json", q_stream_json, STREAM_JSON_ORACLE,
+                  ("streaming", "json"),
+                  "get_json_object extraction from props."),
+        QuerySpec("stream_tumbling_live", q_stream_tumbling_live, None,
+                  ("streaming", "live"),
+                  "Actual readStream->memory-sink execution (rows-only; "
+                  "equality with stream_tumbling asserted in tests)."),
+    ]

@@ -1,0 +1,142 @@
+"""Structured Streaming tests: stream-batch equivalence, watermark
+late-data behavior, streaming dedup, and stateful processing."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import table_path
+from dfs_w_mapreduce_spark.streaming import windows as SW
+
+RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_events(spark, sf_dir):
+    raw = (
+        spark.readStream.schema(RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(df, mode="complete"):
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return name
+
+
+def test_stream_batch_equivalence_tumbling(spark, sf_dir):
+    """The same tumbling agg through readStream must equal batch."""
+    stream_df = SW.tumbling_agg(_stream_events(spark, sf_dir).withWatermark("ts", "1 hour"))
+    name = _run_to_memory(stream_df)
+    got = {
+        (r.window_start, r.event_type, r.n, r.total)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.window_start, r.event_type, r.n, r.total)
+        for r in SW.q_stream_tumbling(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_append_mode_watermark_closes_windows(spark, sf_dir):
+    """Append mode only emits windows the watermark has passed: with
+    a 1-hour watermark over a finite replay, every window except those
+    within the final hour must be emitted — i.e. append-mode output is
+    a prefix-closed subset of the complete batch result."""
+    stream_df = SW.tumbling_agg(_stream_events(spark, sf_dir).withWatermark("ts", "1 hour"))
+    name = _run_to_memory(stream_df, mode="append")
+    appended = {
+        (r.window_start, r.event_type, r.n, r.total)
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.n, r.total)
+        for r in SW.q_stream_tumbling(spark, sf_dir).collect()
+    }
+    assert appended <= batch
+    max_ts = max(r[0] for r in batch)
+    closed = {r for r in batch if (max_ts - r[0]).total_seconds() > 3600 + 600}
+    assert closed <= appended, "watermark failed to close old windows"
+
+
+def test_stream_dropduplicates_with_watermark(spark, sf_dir):
+    """Streaming exact-dedup on event_id with a watermark bounds state
+    and must keep exactly the distinct ids."""
+    ev = _stream_events(spark, sf_dir)
+    dups = ev.union(ev)  # replay twice => every id duplicated
+    deduped = dups.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    name = _run_to_memory(deduped.groupBy().agg(F.count("*").alias("n")))
+    n = spark.table(name).collect()[0].n
+    batch_n = (
+        spark.read.parquet(table_path(sf_dir, "events")).count()
+    )
+    assert n == batch_n
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir):
+    """Custom stateful operator: running per-user event count via
+    applyInPandasWithState (the arbitrary-stateful-reduce escape
+    hatch, streaming analog of the reference's Reduce generality)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    ev = _stream_events(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _run_to_memory(counted, mode="update")
+    got = {(r.user_id, r.n) for r in spark.table(name).collect()}
+    want = {
+        (r.user_id, r.n)
+        for r in spark.read.parquet(table_path(sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # update-mode emits one row per user per microbatch; final counts
+    # (the max per user) must equal the batch counts.
+    final = {}
+    for u, n in got:
+        final[u] = max(final.get(u, 0), n)
+    assert set(final.items()) == want
+
+
+def test_live_query_matches_batch(spark, sf_dir):
+    live = {
+        (r.window_start, r.event_type, r.n, r.total)
+        for r in SW.q_stream_tumbling_live(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.n, r.total)
+        for r in SW.q_stream_tumbling(spark, sf_dir).collect()
+    }
+    assert live == batch
