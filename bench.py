@@ -52,8 +52,11 @@ def main() -> None:
     spark = get_spark("bench")
     registry = collect()
 
-    # warmup: touch the biggest fact table once (JIT + FS cache)
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warmup: scan the biggest fact table through the noop write path
+    # once so JIT/codegen/write-plumbing costs don't land on query #1
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a scan that has far fewer splits than cores —
+    for CPU-heavy per-row pipelines (shingling/hashing) only.
+
+    The fixture tables are single-row-group parquet files, so a scan
+    yields 1-3 partitions and downstream compute runs on one core. A
+    real 100 TB dataset has thousands of row groups and hits the
+    `n >= cores/2` condition, making this a no-op. Measured: applying
+    this to every scan is a net LOSS at fixture scale (shuffle
+    overhead > parallelism gain for sub-second scan-agg queries), so
+    it is opt-in per operator, not part of load_table."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(cores // 2, 1):
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for the SQL API)."""
     for name in TABLES:

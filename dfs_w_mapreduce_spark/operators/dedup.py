@@ -61,12 +61,16 @@ def _h31_sql(expr: str) -> str:
     return f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {P31})"
 
 
-def _shingles(text: Column) -> Column:
-    """Distinct word-2gram shingles of a text column."""
-    w = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
-    grams = F.transform(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(w, i + 2)),
+def _shingles_from_tokens(w: Column) -> Column:
+    """Distinct word-2gram shingles from a materialized token array.
+
+    zip_with over two shifted slices is linear in tokens; indexing
+    into the array inside a lambda (element_at(w, i)) would make
+    Catalyst re-evaluate the producing expression per element —
+    quadratic per document."""
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(w, 1, n1), F.slice(w, 2, n1), lambda x, y: F.concat_ws(" ", x, y)
     )
     return F.array_distinct(grams)
 
@@ -77,8 +81,13 @@ _SHINGLES_SQL = """
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    from dfs_w_mapreduce_spark.catalog import fan_out
+
+    d = fan_out(spark, load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    return d.select("doc_id", toks.alias("w")).select(
+        "doc_id", _shingles_from_tokens(F.col("w")).alias("sh")
+    )
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -214,15 +223,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band join shuffles only (band_sig -> doc_id) pairs, and
     verification touches only colliding candidates. AQE handles the
     skew when a band bucket gets hot."""
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
+    # Bands carry ONLY (doc_id, band, sig): the shuffle payload of the
+    # candidate join is ~3 small columns per row, never the shingle
+    # arrays — at 100 TB that's the difference between shuffling
+    # signatures (~100 B/doc) and shuffling the corpus.
     sig = sh.select(
-        "doc_id",
-        "sh",
-        F.transform(F.col("sh"), _h31_spark).alias("hs"),
-    ).select("doc_id", "sh", *_minhash_cols())
+        "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
+    ).select("doc_id", *_minhash_cols())
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -249,17 +259,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # Verification re-joins shingle sets for surviving candidates only.
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    union = F.size("sa.sh") + F.size("sb.sh") - inter
     return (
-        cand.select(
-            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
-        )
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
 
