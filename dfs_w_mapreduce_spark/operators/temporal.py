@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Both are implemented as compositions of built-in DataFrame ops (the
+preferred tier — no Python in the loop), using the banded-join
+technique: bucketize the time axis, equi-join on the bucket (+ key),
+then resolve the temporal predicate inside the bucket. This keeps the
+shuffle keyed and bounded — the O(n*m) cross product never
+materializes, which is what makes the pattern viable at 100 TB.
+
+DuckDB has native ASOF JOIN, giving an independent oracle for the
+as-of semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.registry import QuerySpec
+
+# Map orders' customers onto events' user space (fixtures don't share
+# a key domain; deterministic in both engines).
+USER_MOD = 50
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order (keyed to user o_custkey % 50), the
+    latest event at-or-before the order date.
+
+    Implementation: union-of-sides trick — tag rows, sort within user
+    by (ts, side), and carry the last event forward with a window
+    last_value(ignorenulls). One shuffle on user, no range explosion;
+    this is the scalable as-of idiom when the right side is too big to
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % USER_MOD).alias("u"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % USER_MOD).alias("u"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey"),
+    )
+    unioned = ev.select(
+        "u", "ts", F.lit(0).alias("side"), F.col("event_id").alias("ev_id"), F.lit(None).cast("long").alias("o_orderkey")
+    ).unionByName(
+        orders.select(
+            "u", "ts", F.lit(1).alias("side"), F.lit(None).cast("long").alias("ev_id"), "o_orderkey"
+        )
+    )
+    w = (
+        W.partitionBy("u")
+        .orderBy("ts", "side", "ev_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    resolved = unioned.withColumn(
+        "last_event_id", F.last("ev_id", ignorenulls=True).over(w)
+    )
+    return resolved.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        F.col("u").alias("user_id"),
+        F.col("last_event_id").alias("event_id"),
+    )
+
+
+ASOF_JOIN_ORACLE = f"""
+    WITH o AS (SELECT o_orderkey, o_custkey % {USER_MOD} AS u, o_orderdate AS ts
+               FROM orders),
+    -- DuckDB ASOF JOIN picks the row with the greatest event ts <=
+    -- order ts per join key; ties on ts are broken by max event_id to
+    -- match the Spark window's (ts, side, ev_id) ordering.
+    e AS (SELECT user_id % {USER_MOD} AS u, ts, max(event_id) AS event_id
+          FROM events GROUP BY 1, 2)
+    SELECT o.o_orderkey, o.u AS user_id, e.event_id
+    FROM o ASOF LEFT JOIN e ON o.u = e.u AND o.ts >= e.ts
+"""
+
+
+BUCKET_MIN = 5  # range-join band width (minutes)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: for every 'error' event, count 'click'
+    events within the preceding 5 minutes for the same user.
+
+    Implementation: band each side into 5-minute buckets; clicks
+    register in their own bucket and the next (a range predicate
+    spanning <= 1 band needs 2 candidate buckets); equi-join on
+    (user, bucket) then apply the exact range filter. The shuffle key
+    is (user, bucket) — bounded fan-out, no cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = lambda c: (F.unix_timestamp(c) / (BUCKET_MIN * 60)).cast("long")  # noqa: E731
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id"),
+        bucket(F.col("ts")).alias("b"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.explode(F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)).alias("b"),
+    )
+    joined = errors.join(clicks, ["user_id", "b"], "left").withColumn(
+        "in_range",
+        (F.col("click_ts") <= F.col("err_ts"))
+        & (F.col("click_ts") > F.col("err_ts") - F.expr(f"INTERVAL {BUCKET_MIN} MINUTES")),
+    )
+    return joined.groupBy("err_id", "user_id").agg(
+        F.sum(F.when(F.col("in_range"), 1).otherwise(0)).cast("long").alias("n_recent_clicks")
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+    SELECT e.event_id AS err_id, e.user_id,
+           count(c.ts) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL '{BUCKET_MIN} minutes'
+    GROUP BY 1, 2
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("asof_join", q_asof_join, ASOF_JOIN_ORACLE, ("temporal", "join"),
+                  "As-of join via union + last_value window (oracle: native ASOF JOIN)."),
+        QuerySpec("range_join", q_range_join, RANGE_JOIN_ORACLE, ("temporal", "join"),
+                  "Banded range join: clicks within 5 min before each error."),
+    ]

@@ -36,7 +36,9 @@ def collect() -> dict[str, QuerySpec]:
     """Assemble the full registry from every operator module."""
     from dfs_w_mapreduce_spark.jobs import specs as job_specs
     from dfs_w_mapreduce_spark.operators import mapreduce
+    from dfs_w_mapreduce_spark.operators import admin
     from dfs_w_mapreduce_spark.operators import relational
+    from dfs_w_mapreduce_spark.operators import temporal
     from dfs_w_mapreduce_spark.operators import dedup
     from dfs_w_mapreduce_spark.operators import similarity
     from dfs_w_mapreduce_spark.operators import text_analysis
@@ -46,8 +48,10 @@ def collect() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         job_specs,
+        admin,
         mapreduce,
         relational,
+        temporal,
         dedup,
         similarity,
         text_analysis,
