@@ -127,6 +127,40 @@ MULTIMODAL_FEATURES_ORACLE = """
 """
 
 
+FRAME_STEP = 5
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat each payload as a video of n_frames
+    (derived deterministically) and emit every 5th frame index with a
+    per-frame fake feature — the explode shape of real frame
+    extraction, expression-level (a real decoder would swap in via
+    mapInPandas like q_multimodal_features)."""
+    m = media_manifest(load_table(spark, sf_dir, "documents"))
+    n_frames = (F.col("n_bytes") % 30 + 1).cast("int")
+    frames = F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_STEP))
+    return m.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.explode(frames).alias("frame_idx"),
+    ).withColumn(
+        "frame_fp",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("frame_idx").cast("string"))),
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = f"""
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(frame_idx AS INT) AS frame_idx,
+           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+    FROM (
+        SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames
+        FROM documents
+    ), LATERAL (SELECT unnest(range(0, n_frames, {FRAME_STEP})) AS frame_idx)
+"""
+
+
 # Spark workers run in separate Python processes that may not have
 # this repo on sys.path (the round driver can run from any cwd), so
 # worker-executed functions from this module must be serialized by
@@ -146,4 +180,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("multimodal_features", q_multimodal_features, MULTIMODAL_FEATURES_ORACLE,
                   ("multimodal", "llm", "pandas"),
                   "Arrow-batched mapInPandas feature extraction (deterministic fake decoder)."),
+        QuerySpec("multimodal_frames", q_multimodal_frames, MULTIMODAL_FRAMES_ORACLE,
+                  ("multimodal", "llm"),
+                  "Every-5th frame sampling with per-frame fingerprints."),
     ]

@@ -642,6 +642,95 @@ NULL_HANDLING_ORACLE = """
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: the pushdown showcase — three
+    range predicates reach the parquet scan, then a single global agg
+    (two-stage partial/final, no groupBy shuffle of rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+TPCH_Q6_ORACLE = """
+    SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-part numeric columns to long form."""
+    p = load_table(spark, sf_dir, "part")
+    return p.unpivot(
+        "p_partkey",
+        [F.col("p_size").cast("double").alias("size"),
+         F.col("p_retailprice").alias("retailprice")],
+        "measure",
+        "val",
+    ).select("p_partkey", "measure", _r2(F.col("val")).alias("val"))
+
+
+UNPIVOT_ORACLE = """
+    SELECT p_partkey, measure, round(val, 2) AS val
+    FROM (
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    )
+"""
+
+
+N_SALT = 8
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: the kv fixture's 'hot' key holds ~75%
+    of rows, so a plain key join puts 75% of the shuffle on one
+    reducer. Salt the hot side into 8 sub-keys and explode the small
+    side 8x; result is identical to the plain join (same oracle), but
+    the hot key's work spreads across 8 tasks. AQE's skew-join does
+    this automatically mid-flight; the explicit form is for engines/
+    stages where AQE can't see the skew."""
+    from dfs_w_mapreduce_spark.sources.readers import kv_pairs
+
+    kv = kv_pairs(spark, sf_dir).withColumn(
+        "salt", (F.col("value").cast("long") % N_SALT)
+    )
+    dim = spark.createDataFrame(
+        [("hot", "HOT-KEY"), ("click", "CLICK"), ("view", "VIEW"),
+         ("error", "ERROR"), ("purchase", "PURCHASE"), ("signup", "SIGNUP")],
+        "key string, label string",
+    ).crossJoin(spark.range(N_SALT).select(F.col("id").cast("long").alias("salt")))
+    joined = kv.join(F.broadcast(dim), ["key", "salt"])
+    return joined.groupBy("key", "label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("long")).alias("total"),
+    )
+
+
+JOIN_SALTED_ORACLE = """
+    SELECT key, label, count(*) AS n,
+           CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS total
+    FROM (SELECT CASE WHEN event_id % 4 <> 0 THEN 'hot' ELSE event_type END AS key,
+                 CAST(event_id % 100 AS VARCHAR) AS value
+          FROM events)
+    JOIN (VALUES ('hot', 'HOT-KEY'), ('click', 'CLICK'), ('view', 'VIEW'),
+                 ('error', 'ERROR'), ('purchase', 'PURCHASE'), ('signup', 'SIGNUP'))
+         AS dim(key, label) USING (key)
+    GROUP BY key, label
+"""
+
+
 def specs() -> list[QuerySpec]:
     mk = QuerySpec
     return [
@@ -672,4 +761,7 @@ def specs() -> list[QuerySpec]:
         mk("explode_array", q_explode_array, EXPLODE_ARRAY_ORACLE, ("relational", "array"), "posexplode / lateral view."),
         mk("pivot", q_pivot, PIVOT_ORACLE, ("relational", "pivot"), "Pivot to columns."),
         mk("null_handling", q_null_handling, NULL_HANDLING_ORACLE, ("relational", "scalar"), "NULL semantics battery."),
+        mk("tpch_q6", q_tpch_q6, TPCH_Q6_ORACLE, ("relational", "agg"), "TPC-H Q6 selective-filter revenue (pushdown showcase)."),
+        mk("unpivot", q_unpivot, UNPIVOT_ORACLE, ("relational", "pivot"), "Unpivot/melt wide to long."),
+        mk("join_salted", q_join_salted, JOIN_SALTED_ORACLE, ("relational", "join", "skew"), "Salted skew join (identical result to plain join)."),
     ]

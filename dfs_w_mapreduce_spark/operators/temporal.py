@@ -121,10 +121,63 @@ RANGE_JOIN_ORACLE = f"""
 """
 
 
+def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the Arrow tier: per-user
+    applyInPandas with pd.merge_asof — the escape-hatch strategy when
+    the temporal logic is too bespoke for window composition. Shares
+    the window implementation's oracle, so the two strategies
+    cross-check each other."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % USER_MOD).alias("u"), "ts", "event_id"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % USER_MOD).alias("u"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    tagged = ev.select(
+        "u", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("ev_id"), F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        orders.select("u", "ts", F.lit(1).alias("side"),
+                      F.lit(None).cast("long").alias("ev_id"), "o_orderkey")
+    )
+
+    def asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = (
+            pdf[pdf["side"] == 1][["u", "ts", "o_orderkey"]]
+            .sort_values(["ts", "o_orderkey"])
+        )
+        # resolve equal-ts duplicates to the max event id (same tie
+        # rule as the window implementation and the DuckDB oracle)
+        right = (
+            pdf[pdf["side"] == 0]
+            .groupby("ts", as_index=False)["ev_id"].max()
+            .sort_values("ts")
+        )
+        merged = pd.merge_asof(left, right, on="ts", direction="backward")
+        return pd.DataFrame(
+            {
+                "o_orderkey": merged["o_orderkey"],
+                "user_id": merged["u"],
+                "event_id": merged["ev_id"],
+            }
+        )
+
+    return tagged.groupBy("u").applyInPandas(
+        asof, schema="o_orderkey long, user_id long, event_id long"
+    )
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("asof_join", q_asof_join, ASOF_JOIN_ORACLE, ("temporal", "join"),
                   "As-of join via union + last_value window (oracle: native ASOF JOIN)."),
+        QuerySpec("asof_join_pandas", q_asof_join_pandas, ASOF_JOIN_ORACLE,
+                  ("temporal", "join", "pandas"),
+                  "As-of join via per-group pd.merge_asof (Arrow tier, same oracle)."),
         QuerySpec("range_join", q_range_join, RANGE_JOIN_ORACLE, ("temporal", "join"),
                   "Banded range join: clicks within 5 min before each error."),
     ]
