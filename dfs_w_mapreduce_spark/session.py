@@ -42,7 +42,13 @@ def get_spark(
     """
     cpus = _cpu_count()
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # Local/bench default: fixture-scale shuffles are tiny, and
+        # task overhead beats parallelism above ~cores/2 (measured:
+        # 32 partitions is ~2x slower than 16 at sf0.1; 4 starves the
+        # CPU-heavy LSH/knn stages). A cluster deployment at real
+        # scale should pass ~2-3x total cores or set AQE's
+        # initialPartitionNum high and let coalescing shrink it.
+        shuffle_partitions = max(8, cpus // 2)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
