@@ -731,6 +731,174 @@ JOIN_SALTED_ORACLE = """
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: EXISTS-driven count per
+    priority (left-semi join, no row multiplication)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    # TPC-H's l_commitdate < l_receiptdate predicate has no fixture
+    # columns; use "has any lineitem" as the EXISTS condition.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+TPCH_Q4_ORACLE = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipmode/priority cross-tab: join + conditional
+    aggregation (high/low priority line counts per return flag)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_ORACLE = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo revenue: broadcast part join + ratio of
+    conditional to total aggregate in one pass."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100 * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_Q14_ORACLE = """
+    SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q_scalar_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar battery 2: regex, trim/pad, translate, array and map
+    construction/access — the rest of the function catalog."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract(F.col("p_type"), "([A-Z]+)", 1).alias("first_word"),
+        F.trim(F.lpad(F.col("p_brand"), 12, "*")).alias("padded"),
+        F.translate(F.col("p_brand"), "Brand#", "brand_").alias("translated"),
+        F.array_contains(words, "widget").cast("int").alias("has_widget"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.slice(words, 1, 2), "_").alias("first_two"),
+        F.element_at(
+            F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")),
+            F.lit("type"),
+        ).alias("from_map"),
+    )
+
+
+SCALAR_FUNCS2_ORACLE = """
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+           trim(lpad(p_brand, 12, '*')) AS padded,
+           translate(p_brand, 'Brand#', 'brand_') AS translated,
+           CAST(list_contains(string_split(p_name, ' '), 'widget') AS INT) AS has_widget,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           string_split(p_name, ' ')[-1] AS last_word,
+           array_to_string(string_split(p_name, ' ')[1:2], '_') AS first_two,
+           map(['brand', 'type'], [p_brand, p_type])['type'][1] AS from_map
+    FROM part
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE emulation (no Delta in this build): an updates batch
+    (every 10th order gets a 5% price bump, plus synthetic new rows)
+    merged into orders via full-outer join + coalesce — upsert
+    semantics as pure DataFrame ops. At scale both sides shuffle on
+    the merge key once; Delta/Iceberg would additionally skip
+    untouched files."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("price") * 1.05, 2).alias("price"),
+    ).unionByName(
+        o.agg(F.max("o_orderkey").alias("mx")).select(
+            (F.col("mx") + 1).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("price"),
+        )
+    )
+    u, t = updates.alias("u"), o.alias("t")
+    merged = t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("t.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("t.o_orderstatus")).alias("o_orderstatus"),
+        F.round(F.coalesce(F.col("u.price"), F.col("t.price")), 2).alias("price"),
+    )
+
+
+MERGE_UPSERT_ORACLE = """
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders),
+    u AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, round(price * 1.05, 2) AS price
+        FROM t WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT max(o_orderkey) + 1, 'N', 0.0 FROM t
+    )
+    SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           round(coalesce(u.price, t.price), 2) AS price
+    FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+"""
+
+
 def specs() -> list[QuerySpec]:
     mk = QuerySpec
     return [
@@ -764,4 +932,9 @@ def specs() -> list[QuerySpec]:
         mk("tpch_q6", q_tpch_q6, TPCH_Q6_ORACLE, ("relational", "agg"), "TPC-H Q6 selective-filter revenue (pushdown showcase)."),
         mk("unpivot", q_unpivot, UNPIVOT_ORACLE, ("relational", "pivot"), "Unpivot/melt wide to long."),
         mk("join_salted", q_join_salted, JOIN_SALTED_ORACLE, ("relational", "join", "skew"), "Salted skew join (identical result to plain join)."),
+        mk("tpch_q4", q_tpch_q4, TPCH_Q4_ORACLE, ("relational", "join", "agg"), "TPC-H Q4-style EXISTS-driven priority counts."),
+        mk("tpch_q12", q_tpch_q12, TPCH_Q12_ORACLE, ("relational", "join", "agg"), "TPC-H Q12-style conditional aggregation."),
+        mk("tpch_q14", q_tpch_q14, TPCH_Q14_ORACLE, ("relational", "join", "agg"), "TPC-H Q14 promo revenue ratio."),
+        mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
+        mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
     ]
