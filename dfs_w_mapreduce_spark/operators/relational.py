@@ -854,6 +854,18 @@ SCALAR_FUNCS2_ORACLE = """
 """
 
 
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): mergeable across
+    partitions, bounded memory — the quantile that scales where exact
+    percentile's full sort/collect does not. Engine-specific sketch =>
+    rows-only driver check; error vs exact is bounded in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.99, 1000).alias("ap99"),
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE emulation (no Delta in this build): an updates batch
     (every 10th order gets a 5% price bump, plus synthetic new rows)
@@ -937,4 +949,5 @@ def specs() -> list[QuerySpec]:
         mk("tpch_q14", q_tpch_q14, TPCH_Q14_ORACLE, ("relational", "join", "agg"), "TPC-H Q14 promo revenue ratio."),
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
+        mk("approx_percentiles", q_approx_percentiles, None, ("relational", "approx"), "GK-sketch approximate percentiles (rows-only; error bounded in tests)."),
     ]

@@ -61,6 +61,23 @@ def test_partial_aggregation_present(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """GK sketch with accuracy=1000 must land within ~1% rank error
+    of the exact percentile."""
+    approx = {
+        r.o_orderstatus: (r.ap50, r.ap99)
+        for r in R.q_approx_percentiles(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p50, r.p99)
+        for r in R.q_percentiles(spark, sf_dir).collect()
+    }
+    for k, (p50, p99) in exact.items():
+        a50, a99 = approx[k]
+        assert abs(a50 - p50) <= 0.05 * max(abs(p50), 1), (k, a50, p50)
+        assert abs(a99 - p99) <= 0.05 * max(abs(p99), 1), (k, a99, p99)
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     """approx_count_distinct has no cross-engine oracle; bound its
     relative error against the exact count instead (HLL++ rsd=5%)."""
