@@ -854,6 +854,44 @@ SCALAR_FUNCS2_ORACLE = """
 """
 
 
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates: Pearson correlation + sample covariance
+    of quantity vs extended price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+AGG_CORR_ORACLE = """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: sorted distinct set + ordered string
+    concatenation of region names per... nation group (small dims)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_set("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nation_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_COLLECT_ORACLE = """
+    SELECT n_regionkey,
+           list_sort(list(DISTINCT n_name)) AS nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_csv,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+"""
+
+
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): mergeable across
     partitions, bounded memory — the quantile that scales where exact
@@ -950,4 +988,6 @@ def specs() -> list[QuerySpec]:
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
         mk("approx_percentiles", q_approx_percentiles, None, ("relational", "approx"), "GK-sketch approximate percentiles (rows-only; error bounded in tests)."),
+        mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
+        mk("agg_collect", q_agg_collect, AGG_COLLECT_ORACLE, ("relational", "agg"), "collect_set / ordered string_agg collection aggregates."),
     ]

@@ -192,6 +192,85 @@ def _knn_lsh_oracle() -> str:
     """
 
 
+N_CENTROIDS_MOD = 50  # centroids = vectors with vec_id % 50 == 0
+N_PROBE = 2
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: an inverted-file index with deterministic
+    centroids (every 50th vector), no iterative training so the
+    DuckDB oracle reproduces the exact same partitioning.
+
+    Build: assign every vector to its nearest centroid (broadcast the
+    centroid list; argmax over cosine). Query: probe the N_PROBE
+    nearest centroid lists and take top-5 within them. At 100 TB the
+    centroid assignment is one broadcast-join pass and queries touch
+    ~nprobe/nlist of the corpus — the standard IVF trade."""
+    v = _vecs(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    # assignment: nearest centroid per vector (rank over broadcast join)
+    vc = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nrm", "cid",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias("ccos"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    assigned = vc.withColumn("crk", F.row_number().over(w_assign))
+    members = assigned.filter(F.col("crk") == 1).select(
+        "vec_id", "v", "nrm", F.col("cid").alias("list_id")
+    )
+    probes = assigned.filter(
+        (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("list_id"))
+    q = members.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cand = probes.join(q, "query_id").join(members, "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+def _knn_ivf_oracle() -> str:
+    return f"""
+        WITH v AS ({_VECS_SQL}),
+        cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM v
+                 WHERE vec_id % {N_CENTROIDS_MOD} = 0),
+        vc AS (
+            SELECT v.vec_id, v.v, v.nrm, cent.cid,
+                   round(list_dot_product(v.v, cent.cv) / (v.nrm * cent.cnrm), 6) AS ccos,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round(list_dot_product(v.v, cent.cv) / (v.nrm * cent.cnrm), 6) DESC,
+                                               cent.cid) AS crk
+            FROM v CROSS JOIN cent
+        ),
+        members AS (SELECT vec_id, v, nrm, cid AS list_id FROM vc WHERE crk = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS list_id FROM vc
+                   WHERE crk <= {N_PROBE} AND vec_id < {N_QUERIES}),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM members
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT DISTINCT p.query_id, m.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qv, m.v) / (q.qnrm * m.nrm), 6) AS cosine
+            FROM probes p JOIN q ON p.query_id = q.query_id
+            JOIN members m ON p.list_id = m.list_id
+            WHERE m.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("embedding_stats", q_embedding_stats, EMBEDDING_STATS_ORACLE,
@@ -201,4 +280,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("knn_lsh_bucketed", q_knn_lsh_bucketed, _knn_lsh_oracle(),
                   ("similarity", "llm", "lsh"),
                   "Random-hyperplane LSH bucketed ANN top-5, oracle-identical buckets."),
+        QuerySpec("knn_ivf", q_knn_ivf, _knn_ivf_oracle(),
+                  ("similarity", "llm", "ivf"),
+                  "IVF-flat ANN (deterministic centroids, nprobe=2), oracle-identical lists."),
     ]
