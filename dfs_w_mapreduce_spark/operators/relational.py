@@ -401,9 +401,14 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) revenue per supplier ordered by ship date;
     ROWS frame with a unique composite order key for determinism."""
     li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the sf0.1 fixture
+    # (generator collisions), so the value columns are the final
+    # tiebreak — without them the running sum at colliding rows is
+    # order-dependent and engine-specific.
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+                 "l_extendedprice", "l_discount")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
@@ -420,7 +425,7 @@ WINDOW_RUNNING_ORACLE = """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_extendedprice * (1 - l_discount)) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_discount
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
     FROM lineitem
 """
@@ -914,10 +919,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
     )
+    # Update bump is an exact addition, not a multiplication: Spark
+    # (HALF_UP) and DuckDB disagree on rounding computed doubles that
+    # land on decimal half-way points (found at sf0.1: .145 -> .14 vs
+    # .15), and addition introduces no new round-off.
     updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
         F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("price") * 1.05, 2).alias("price"),
+        (F.col("price") + 100.0).alias("price"),
     ).unionByName(
         o.agg(F.max("o_orderkey").alias("mx")).select(
             (F.col("mx") + 1).alias("o_orderkey"),
@@ -937,7 +946,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_UPSERT_ORACLE = """
     WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders),
     u AS (
-        SELECT o_orderkey, 'U' AS o_orderstatus, round(price * 1.05, 2) AS price
+        SELECT o_orderkey, 'U' AS o_orderstatus, price + 100.0 AS price
         FROM t WHERE o_orderkey % 10 = 0
         UNION ALL
         SELECT max(o_orderkey) + 1, 'N', 0.0 FROM t

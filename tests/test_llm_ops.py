@@ -96,3 +96,34 @@ def test_feature_extractor_deterministic(spark, sf_dir):
         for r in M.q_multimodal_features(spark, sf_dir).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_langid_heuristic_on_real_text(spark, sf_dir):
+    """The fixture corpus is same-vocabulary word salad, so oracle
+    parity alone can't show the heuristic discriminates; real
+    sentences can."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import LANG_MARKERS, tokens_col
+    from pyspark.sql import functions as F
+
+    samples = [
+        ("the cat and the dog of a house", "en"),
+        ("der hund und die katze ist hier", "de"),
+        ("le chat et la maison est grande", "fr"),
+        ("el gato y los perros es grande", "es"),
+        ("我 在 的 家 是 好", "zh"),
+    ]
+    df = spark.createDataFrame(samples, "text string, expected string")
+    toks = F.array_distinct(tokens_col(F.lower(F.col("text"))))
+    scored = df.select(
+        "expected",
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))).alias(f"s_{lang}")
+            for lang, marks in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    got = [(r.expected, r.pred) for r in scored.select("expected", pred.alias("pred")).collect()]
+    assert all(e == p for e, p in got), got

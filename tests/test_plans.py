@@ -61,6 +61,17 @@ def test_partial_aggregation_present(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_aqe_coalesces_tiny_shuffle(spark, sf_dir):
+    """AQE must shrink the configured shuffle partitions down to the
+    data's actual size: a 6-group aggregate shouldn't keep N
+    near-empty post-shuffle partitions alive."""
+    df = R.q_distinct_rows(spark, sf_dir)
+    df.collect()  # run so AQE finalizes the plan
+    final = df.rdd.getNumPartitions()
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert final < configured, (final, configured)
+
+
 def test_approx_percentile_error_bound(spark, sf_dir):
     """GK sketch with accuracy=1000 must land within ~1% rank error
     of the exact percentile."""

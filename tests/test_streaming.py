@@ -130,6 +130,36 @@ def test_apply_in_pandas_with_state(spark, sf_dir):
     assert set(final.items()) == want
 
 
+def test_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
+    """foreachBatch + checkpoint: the custom-sink pattern for
+    exactly-once delivery. Each microbatch writes one parquet dir;
+    restarting from the same checkpoint with no new data must not
+    rewrite or duplicate anything."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def run():
+        q = (
+            _stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    run()
+    first = spark.read.parquet(out).count()
+    batch_n = spark.read.parquet(table_path(sf_dir, "events")).count()
+    assert first == batch_n
+    run()  # replay from checkpoint: no new input => no new epochs
+    assert spark.read.parquet(out).count() == batch_n
+
+
 def test_live_query_matches_batch(spark, sf_dir):
     live = {
         (r.window_start, r.event_type, r.n, r.total)

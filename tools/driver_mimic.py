@@ -46,9 +46,10 @@ for name, fn in sorted(qs.items()):
     ng = sorted(tuple(norm(r[i]) for i in order_g) for r in got)
     nw = sorted(tuple(norm(r[i]) for i in order_w) for r in want)
     ok = sorted(got_cols)==sorted(want_cols) and ng==nw
-    print(f"{name}: spark_rows={len(got)} oracle_rows={len(want)} cols_match={sorted(got_cols)==sorted(want_cols)} values_match={ng==nw}")
+    print(f"{name}: spark_rows={len(got)} oracle_rows={len(want)} cols_match={sorted(got_cols)==sorted(want_cols)} values_match={ng==nw}", flush=True)
     if not ok:
         fails += 1
-        print("  spark-only:", [r for r in ng if r not in nw][:3])
-        print("  oracle-only:", [r for r in nw if r not in ng][:3])
+        sg, sw = set(map(tuple, ng)), set(map(tuple, nw))
+        print("  spark-only:", sorted(sg - sw)[:3], flush=True)
+        print("  oracle-only:", sorted(sw - sg)[:3], flush=True)
 print("RESULT:", "ALL MATCH" if fails==0 else f"{fails} MISMATCHES")
