@@ -1,0 +1,99 @@
+"""Sketch operators: Bloom filter build/probe and deterministic
+hash-sampling.
+
+The reference declares (but never uses) a Bloom filter on its
+controller (reference dfs/controller/controller.go:667,687); here it's
+a first-class distributed operator — at 100 TB a Bloom built on join
+keys is the standard semi-join pushdown: build on the small side,
+broadcast ~KBs of bits, drop non-matching rows before the shuffle.
+
+The hash family reuses the md5-derived h31 from the dedup module, so
+the DuckDB oracle reproduces identical bits; sampling uses the same
+hash (reproducible sampling — unlike random TABLESAMPLE, a hash sample
+is stable across engines, runs, and retries, which is what you want
+for data-pipeline debugging at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.operators.dedup import MINHASH_AB, P31, _h31_spark, _h31_sql
+from dfs_w_mapreduce_spark.registry import QuerySpec
+
+BLOOM_BITS = 1024
+BLOOM_WORDS = 32  # 32-bit words so masks stay positive in signed 64-bit
+K_HASHES = 3
+
+
+def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 1024-bit Bloom filter over negative-balance customer
+    keys: k=3 positions per key, bit_or-aggregated into 32 words.
+    One narrow scan + one tiny aggregation; the result broadcasts."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    h = _h31_spark(F.col("c_custkey").cast("string"))
+    keyed = c.select(h.alias("h"))
+    pos_cols = [
+        ((F.lit(a) * F.col("h") + F.lit(b)) % P31 % BLOOM_BITS).alias(f"p{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:K_HASHES])
+    ]
+    pos = keyed.select(*pos_cols).select(
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(K_HASHES)])).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            # F.shiftleft only takes a literal shift; SQL form allows a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def _bloom_oracle() -> str:
+    h = _h31_sql("CAST(c_custkey AS VARCHAR)")
+    pos_exprs = ", ".join(
+        f"(({a} * h + {b}) % {P31}) % {BLOOM_BITS} AS p{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:K_HASHES])
+    )
+    unnest = ", ".join(f"p{i}" for i in range(K_HASHES))
+    return f"""
+        WITH keyed AS (SELECT {h} AS h FROM customer WHERE c_acctbal < 0),
+        pos AS (SELECT unnest([{unnest}]) AS pos
+                FROM (SELECT {pos_exprs} FROM keyed))
+        SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+               CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS word
+        FROM pos GROUP BY 1
+    """
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of orders by key hash. Reproducible
+    across engines/runs/retries (unlike TABLESAMPLE's RNG), composable
+    (the same predicate selects the same entities in other tables)."""
+    o = load_table(spark, sf_dir, "orders")
+    h = _h31_spark(F.col("o_orderkey").cast("string"))
+    return o.filter(h % 100 < 10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+def _sample_oracle() -> str:
+    h = _h31_sql("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE {h} % 100 < 10
+    """
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("bloom_build", q_bloom_build, _bloom_oracle(), ("sketch",),
+                  "1024-bit Bloom filter build over a key set "
+                  "(reference's unused bloomFilter, controller.go:667, made real)."),
+        QuerySpec("sample_hash", q_sample_hash, _sample_oracle(), ("sketch", "sampling"),
+                  "Deterministic hash-based ~10% sample."),
+    ]

@@ -41,6 +41,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import temporal
     from dfs_w_mapreduce_spark.operators import dedup
     from dfs_w_mapreduce_spark.operators import similarity
+    from dfs_w_mapreduce_spark.operators import sketches
     from dfs_w_mapreduce_spark.operators import text_analysis
     from dfs_w_mapreduce_spark.operators import multimodal
     from dfs_w_mapreduce_spark.streaming import windows as streaming_windows
@@ -54,6 +55,7 @@ def collect() -> dict[str, QuerySpec]:
         temporal,
         dedup,
         similarity,
+        sketches,
         text_analysis,
         multimodal,
         streaming_windows,

@@ -127,3 +127,34 @@ def test_langid_heuristic_on_real_text(spark, sf_dir):
         pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
     got = [(r.expected, r.pred) for r in scored.select("expected", pred.alias("pred")).collect()]
     assert all(e == p for e, p in got), got
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    """Every key the Bloom was built from must probe positive; keys
+    outside the set should mostly probe negative (FP rate << 50%)."""
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.dedup import MINHASH_AB, P31
+    from dfs_w_mapreduce_spark.operators.sketches import (
+        BLOOM_BITS, K_HASHES, q_bloom_build,
+    )
+    import hashlib
+
+    words = {r.word_idx: r.word for r in q_bloom_build(spark, sf_dir).collect()}
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P31
+
+    def probe(key: int) -> bool:
+        h = h31(str(key))
+        for a, b in MINHASH_AB[:K_HASHES]:
+            pos = (a * h + b) % P31 % BLOOM_BITS
+            if not (words.get(pos // 32, 0) >> (pos % 32)) & 1:
+                return False
+        return True
+
+    c = load_table(spark, sf_dir, "customer")
+    neg = [r.c_custkey for r in c.filter("c_acctbal < 0").collect()]
+    pos = [r.c_custkey for r in c.filter("c_acctbal > 0").limit(200).collect()]
+    assert neg and all(probe(k) for k in neg), "false negative!"
+    fp = sum(1 for k in pos if k not in set(neg) and probe(k)) / len(pos)
+    assert fp < 0.5, f"false-positive rate {fp}"
