@@ -365,6 +365,45 @@ def _simhash_oracle() -> str:
     """
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on top of the LSH candidate set:
+    Levenshtein distance + similarity ratio for every MinHash-candidate
+    pair. Composition pattern: the cheap sketch prunes n^2 to
+    candidates, the expensive exact metric (O(len^2) per pair) runs
+    only on survivors — levenshtein on every pair at 100 TB would be
+    the whole cluster's day job."""
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    da, db = d.alias("da"), d.alias("db")
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    maxlen = F.greatest(F.length("da.text"), F.length("db.text"))
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            lev.alias("edit_dist"),
+            F.round(1 - lev / maxlen, 4).alias("edit_sim"),
+        )
+    )
+
+
+def _edit_distance_oracle() -> str:
+    return f"""
+        WITH pairs AS ({_minhash_oracle()}),
+        d AS (SELECT doc_id, text FROM documents)
+        SELECT doc_a, doc_b, jaccard,
+               CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+               round(1 - levenshtein(da.text, db.text) * 1.0 /
+                     greatest(length(da.text), length(db.text)), 4) AS edit_sim
+        FROM pairs
+        JOIN d da ON doc_a = da.doc_id
+        JOIN d db ON doc_b = db.doc_id
+    """
+
+
 # ----------------------------------------------------- embedding cosine
 
 
@@ -424,4 +463,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_embedding_pairs", q_dedup_embedding_pairs, DEDUP_EMBEDDING_ORACLE,
                   ("dedup", "llm", "embedding"),
                   "Embedding-cosine near-dup pairs (brute-force baseline)."),
+        QuerySpec("dedup_edit_distance", q_dedup_edit_distance, _edit_distance_oracle(),
+                  ("dedup", "llm"),
+                  "Levenshtein verification over MinHash candidates (sketch->exact composition)."),
     ]

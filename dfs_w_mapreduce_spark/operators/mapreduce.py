@@ -114,6 +114,24 @@ def group_values(df: DataFrame, key: str = "key", value_col: str = "value") -> D
     )
 
 
+# ---------------------------------------------------------- last resort
+
+
+def flat_map_partitions(df: DataFrame, fn, schema: str = KV_SCHEMA) -> DataFrame:
+    """Tier 4 (last resort): raw per-partition imperative logic via
+    RDD mapPartitions — the closest analog to the reference's map task
+    reading its whole chunk (wordcountjob.go:204-224). Row-at-a-time
+    Python with no Arrow batching: ~10-100x slower than tier 2; exists
+    for the rare operator that needs partition-level state the
+    DataFrame API can't express. Everything in this repo uses tiers
+    1-2."""
+
+    def runner(it):
+        yield from fn(it)
+
+    return df.rdd.mapPartitions(runner).toDF(schema)
+
+
 # ------------------------------------------------------------- registry
 
 

@@ -62,3 +62,18 @@ def test_group_values_sorted(spark):
     df = _kv(spark, [("k", "2"), ("k", "1"), ("j", "9")])
     got = {(r.key, tuple(r.values)) for r in group_values(df).collect()}
     assert got == {("k", ("1", "2")), ("j", ("9",))}
+
+
+def test_flat_map_partitions_last_resort(spark):
+    from dfs_w_mapreduce_spark.operators.mapreduce import flat_map_partitions
+
+    df = spark.createDataFrame([("a b",), ("c",)], "value string")
+
+    def per_partition(rows):
+        # partition-level state: a running index, reference map-task style
+        for i, row in enumerate(rows):
+            for tok in row.value.split():
+                yield (tok, str(i))
+
+    got = {(r.key,) for r in flat_map_partitions(df, per_partition).collect()}
+    assert got == {("a",), ("b",), ("c",)}
