@@ -170,3 +170,32 @@ def test_live_query_matches_batch(spark, sf_dir):
         for r in SW.q_stream_tumbling(spark, sf_dir).collect()
     }
     assert live == batch
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    """session_window in a real stream (stateful session merging) must
+    produce the same sessions as the batch form."""
+    from pyspark.sql import functions as F
+
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+    name = _run_to_memory(agg, mode="complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total)
+        for r in SW.q_stream_session(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
