@@ -195,6 +195,96 @@ TEXT_FINGERPRINT_ORACLE = """
 """
 
 
+CHUNK_LEN = 100
+CHUNK_STRIDE = 80  # 20-char overlap
+
+
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split each document into fixed-size
+    character chunks with overlap (stride < length) — the standard
+    prep step before tokenization at 100 TB. Pure explode/substring
+    expression; one output row per chunk, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - (CHUNK_LEN - CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    ex = d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("text").substr(F.col("start"), F.lit(CHUNK_LEN)).alias("chunk"),
+        F.length(F.col("text").substr(F.col("start"), F.lit(CHUNK_LEN))).alias("chunk_len"),
+    )
+
+
+TEXT_CHUNKING_ORACLE = f"""
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_idx,
+           substring(text, CAST((i - 1) * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN}) AS chunk,
+           CAST(length(substring(text, CAST((i - 1) * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_LEN})) AS INT) AS chunk_len
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1,
+             CAST(ceil(greatest(length(text) - {CHUNK_LEN - CHUNK_STRIDE}, 1) * 1.0 / {CHUNK_STRIDE}) AS BIGINT)
+         )) AS i) g
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document. tf = in-doc term count,
+    idf = ln(N / df) over the corpus. Two aggregations (per-doc tf,
+    per-term df) joined back — the inverted-index build every search/
+    retrieval pipeline runs; df table is tiny (vocabulary-sized) so
+    its join side broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.count()  # scalar driver value (metadata-sized, not data)
+    from pyspark.sql import Window as W
+
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TFIDF_TOP_K
+    )
+
+
+TEXT_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -206,4 +296,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_ORACLE,
                   ("text", "llm", "dedup"),
                   "md5 exact + sorted-token normalized fingerprints."),
+        QuerySpec("text_chunking", q_text_chunking, TEXT_CHUNKING_ORACLE,
+                  ("text", "llm"),
+                  "Overlapping fixed-size training-window chunking."),
+        QuerySpec("text_tfidf", q_text_tfidf, TEXT_TFIDF_ORACLE,
+                  ("text", "llm", "retrieval"),
+                  "TF-IDF top-3 terms per document (inverted-index build)."),
     ]
