@@ -34,13 +34,19 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "window_running",
     "topk_global",
     "agg_distinct",
+    "asof_join",
+    "stream_tumbling",
     "dedup_exact",
     "dedup_minhash_pairs",
     "text_quality",
+    "text_tfidf",
     "knn_bruteforce",
+    "knn_lsh_bucketed",
+    "bloom_build",
 ]
 
 

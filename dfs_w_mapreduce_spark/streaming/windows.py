@@ -156,6 +156,27 @@ STREAM_JSON_ORACLE = """
 """
 
 
+def q_stream_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-projected JSON parse (from_json with an explicit schema
+    — the production path: one parse, typed columns, no per-field
+    re-parsing like repeated get_json_object calls)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 10).alias("k_mod"),
+    )
+
+
+STREAM_JSON_TYPED_ORACLE = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+"""
+
+
 def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming execution through the driver
     contract: file-replay the events parquet, run the tumbling agg
@@ -201,6 +222,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_json", q_stream_json, STREAM_JSON_ORACLE,
                   ("streaming", "json"),
                   "get_json_object extraction from props."),
+        QuerySpec("stream_json_typed", q_stream_json_typed, STREAM_JSON_TYPED_ORACLE,
+                  ("streaming", "json"),
+                  "from_json schema-projected typed parse."),
         QuerySpec("stream_tumbling_live", q_stream_tumbling_live, None,
                   ("streaming", "live"),
                   "Actual readStream->memory-sink execution (rows-only; "
