@@ -859,6 +859,72 @@ SCALAR_FUNCS2_ORACLE = """
 """
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery: RANGE frame (peers aggregate together),
+    sliding ROWS frame, first/nth value, percent_rank/cume_dist."""
+    o = load_table(spark, sf_dir, "orders")
+    base = W.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    rng = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 0)
+    )
+    sliding = base.rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count("*").over(rng).alias("n_within_1k_below"),
+        _r2(F.sum("o_totalprice").over(sliding)).alias("sum_last3"),
+        F.first("o_orderkey").over(base).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(base).alias("second_key"),
+        F.round(F.percent_rank().over(base), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(base), 6).alias("cume"),
+    )
+
+
+WINDOW_FRAMES_ORACLE = """
+    SELECT o_orderkey, o_orderstatus,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k_below,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / exists /
+    forall / aggregate (fold) over token arrays — the expression-level
+    loop constructs that keep per-element logic out of Python."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.transform(words, lambda w: F.length(w)).alias("word_lens"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.exists(words, lambda w: w == F.lit("spark")).cast("int").alias("has_spark"),
+        F.forall(words, lambda w: F.length(w) < 20).cast("int").alias("all_short"),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).alias("total_chars"),
+    )
+
+
+ARRAY_HOF_ORACLE = """
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS word_lens,
+           CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INT) AS n_long,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0 AS INT) AS has_spark,
+           CAST(len(list_filter(string_split(text, ' '), w -> length(w) >= 20)) = 0 AS INT) AS all_short,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS INT) AS total_chars
+    FROM documents
+"""
+
+
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate aggregates: Pearson correlation + sample covariance
     of quantity vs extended price per return flag."""
@@ -998,5 +1064,7 @@ def specs() -> list[QuerySpec]:
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
         mk("approx_percentiles", q_approx_percentiles, None, ("relational", "approx"), "GK-sketch approximate percentiles (rows-only; error bounded in tests)."),
         mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
+        mk("window_frames", q_window_frames, WINDOW_FRAMES_ORACLE, ("relational", "window"), "RANGE/sliding frames, nth_value, percent_rank, cume_dist."),
+        mk("array_hof", q_array_hof, ARRAY_HOF_ORACLE, ("relational", "array"), "transform/filter/exists/forall/aggregate higher-order fns."),
         mk("agg_collect", q_agg_collect, AGG_COLLECT_ORACLE, ("relational", "agg"), "collect_set / ordered string_agg collection aggregates."),
     ]

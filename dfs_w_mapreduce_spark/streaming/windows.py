@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dfs_w_mapreduce_spark.catalog import load_table, table_path
@@ -137,6 +137,40 @@ STREAM_SESSION_ORACLE = f"""
 """
 
 
+def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the lag/gap/cumsum window idiom — the batch
+    strategy that predates session_window, kept as an independent
+    implementation sharing the session_window query's oracle (the two
+    Spark strategies and the DuckDB idiom all agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = SESSION_GAP_MIN * 60
+    # cast("double") keeps sub-second precision; unix_timestamp()
+    # truncates to whole seconds and silently merges sessions whose
+    # gap is within 1s of the threshold.
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > F.lit(float(gap_s))
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total"),
+    ).drop("session_id")
+
+
 def q_stream_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props payload column (expression-level
     get_json_object — no UDF in the hot path)."""
@@ -219,6 +253,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_session", q_stream_session, STREAM_SESSION_ORACLE,
                   ("streaming", "window", "session"),
                   "Native session_window sessionization (10-min gap)."),
+        QuerySpec("sessionize_lag", q_sessionize_lag, STREAM_SESSION_ORACLE,
+                  ("streaming", "window", "session"),
+                  "lag/gap/cumsum sessionization (same oracle as stream_session)."),
         QuerySpec("stream_json", q_stream_json, STREAM_JSON_ORACLE,
                   ("streaming", "json"),
                   "get_json_object extraction from props."),
