@@ -171,6 +171,47 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("session_id")
 
 
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling: hourly event counts per event_type with missing
+    hours filled as zero. The spine (full hour range x types) comes
+    from sequence+explode — generated, never scanned — then a left
+    join brings in actuals. At scale the spine is tiny relative to the
+    fact side and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return spine.join(actual, ["hour", "event_type"], "left").select(
+        "hour", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+DATE_SPINE_ORACLE = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT CAST(h.hour AS TIMESTAMP) AS hour, t.event_type,
+           coalesce(a.n, 0) AS n
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour = h.hour AND a.event_type = t.event_type
+"""
+
+
 def q_stream_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props payload column (expression-level
     get_json_object — no UDF in the hot path)."""
@@ -256,6 +297,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sessionize_lag", q_sessionize_lag, STREAM_SESSION_ORACLE,
                   ("streaming", "window", "session"),
                   "lag/gap/cumsum sessionization (same oracle as stream_session)."),
+        QuerySpec("date_spine", q_date_spine, DATE_SPINE_ORACLE,
+                  ("streaming", "timeseries"),
+                  "Gap-filled hourly counts via generated date spine."),
         QuerySpec("stream_json", q_stream_json, STREAM_JSON_ORACLE,
                   ("streaming", "json"),
                   "get_json_object extraction from props."),

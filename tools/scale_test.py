@@ -54,9 +54,15 @@ QUERIES = [
     "tpch_q5",
     "window_running",
     "agg_distinct",
+    "asof_join",
+    "stream_tumbling",
     "dedup_minhash_pairs",
+    "dedup_exact",
     "knn_bruteforce",
+    "knn_lsh_bucketed",
     "text_quality",
+    "text_tfidf",
+    "bloom_build",
 ]
 
 
