@@ -859,6 +859,150 @@ SCALAR_FUNCS2_ORACLE = """
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue flowing between two
+    nation pairs (supplier nation -> customer nation) per year. Two
+    independent dimension chains joined to the same fact row — both
+    broadcast."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+TPCH_Q7_ORACLE = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by revenue
+    lost to returns in a quarter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: outer join so
+    zero-order customers count, then a distribution over the counts
+    (two stacked aggregations)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").startswith("5")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+TPCH_Q13_ORACLE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds a threshold (aggregate as semi-join filter), joined back
+    for reporting."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _r2(F.col("o_totalprice")).alias("price"),
+            _r2(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+
+
+TPCH_Q18_ORACLE = """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS price,
+           round(CAST(total_qty AS DOUBLE), 2) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+    JOIN orders ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-frame battery: RANGE frame (peers aggregate together),
     sliding ROWS frame, first/nth value, percent_rank/cume_dist."""
@@ -1065,6 +1209,10 @@ def specs() -> list[QuerySpec]:
         mk("approx_percentiles", q_approx_percentiles, None, ("relational", "approx"), "GK-sketch approximate percentiles (rows-only; error bounded in tests)."),
         mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
         mk("window_frames", q_window_frames, WINDOW_FRAMES_ORACLE, ("relational", "window"), "RANGE/sliding frames, nth_value, percent_rank, cume_dist."),
+        mk("tpch_q7", q_tpch_q7, TPCH_Q7_ORACLE, ("relational", "join"), "TPC-H Q7 nation-pair volume shipping."),
+        mk("tpch_q10", q_tpch_q10, TPCH_Q10_ORACLE, ("relational", "join", "topk"), "TPC-H Q10 returned-item top-20 customers."),
+        mk("tpch_q13", q_tpch_q13, TPCH_Q13_ORACLE, ("relational", "agg"), "TPC-H Q13 order-count distribution (stacked aggs)."),
+        mk("tpch_q18", q_tpch_q18, TPCH_Q18_ORACLE, ("relational", "join", "agg"), "TPC-H Q18 large-volume customers (agg as filter)."),
         mk("array_hof", q_array_hof, ARRAY_HOF_ORACLE, ("relational", "array"), "transform/filter/exists/forall/aggregate higher-order fns."),
         mk("agg_collect", q_agg_collect, AGG_COLLECT_ORACLE, ("relational", "agg"), "collect_set / ordered string_agg collection aggregates."),
     ]
