@@ -114,6 +114,46 @@ def group_values(df: DataFrame, key: str = "key", value_col: str = "value") -> D
     )
 
 
+# ----------------------------------------------------------- job facade
+
+
+class Job:
+    """The reference's job-submission UX on Spark: a user supplies a
+    Map and a Reduce, the engine runs the fixed chain.
+
+    Reference contract (wordcountjob.go:16-39): a Go binary exposing
+    ``Map(lineNumber, line) []keyValuePair`` and
+    ``Reduce(key, values) keyValuePair``, submitted via
+    ``compute <job> <input> <output>`` (client.go:806-811).  Here the
+    "binary" is two Python callables shipped by cloudpickle; the chain
+    (scan -> map -> shuffle -> group -> reduce -> sink) is the same,
+    but runs on Spark's spillable shuffle with AQE instead of the
+    reference's in-memory md5-mod-R shuffle (node.go:259-334).
+
+    >>> job = Job(map_fn=lambda line: [(w, "1") for w in line.split()],
+    ...           reduce_fn=lambda key, values: str(len(values)))
+    >>> result = job.run(spark, lines_df)        # key/value DataFrame
+    """
+
+    def __init__(self, map_fn, reduce_fn):
+        self.map_fn = map_fn
+        self.reduce_fn = reduce_fn
+
+    def run(self, spark, lines: DataFrame, text_col: str = "value") -> DataFrame:
+        import pandas as pd
+
+        map_fn, reduce_fn = self.map_fn, self.reduce_fn
+
+        def mapper(pdf: pd.DataFrame) -> pd.DataFrame:
+            pairs = [kv for line in pdf[text_col] for kv in map_fn(line)]
+            return pd.DataFrame(pairs, columns=["key", "value"])
+
+        mapped = flat_map_pandas(lines.select(F.col(text_col)), mapper)
+        return reduce_apply_in_pandas(
+            mapped, lambda k, values: reduce_fn(k, list(values))
+        )
+
+
 # ---------------------------------------------------------- last resort
 
 

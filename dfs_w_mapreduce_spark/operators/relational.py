@@ -1069,6 +1069,34 @@ ARRAY_HOF_ORACLE = """
 """
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: construction, keys/values, cardinality,
+    per-key access — maps as first-class columns (the reference's
+    key-value record model as a nested type)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.map_keys(m).alias("keys"),
+        F.map_values(m).alias("vals"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "name").alias("name_val"),
+    )
+
+
+MAP_FUNCS_ORACLE = """
+    SELECT n_nationkey,
+           map_keys(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS keys,
+           map_values(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS vals,
+           CAST(cardinality(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS INT) AS n_entries,
+           map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS name_val
+    FROM nation
+"""
+
+
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate aggregates: Pearson correlation + sample covariance
     of quantity vs extended price per return flag."""
@@ -1214,5 +1242,6 @@ def specs() -> list[QuerySpec]:
         mk("tpch_q13", q_tpch_q13, TPCH_Q13_ORACLE, ("relational", "agg"), "TPC-H Q13 order-count distribution (stacked aggs)."),
         mk("tpch_q18", q_tpch_q18, TPCH_Q18_ORACLE, ("relational", "join", "agg"), "TPC-H Q18 large-volume customers (agg as filter)."),
         mk("array_hof", q_array_hof, ARRAY_HOF_ORACLE, ("relational", "array"), "transform/filter/exists/forall/aggregate higher-order fns."),
+        mk("map_funcs", q_map_funcs, MAP_FUNCS_ORACLE, ("relational", "map"), "Map construction/keys/values/access battery."),
         mk("agg_collect", q_agg_collect, AGG_COLLECT_ORACLE, ("relational", "agg"), "collect_set / ordered string_agg collection aggregates."),
     ]

@@ -77,3 +77,19 @@ def test_flat_map_partitions_last_resort(spark):
 
     got = {(r.key,) for r in flat_map_partitions(df, per_partition).collect()}
     assert got == {("a",), ("b",), ("c",)}
+
+
+def test_job_facade_wordcount(spark):
+    """The reference's compute UX: user Map + Reduce callables run the
+    whole chain and reproduce WordCount exactly."""
+    from dfs_w_mapreduce_spark.operators.mapreduce import Job
+
+    lines = spark.createDataFrame(
+        [("the quick  brown",), ("",), ("the THE the",)], "value string"
+    )
+    job = Job(
+        map_fn=lambda line: [(w, "1") for w in line.split()],
+        reduce_fn=lambda key, values: str(sum(int(v) for v in values)),
+    )
+    got = {(r.key, r.value) for r in job.run(spark, lines).collect()}
+    assert got == {("the", "3"), ("quick", "1"), ("brown", "1"), ("THE", "1")}
