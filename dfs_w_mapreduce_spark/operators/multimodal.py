@@ -76,7 +76,7 @@ def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_MANIFEST_ORACLE = """
     SELECT doc_id,
            'text/plain' AS mime,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            md5(text) AS checksum  -- DuckDB md5 is VARCHAR-only; same UTF-8 bytes
     FROM documents
 """
@@ -118,7 +118,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_FEATURES_ORACLE = """
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(octet_length(encode(text)) % 640 AS INT) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
            CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,

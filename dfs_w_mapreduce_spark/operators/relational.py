@@ -388,7 +388,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINDOW_TOPK_ORACLE = """
-    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rk
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, CAST(rk AS INT) AS rk
     FROM (SELECT p_brand, p_partkey, p_retailprice,
                  row_number() OVER (PARTITION BY p_brand
                                     ORDER BY p_retailprice DESC, p_partkey) AS rk
@@ -450,9 +450,9 @@ WINDOW_ANALYTIC_ORACLE = """
     SELECT o_custkey, o_orderkey,
            lag(o_orderkey, 1) OVER w AS prev_order,
            lead(o_orderkey, 1) OVER w AS next_order,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           ntile(4) OVER w AS quartile
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -548,7 +548,7 @@ SCALAR_FUNCS_ORACLE = """
     SELECT p_partkey,
            upper(p_name) AS uname,
            lower(p_brand) AS lbrand,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS INT) AS name_len,
            substring(p_name, 1, 5) AS prefix,
            p_brand || '-' || p_type AS brand_type,
            CAST(contains(p_name, 'a') AS INT) AS has_a,

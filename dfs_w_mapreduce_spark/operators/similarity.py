@@ -109,7 +109,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_BRUTEFORCE_ORACLE = f"""
     WITH v AS ({_VECS_SQL})
-    SELECT query_id, neighbor_id, cosine, rk FROM (
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
                row_number() OVER (
@@ -179,7 +179,7 @@ def _knn_lsh_oracle() -> str:
     return f"""
         WITH v0 AS ({_VECS_SQL}),
         v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
-        SELECT query_id, bucket, neighbor_id, cosine, rk FROM (
+        SELECT query_id, bucket, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
             SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
                    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
                    row_number() OVER (
@@ -263,7 +263,7 @@ def _knn_ivf_oracle() -> str:
             JOIN members m ON p.list_id = m.list_id
             WHERE m.vec_id <> p.query_id
         )
-        SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                                          ORDER BY cosine DESC, neighbor_id) AS rk
             FROM scored

@@ -58,9 +58,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKENS_ORACLE = f"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
-           len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_distinct_tokens,
-           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) :: INT AS n_ws_tokens,
+           len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) :: INT AS n_distinct_tokens,
+           len(regexp_extract_all(text, '{BPE_RE}')) :: INT AS n_bpe_tokens
     FROM documents
 """
 
@@ -277,7 +277,7 @@ TEXT_TFIDF_ORACLE = f"""
                round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
         FROM tf JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term, tfidf, rk FROM (
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM (
         SELECT *, row_number() OVER (PARTITION BY doc_id
                                      ORDER BY tfidf DESC, term) AS rk
         FROM scored

@@ -61,15 +61,46 @@ def normalized_rows(columns, rows):
     return sorted(tuple(_normalize_cell(r[i]) for i in order) for r in rows)
 
 
+_SPARK_T = {"bigint": "i64", "int": "i32", "smallint": "i32", "double": "f64",
+            "float": "f32", "string": "str", "timestamp": "ts",
+            "timestamp_ntz": "ts", "date": "date", "boolean": "bool",
+            "binary": "bin"}
+_DUCK_T = {"BIGINT": "i64", "HUGEINT": "i64", "INTEGER": "i32",
+           "SMALLINT": "i32", "DOUBLE": "f64", "FLOAT": "f32",
+           "VARCHAR": "str", "TIMESTAMP": "ts", "DATE": "date",
+           "BOOLEAN": "bool", "BLOB": "bin"}
+
+
+def _norm_spark_type(t: str) -> str:
+    if t.startswith("array<"):
+        return "list<" + _norm_spark_type(t[6:-1]) + ">"
+    return _SPARK_T.get(t, t)
+
+
+def _norm_duck_type(t) -> str:
+    t = str(t)
+    if t.endswith("[]"):
+        return "list<" + _norm_duck_type(t[:-2]) + ">"
+    return _DUCK_T.get(t, t)
+
+
 def assert_matches_oracle(spark_df, oracle_con, oracle_sql_text):
     got_cols = spark_df.columns
     got = [tuple(r) for r in spark_df.collect()]
-    res = oracle_con.execute(oracle_sql_text)
-    want_cols = [d[0] for d in res.description]
-    want = res.fetchall()
+    rel = oracle_con.sql(oracle_sql_text)
+    want_cols = list(rel.columns)
+    want_types = {c: _norm_duck_type(t) for c, t in zip(rel.columns, rel.types)}
+    want = rel.fetchall()
     assert sorted(got_cols) == sorted(want_cols), (
         f"column mismatch: spark={sorted(got_cols)} oracle={sorted(want_cols)}"
     )
+    got_types = {c: _norm_spark_type(t) for c, t in spark_df.dtypes}
+    type_diffs = {
+        c: (got_types[c], want_types[c])
+        for c in got_cols
+        if got_types[c] != want_types[c]
+    }
+    assert not type_diffs, f"dtype mismatch: {type_diffs}"
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
     ngot = normalized_rows(got_cols, got)
     nwant = normalized_rows(want_cols, want)

@@ -26,6 +26,29 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+SPARK_T = {"bigint": "i64", "int": "i32", "smallint": "i32", "double": "f64",
+           "float": "f32", "string": "str", "timestamp": "ts", "timestamp_ntz": "ts",
+           "date": "date", "boolean": "bool", "binary": "bin"}
+
+def norm_spark_type(t):
+    if t.startswith("array<"):
+        return "list<" + norm_spark_type(t[6:-1]) + ">"
+    if t.startswith("decimal"):
+        return "f64"
+    return SPARK_T.get(t, t)
+
+DUCK_T = {"BIGINT": "i64", "HUGEINT": "i64", "INTEGER": "i32", "SMALLINT": "i32",
+          "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "TIMESTAMP": "ts",
+          "DATE": "date", "BOOLEAN": "bool", "BLOB": "bin"}
+
+def norm_duck_type(t):
+    t = str(t)
+    if t.endswith("[]"):
+        return "list<" + norm_duck_type(t[:-2]) + ">"
+    if t.startswith("DECIMAL"):
+        return "f64"
+    return DUCK_T.get(t, t)
+
 def norm(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else f"{v:.6g}"
@@ -40,13 +63,20 @@ for name, fn in sorted(qs.items()):
     got = [tuple(r) for r in sdf.collect()]
     if name not in os_:
         print(f"{name}: rows-only, {len(got)} rows"); continue
-    res = con.execute(os_[name]); want_cols = [d[0] for d in res.description]; want = res.fetchall()
+    rel = con.sql(os_[name]); want_cols = list(rel.columns)
+    want_types = {c: norm_duck_type(t) for c, t in zip(rel.columns, rel.types)}
+    got_types = {c: norm_spark_type(t) for c, t in sdf.dtypes}
+    types_ok = all(got_types.get(c) == want_types.get(c) for c in got_cols) if sorted(got_cols)==sorted(want_cols) else False
+    want = rel.fetchall()
     order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
     order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
     ng = sorted(tuple(norm(r[i]) for i in order_g) for r in got)
     nw = sorted(tuple(norm(r[i]) for i in order_w) for r in want)
-    ok = sorted(got_cols)==sorted(want_cols) and ng==nw
-    print(f"{name}: spark_rows={len(got)} oracle_rows={len(want)} cols_match={sorted(got_cols)==sorted(want_cols)} values_match={ng==nw}", flush=True)
+    ok = sorted(got_cols)==sorted(want_cols) and ng==nw and types_ok
+    print(f"{name}: spark_rows={len(got)} oracle_rows={len(want)} cols_match={sorted(got_cols)==sorted(want_cols)} types_match={types_ok} values_match={ng==nw}", flush=True)
+    if not types_ok and sorted(got_cols)==sorted(want_cols):
+        diffs = {c: (got_types.get(c), want_types.get(c)) for c in got_cols if got_types.get(c) != want_types.get(c)}
+        print("  type-diffs:", diffs, flush=True)
     if not ok:
         fails += 1
         sg, sw = set(map(tuple, ng)), set(map(tuple, nw))
