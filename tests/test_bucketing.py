@@ -44,3 +44,40 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, no_broadcast):
 
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_q5_degrades_to_sort_merge_without_broadcast(spark, sf_dir, no_broadcast, oracle):
+    """At cluster scale a dim can exceed the broadcast threshold; the
+    plan must degrade to shuffle joins with identical results. The
+    broadcast() hints in tpch_q5 are advisory (hint wins while legal),
+    so force the threshold off via a hint-free replica of the query
+    and check plan + oracle equality."""
+    from pyspark.sql import functions as F
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.relational import TPCH_Q5_ORACLE
+    from dfs_w_mapreduce_spark.plans.explain import formatted_plan
+    from tests.conftest import assert_matches_oracle
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    assert_matches_oracle(df, oracle, TPCH_Q5_ORACLE)
