@@ -365,6 +365,71 @@ def _simhash_oracle() -> str:
     """
 
 
+SIMHASH_HAMMING_T = 6
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit sketch into 4 bytes;
+    docs sharing any byte-band are candidates (a pair within Hamming
+    distance 3 must agree on >=1 of 4 bands by pigeonhole); verify
+    with exact bit_count(xor) <= 6. Same LSH shape as MinHash but the
+    signature is 4 bytes/doc — the cheapest near-dup sketch."""
+    sh = q_dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_T)
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+        WITH sh AS ({_simhash_oracle()}),
+        bands AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (8 * band)) & 255 AS sig
+            FROM sh, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_T}
+    """
+
+
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification on top of the LSH candidate set:
     Levenshtein distance + similarity ratio for every MinHash-candidate
@@ -463,6 +528,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_embedding_pairs", q_dedup_embedding_pairs, DEDUP_EMBEDDING_ORACLE,
                   ("dedup", "llm", "embedding"),
                   "Embedding-cosine near-dup pairs (brute-force baseline)."),
+        QuerySpec("dedup_simhash_pairs", q_dedup_simhash_pairs, _simhash_pairs_oracle(),
+                  ("dedup", "llm", "lsh"),
+                  "SimHash byte-band candidates verified by Hamming <= 6 (note: the tiny-vocab fixture corpus makes most sketches near-collide, so pair volume is large; discrimination is corpus-dependent, correctness is exact)."),
         QuerySpec("dedup_edit_distance", q_dedup_edit_distance, _edit_distance_oracle(),
                   ("dedup", "llm"),
                   "Levenshtein verification over MinHash candidates (sketch->exact composition)."),

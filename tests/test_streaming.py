@@ -199,3 +199,69 @@ def test_stream_session_window_matches_batch(spark, sf_dir):
         for r in SW.q_stream_session(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join with watermarks and a time-range
+    condition: clicks joined to errors of the same user within the
+    preceding 5 minutes. Both sides buffer state bounded by their
+    watermark; result must equal the batch time-range join."""
+    errors = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id"))
+        .withWatermark("err_ts", "30 minutes")
+    )
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            """
+            user_id = c_user AND
+            click_ts <= err_ts AND
+            click_ts > err_ts - INTERVAL 5 MINUTES
+            """
+        ),
+    ).select("err_id", "click_id")
+    name = _run_to_memory(joined, mode="append")
+    got = {(r.err_id, r.click_id) for r in spark.table(name).collect()}
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = {
+        (r.err_id, r.click_id)
+        for r in e.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("err_ts"))
+            & (F.col("click_ts") > F.col("err_ts") - F.expr("INTERVAL 5 MINUTES")),
+        ).select("err_id", "click_id").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: dedup keyed on event_id where
+    duplicates arrive within the watermark window (the bounded-state
+    streaming dedup for at-least-once sources)."""
+    ev = _stream_events(spark, sf_dir)
+    dups = ev.union(ev)
+    deduped = dups.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    name = _run_to_memory(deduped.groupBy().agg(F.count("*").alias("n")), mode="complete")
+    n = spark.table(name).collect()[0].n
+    batch_n = spark.read.parquet(table_path(sf_dir, "events")).count()
+    assert n == batch_n
