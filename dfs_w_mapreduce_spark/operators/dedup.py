@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Five dedup families over `documents` (+ one over `embeddings`), all
+Six dedup families over `documents` (+ one over `embeddings`), all
 oracle-verified — including the MinHash LSH path, whose hash family is
 built from md5 so the DuckDB oracle reproduces the *identical*
 signatures, bands, candidates, and verified pairs:
@@ -14,7 +14,8 @@ signatures, bands, candidates, and verified pairs:
 - minhash LSH  : 16 md5-based minhashes, 4 bands x 4 rows, band-bucket
                  join for candidates, exact-Jaccard verification — the
                  100 TB path: cost scales with collisions, not n^2
-- simhash      : 32-bit sign-sum sketch per document
+- simhash      : 32-bit sign-sum sketch per document, plus byte-band
+                 candidate pairs verified by exact Hamming distance
 - embedding    : cosine-similarity pairs over the embedding column
 
 Scale posture: none of these collect to the driver; every pairwise
