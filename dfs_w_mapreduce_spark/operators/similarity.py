@@ -122,6 +122,55 @@ KNN_BRUTEFORCE_ORACLE = f"""
 """
 
 
+def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as knn_bruteforce, through the Arrow tier: the
+    query block (20 x 64 doubles) broadcasts into a mapInPandas
+    closure and each Arrow batch does ONE numpy matmul against it —
+    BLAS instead of per-element Catalyst lambdas. Shares the
+    brute-force oracle; bench shows which tier wins for dense math."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # 20 x 64 floats — metadata-sized driver state, broadcast by closure
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    if qrows:
+        Q = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    else:
+        Qn = np.zeros((0, 0))
+
+    def score(batches):
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "neighbor_id": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        yield empty  # schema anchor for zero-batch partitions
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Qn @ Cn.T  # (20, batch)
+            n_q, n_c = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_c),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "cosine": np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
 def _bucket_spark(v: Column) -> Column:
     """LSH bucket id: bit k = sign of dot(v, hyperplane_k)."""
     bucket = F.lit(0)
@@ -280,6 +329,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("knn_lsh_bucketed", q_knn_lsh_bucketed, _knn_lsh_oracle(),
                   ("similarity", "llm", "lsh"),
                   "Random-hyperplane LSH bucketed ANN top-5, oracle-identical buckets."),
+        QuerySpec("knn_bruteforce_numpy", q_knn_bruteforce_numpy, KNN_BRUTEFORCE_ORACLE,
+                  ("similarity", "llm", "pandas"),
+                  "Exact cosine top-5 via Arrow batches + numpy matmul (same oracle)."),
         QuerySpec("knn_ivf", q_knn_ivf, _knn_ivf_oracle(),
                   ("similarity", "llm", "ivf"),
                   "IVF-flat ANN (deterministic centroids, nprobe=2), oracle-identical lists."),
