@@ -118,8 +118,6 @@ DEDUP_EXACT_ORACLE = """
 """
 
 
-_NORM_FP_SPARK = None  # built inline below
-
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via normalized sorted-token fingerprint: collapses
