@@ -1,0 +1,125 @@
+"""Corpus-curation operators: domain mixing and decontamination.
+
+Two steps every LLM training-data pipeline runs between dedup and
+tokenization:
+
+- **Domain mixing** (`mix_sample_by_source`): per-source sampling
+  rates (upweight high-quality domains, downsample boilerplate).
+  Implemented as deterministic hash sampling — h(doc_id) % 100 under
+  the source's rate — so the mix is reproducible across runs/engines
+  and composable with other hash-keyed selections (same property as
+  operators/sketches.py sample_hash).
+- **Decontamination** (`decontaminate`): drop documents sharing any
+  word-2gram with a benchmark blocklist. Implemented as an
+  inverted-index anti-join (explode doc shingles, anti-join on the
+  blocklist shingle set) — at 100 TB the blocklist side is tiny and
+  broadcasts; the corpus is touched once, no pairwise anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.operators.dedup import _h31_spark, _h31_sql
+from dfs_w_mapreduce_spark.registry import QuerySpec
+
+# per-source keep-rate (percent); sources not listed use DEFAULT_RATE
+MIX_RATES: dict[str, int] = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+DEFAULT_RATE = 75
+
+# benchmark phrases whose 2-grams must not appear in training docs
+BLOCKLIST_PHRASES = (
+    "key agg row",
+    "batch window spark",
+    "slow filter value",
+)
+
+
+def q_mix_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain sampling: keep doc iff
+    h31(doc_id) % 100 < rate(source)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for src, r in MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    h = _h31_spark(F.col("doc_id").cast("string"))
+    return (
+        d.withColumn("rate", rate)
+        .filter(h % 100 < F.col("rate"))
+        .select("doc_id", "source", F.col("rate").alias("keep_rate"))
+    )
+
+
+def _mix_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in MIX_RATES.items()
+    )
+    return f"""
+        SELECT doc_id, source, keep_rate FROM (
+            SELECT doc_id, source,
+                   CASE {whens} ELSE {DEFAULT_RATE} END AS keep_rate
+            FROM documents
+        )
+        WHERE {h} % 100 < keep_rate
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop documents sharing any 2-gram with the benchmark blocklist
+    (anti-join on exploded shingles vs the broadcast blocklist set);
+    returns the surviving corpus with a count of its shingles."""
+    from dfs_w_mapreduce_spark.operators.dedup import _doc_shingles
+
+    block = [
+        f"{w[i]} {w[i + 1]}"
+        for phrase in BLOCKLIST_PHRASES
+        for w in [phrase.split()]
+        for i in range(len(w) - 1)
+    ]
+    sh = _doc_shingles(spark, sf_dir)
+    contaminated = (
+        sh.select("doc_id", F.explode("sh").alias("s"))
+        .filter(F.col("s").isin(block))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        sh.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", F.size("sh").alias("n_shingles"))
+    )
+
+
+def _decontaminate_oracle() -> str:
+    block = [
+        f"{w[i]} {w[i + 1]}"
+        for phrase in BLOCKLIST_PHRASES
+        for w in [phrase.split()]
+        for i in range(len(w) - 1)
+    ]
+    block_sql = ", ".join(f"'{b}'" for b in block)
+    from dfs_w_mapreduce_spark.operators.dedup import _DOC_SHINGLES_SQL
+
+    return f"""
+        WITH sh AS ({_DOC_SHINGLES_SQL}),
+        contaminated AS (
+            SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+            WHERE s IN ({block_sql})
+        )
+        SELECT sh.doc_id, CAST(len(sh.sh) AS INT) AS n_shingles
+        FROM sh ANTI JOIN contaminated USING (doc_id)
+    """
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
+                  ("pipeline", "llm", "sampling"),
+                  "Deterministic per-domain mixing rates via hash sampling."),
+        QuerySpec("decontaminate", q_decontaminate, _decontaminate_oracle(),
+                  ("pipeline", "llm"),
+                  "Benchmark-ngram decontamination via inverted-index anti-join."),
+    ]

@@ -44,6 +44,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import sketches
     from dfs_w_mapreduce_spark.operators import text_analysis
     from dfs_w_mapreduce_spark.operators import multimodal
+    from dfs_w_mapreduce_spark.operators import pipeline
     from dfs_w_mapreduce_spark.streaming import windows as streaming_windows
 
     registry: dict[str, QuerySpec] = {}
@@ -58,6 +59,7 @@ def collect() -> dict[str, QuerySpec]:
         sketches,
         text_analysis,
         multimodal,
+        pipeline,
         streaming_windows,
     ):
         for spec in module.specs():
