@@ -189,10 +189,16 @@ def _q_mr_wordcount_generic(spark, sf_dir: str) -> DataFrame:
 
 
 def _q_kv_group_values(spark, sf_dir: str) -> DataFrame:
-    """keyListOfValuesPair materialization over the skewed kv fixture."""
+    """keyListOfValuesPair materialization over the skewed kv fixture.
+
+    The API form (``group_values``) returns ``array<string>``; the
+    registry row serializes it — the round driver's canonicalizer
+    (pandas factorize) hard-errors on list-valued cells."""
     from dfs_w_mapreduce_spark.sources.readers import kv_pairs
 
-    return group_values(kv_pairs(spark, sf_dir))
+    return group_values(kv_pairs(spark, sf_dir)).select(
+        "key", F.array_join("values", "|").alias("values")
+    )
 
 
 def _q_mr_reduce_pandas(spark, sf_dir: str) -> DataFrame:
@@ -228,7 +234,7 @@ def specs():
             name="kv_group_values",
             fn=_q_kv_group_values,
             oracle=f"""
-                SELECT key, list_sort(list(value)) AS values
+                SELECT key, array_to_string(list_sort(list(value)), '|') AS values
                 FROM ({KV_PAIRS_SQL})
                 GROUP BY key
             """,

@@ -34,6 +34,28 @@ def _r2(c):
     return F.round(c, 2)
 
 
+def _dsum(c, scale=2):
+    """Order-independent money sum: accumulate as DECIMAL(18,4) — exact
+    and associative — so rounding to cents cannot diverge with partition
+    count or engine accumulation order. Double sums are order-dependent
+    in the last bits, and round-to-2 amplifies that to a visible cent
+    (round-1 driver hash fails on window_running / tpch_q7). Cast back
+    to double so the registry schema stays float-typed on both engines.
+
+    DuckDB twin: CAST(round(sum(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE).
+    """
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(F.sum(c.cast("decimal(18,4)")), scale).cast("double")
+
+
+def _dsum_over(c, w, scale=2):
+    """Windowed variant of _dsum (running / sliding frames)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(F.sum(c.cast("decimal(18,4)")).over(w), scale).cast("double")
+
+
 # ------------------------------------------------------------ aggregates
 
 
@@ -1048,9 +1070,13 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop constructs that keep per-element logic out of Python."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
+    # word_lens is serialized to CSV: driver canonicalizer can't hash
+    # array-valued cells (round-1 CORRECTNESS kv_group_values error).
     return d.select(
         "doc_id",
-        F.transform(words, lambda w: F.length(w)).alias("word_lens"),
+        F.array_join(
+            F.transform(words, lambda w: F.length(w).cast("string")), ","
+        ).alias("word_lens"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
         F.exists(words, lambda w: w == F.lit("spark")).cast("int").alias("has_spark"),
         F.forall(words, lambda w: F.length(w) < 20).cast("int").alias("all_short"),
@@ -1060,7 +1086,7 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_HOF_ORACLE = """
     SELECT doc_id,
-           list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS word_lens,
+           array_to_string(list_transform(string_split(text, ' '), w -> CAST(length(w) AS VARCHAR)), ',') AS word_lens,
            CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INT) AS n_long,
            CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0 AS INT) AS has_spark,
            CAST(len(list_filter(string_split(text, ' '), w -> length(w) >= 20)) = 0 AS INT) AS all_short,
@@ -1078,10 +1104,13 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("name"), F.col("n_name"),
         F.lit("region"), F.col("n_regionkey").cast("string"),
     )
+    # keys/vals serialized to CSV for the driver canonicalizer (no
+    # array-valued registry cells); the map type itself is exercised
+    # by size/element_at below and map tests.
     return n.select(
         "n_nationkey",
-        F.map_keys(m).alias("keys"),
-        F.map_values(m).alias("vals"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.array_join(F.map_values(m), ",").alias("vals"),
         F.size(m).alias("n_entries"),
         F.element_at(m, "name").alias("name_val"),
     )
@@ -1089,8 +1118,8 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_FUNCS_ORACLE = """
     SELECT n_nationkey,
-           map_keys(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS keys,
-           map_values(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS vals,
+           array_to_string(map_keys(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])), ',') AS keys,
+           array_to_string(map_values(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])), ',') AS vals,
            CAST(cardinality(map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])) AS INT) AS n_entries,
            map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS name_val
     FROM nation
@@ -1119,8 +1148,10 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: sorted distinct set + ordered string
     concatenation of region names per... nation group (small dims)."""
     n = load_table(spark, sf_dir, "nation")
+    # collect_set output serialized (driver canonicalizer rejects
+    # array cells); nation_csv already covers the ordered-list form.
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_set("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias("nations"),
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nation_csv"),
         F.count("*").alias("n"),
     )
@@ -1128,7 +1159,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_ORACLE = """
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
            string_agg(n_name, ',' ORDER BY n_name) AS nation_csv,
            count(*) AS n
     FROM nation GROUP BY n_regionkey

@@ -50,9 +50,16 @@ def norm_duck_type(t):
     return DUCK_T.get(t, t)
 
 def norm(v):
+    # Full precision: both engines round in-query, so any residual
+    # float difference is a real cross-engine divergence (f'{v:.6g}'
+    # hid sub-unit diffs on >=1e5 magnitudes — the window_running /
+    # tpch_q7 class the real driver caught while this gate passed).
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.6g}"
-    if isinstance(v, list): return tuple(norm(x) for x in v)
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (list, tuple, dict, bytes, bytearray)):
+        # The real driver's canonicalizer (pandas factorize) hard-errors
+        # on complex cells; being lenient here masked that in round 1.
+        raise TypeError(f"complex-typed registry cell would crash the driver: {type(v).__name__}")
     return str(v)
 
 qs, os_ = e.queries(), e.oracle_sql()
