@@ -197,7 +197,7 @@ def _q_kv_group_values(spark, sf_dir: str) -> DataFrame:
     from dfs_w_mapreduce_spark.sources.readers import kv_pairs
 
     return group_values(kv_pairs(spark, sf_dir)).select(
-        "key", F.array_join("values", "|").alias("values")
+        "key", F.array_join("values", "\u001f").alias("values")
     )
 
 
@@ -234,7 +234,7 @@ def specs():
             name="kv_group_values",
             fn=_q_kv_group_values,
             oracle=f"""
-                SELECT key, array_to_string(list_sort(list(value)), '|') AS values
+                SELECT key, array_to_string(list_sort(list(value)), chr(31)) AS values
                 FROM ({KV_PAIRS_SQL})
                 GROUP BY key
             """,

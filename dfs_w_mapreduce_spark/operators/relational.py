@@ -56,6 +56,38 @@ def _dsum_over(c, w, scale=2):
     return F.round(F.sum(c.cast("decimal(18,4)")).over(w), scale).cast("double")
 
 
+def _dsumx(c, scale=2):
+    """round(sum(c), scale)::double for an ALREADY-decimal expression.
+
+    _dsum's cast is only cross-engine-safe on *source* columns, whose
+    stored doubles are 2-decimal by construction (nearest decimal is the
+    intended value on both engines). Casting a *derived* double (a
+    product) diverges: Spark rounds the shortest decimal representation
+    (BigDecimal.valueOf), DuckDB the binary value — a 1-ulp product like
+    x.56785 vs x.5678499... rounds to different cents. Build derived
+    money in decimal arithmetic instead (see _dec_revenue) and sum here.
+    """
+    return F.round(F.sum(c), scale).cast("double")
+
+
+def _dsumx_over(c, w, scale=2):
+    return F.round(F.sum(c).over(w), scale).cast("double")
+
+
+def _dec_revenue():
+    """Exact-decimal l_extendedprice * (1 - l_discount).
+
+    Source columns recover exactly into narrow decimals ((12,2) price,
+    (4,2) one-minus-discount); the decimal product (17,4) is then exact
+    and associative on both engines. DuckDB twin:
+    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)).
+    """
+    return (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+
+
 # ------------------------------------------------------------ aggregates
 
 
@@ -64,15 +96,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans partial+final HashAggregate; the shipdate filter is
     pushed to the parquet scan (PushedFilters)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = _dec_revenue()  # exact decimal(17,4)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsumx(disc_price).alias("sum_disc_price"),
+            _dsumx(disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -83,10 +115,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_ORACLE = """
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -107,7 +139,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
         F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        _dsum("c_acctbal").alias("sum_bal"),
     )
 
 
@@ -118,7 +150,7 @@ AGG_STATS_ORACLE = """
            round(avg(c_acctbal), 4) AS avg_bal,
            round(stddev_samp(c_acctbal), 4) AS sd_bal,
            round(var_samp(c_acctbal), 4) AS var_bal,
-           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS sum_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
     FROM customer GROUP BY c_mktsegment
 """
 
@@ -147,13 +179,13 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), _r2(F.sum("l_quantity")).alias("qty"))
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("qty"))
     )
 
 
 AGG_ROLLUP_ORACLE = """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -162,13 +194,13 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority)."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), _r2(F.sum("o_totalprice")).alias("total")
+        F.count("*").alias("n"), _dsum("o_totalprice").alias("total")
     )
 
 
 AGG_CUBE_ORACLE = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -197,14 +229,14 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), _r2(F.sum("o_totalprice")).alias("spend"))
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("spend"))
         .filter(F.col("n_orders") >= 10)
     )
 
 
 HAVING_ORACLE = """
     SELECT o_custkey, count(*) AS n_orders,
-           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS spend
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
     FROM orders GROUP BY o_custkey HAVING count(*) >= 10
 """
 
@@ -252,7 +284,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsumx(_dec_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -260,7 +292,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_ORACLE = """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -289,13 +321,13 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsumx(_dec_revenue()).alias("revenue"))
     )
 
 
 TPCH_Q5_ORACLE = """
     SELECT n_name,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -347,14 +379,14 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("spend"),
+            F.coalesce(_dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
         )
     )
 
 
 JOIN_OUTER_ORACLE = """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(CAST(coalesce(sum(o_totalprice), 0) AS DOUBLE), 2) AS spend
+           CAST(coalesce(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2), 0) AS DOUBLE) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
 """
@@ -437,7 +469,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).over(w)).alias(
+        _dsumx_over(_dec_revenue(), w).alias(
             "running_rev"
         ),
     )
@@ -445,10 +477,10 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RUNNING_ORACLE = """
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(sum(l_extendedprice * (1 - l_discount)) OVER (
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) OVER (
                PARTITION BY l_suppkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_discount
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_rev
     FROM lineitem
 """
 
@@ -633,7 +665,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(_r2(F.sum("l_quantity")))
+        .agg(_dsum("l_quantity"))
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_filled")
     )
@@ -641,8 +673,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_ORACLE = """
     SELECT l_returnflag,
-           round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 2) AS qty_open,
-           round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 2) AS qty_filled
+           CAST(round(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_open,
+           CAST(round(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_filled
     FROM lineitem GROUP BY l_returnflag
 """
 
@@ -681,12 +713,12 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.02, 0.04))
             & (F.col("l_quantity") < 24)
         )
-        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(_dsumx(F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,2)")).alias("revenue"))
     )
 
 
 TPCH_Q6_ORACLE = """
-    SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -904,14 +936,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsumx(_dec_revenue()).alias("revenue"))
     )
 
 
 TPCH_Q7_ORACLE = """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -938,7 +970,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsumx(_dec_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -946,7 +978,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_ORACLE = """
     SELECT c_custkey, c_name, n_name,
-           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1040,7 +1072,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.count("*").over(rng).alias("n_within_1k_below"),
-        _r2(F.sum("o_totalprice").over(sliding)).alias("sum_last3"),
+        _dsum_over("o_totalprice", sliding).alias("sum_last3"),
         F.first("o_orderkey").over(base).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(base).alias("second_key"),
         F.round(F.percent_rank().over(base), 6).alias("pct_rank"),
@@ -1052,9 +1084,10 @@ WINDOW_FRAMES_ORACLE = """
     SELECT o_orderkey, o_orderstatus,
            count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                           RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k_below,
-           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_last3,
            first_value(o_orderkey) OVER w AS first_key,
            nth_value(o_orderkey, 2) OVER w AS second_key,
            round(percent_rank() OVER w, 6) AS pct_rank,
@@ -1151,7 +1184,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set output serialized (driver canonicalizer rejects
     # array cells); nation_csv already covers the ordered-list form.
     return n.groupBy("n_regionkey").agg(
-        F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias("nations"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), "\u001f").alias("nations"),
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nation_csv"),
         F.count("*").alias("n"),
     )
@@ -1159,7 +1192,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_ORACLE = """
     SELECT n_regionkey,
-           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), chr(31)) AS nations,
            string_agg(n_name, ',' ORDER BY n_name) AS nation_csv,
            count(*) AS n
     FROM nation GROUP BY n_regionkey

@@ -49,7 +49,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         events.groupBy(
             F.window("ts", "5 minutes").alias("w"), F.col("event_type")
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -66,7 +66,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            event_type, count(*) AS n,
-           round(CAST(sum(value) AS DOUBLE), 2) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2
 """
 
@@ -77,13 +77,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total"))
         .select(F.col("w.start").alias("window_start"), "n", "total")
     )
 
 
 STREAM_SLIDING_ORACLE = """
-    SELECT window_start, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS total
+    SELECT window_start, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM (
         SELECT value,
                time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS window_start
@@ -102,7 +102,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
             F.col("user_id"),
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -132,7 +132,7 @@ STREAM_SESSION_ORACLE = f"""
            min(ts) AS session_start,
            max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
            count(*) AS n_events,
-           round(CAST(sum(value) AS DOUBLE), 2) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM numbered GROUP BY user_id, session_id
 """
 
@@ -167,7 +167,7 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         (F.max("ts") + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")).alias("session_end"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total"),
     ).drop("session_id")
 
 

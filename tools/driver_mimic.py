@@ -65,20 +65,27 @@ def norm(v):
 qs, os_ = e.queries(), e.oracle_sql()
 fails = 0
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, SF)
-    got_cols = sdf.columns
-    got = [tuple(r) for r in sdf.collect()]
-    if name not in os_:
-        print(f"{name}: rows-only, {len(got)} rows"); continue
-    rel = con.sql(os_[name]); want_cols = list(rel.columns)
-    want_types = {c: norm_duck_type(t) for c, t in zip(rel.columns, rel.types)}
-    got_types = {c: norm_spark_type(t) for c, t in sdf.dtypes}
-    types_ok = all(got_types.get(c) == want_types.get(c) for c in got_cols) if sorted(got_cols)==sorted(want_cols) else False
-    want = rel.fetchall()
-    order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
-    order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
-    ng = sorted(tuple(norm(r[i]) for i in order_g) for r in got)
-    nw = sorted(tuple(norm(r[i]) for i in order_w) for r in want)
+    try:
+        sdf = fn(spark, SF)
+        got_cols = sdf.columns
+        got = [tuple(r) for r in sdf.collect()]
+        if name not in os_:
+            print(f"{name}: rows-only, {len(got)} rows"); continue
+        rel = con.sql(os_[name]); want_cols = list(rel.columns)
+        want_types = {c: norm_duck_type(t) for c, t in zip(rel.columns, rel.types)}
+        got_types = {c: norm_spark_type(t) for c, t in sdf.dtypes}
+        types_ok = all(got_types.get(c) == want_types.get(c) for c in got_cols) if sorted(got_cols)==sorted(want_cols) else False
+        want = rel.fetchall()
+        order_g = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        order_w = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+        ng = sorted(tuple(norm(r[i]) for i in order_g) for r in got)
+        nw = sorted(tuple(norm(r[i]) for i in order_w) for r in want)
+    except Exception as ex:
+        # One bad query must not abort the gate for the rest (the real
+        # driver records a per-query err row and moves on).
+        fails += 1
+        print(f"{name}: ERROR {type(ex).__name__}: {ex}", flush=True)
+        continue
     ok = sorted(got_cols)==sorted(want_cols) and ng==nw and types_ok
     print(f"{name}: spark_rows={len(got)} oracle_rows={len(want)} cols_match={sorted(got_cols)==sorted(want_cols)} types_match={types_ok} values_match={ng==nw}", flush=True)
     if not types_ok and sorted(got_cols)==sorted(want_cols):
