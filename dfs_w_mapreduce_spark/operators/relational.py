@@ -261,14 +261,48 @@ PERCENTILES_ORACLE = """
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — engine-specific sketch, so no
-    value oracle (driver records rows-only); the test suite bounds its
-    error against the exact count instead."""
+    """HLL++ approximate distinct. The sketch estimate itself is
+    engine-specific, so the hash-checkable output is the exact count
+    plus an in-query bounded-error verdict: |approx-exact|/exact <= 5%
+    with the sketch run at 1% rsd (5-sigma headroom). The oracle
+    computes the exact counts and asserts TRUE — a green row proves
+    the sketch ran AND landed within tolerance, which is the checkable
+    contract of an approximate operator."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    # Two separate aggregations joined on the tiny group key: putting
+    # countDistinct (Expand over every (flag,partkey) pair) and the HLL
+    # sketch in ONE agg makes each expanded partial-agg row carry the
+    # multi-KB sketch buffer — OOMs the sort-fallback path at sf0.1.
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+    )
+    return (
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (F.abs(F.col("_ap") - F.col("exact_parts"))
+             <= 0.05 * F.col("exact_parts")).alias("parts_within_tol"),
+            (F.abs(F.col("_ao") - F.col("exact_orders"))
+             <= 0.05 * F.col("exact_orders")).alias("orders_within_tol"),
+        )
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol
+    FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ----------------------------------------------------------------- joins
@@ -1202,13 +1236,44 @@ AGG_COLLECT_ORACLE = """
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): mergeable across
     partitions, bounded memory — the quantile that scales where exact
-    percentile's full sort/collect does not. Engine-specific sketch =>
-    rows-only driver check; error vs exact is bounded in tests."""
+    percentile's full sort/collect does not. Accuracy=1000 bounds rank
+    error at 0.1%; the hash-checkable output is the exact percentile
+    plus an in-query verdict that the sketch value lies between the
+    exact quantiles at p +/- 0.5% (5x the guarantee). Oracle computes
+    exact quantiles and asserts TRUE."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("ap50"),
-        F.percentile_approx("o_totalprice", 0.99, 1000).alias("ap99"),
+    exact = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        F.percentile("o_totalprice", 0.495).alias("_lo50"),
+        F.percentile("o_totalprice", 0.505).alias("_hi50"),
+        F.percentile("o_totalprice", 0.985).alias("_lo99"),
+        F.max("o_totalprice").alias("_hi99"),
     )
+    approx = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("_ap50"),
+        F.percentile_approx("o_totalprice", 0.99, 1000).alias("_ap99"),
+    )
+    return (
+        exact.join(F.broadcast(approx), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "p50",
+            "p99",
+            ((F.col("_ap50") >= F.col("_lo50")) & (F.col("_ap50") <= F.col("_hi50"))).alias("p50_within_tol"),
+            ((F.col("_ap99") >= F.col("_lo99")) & (F.col("_ap99") <= F.col("_hi99"))).alias("p99_within_tol"),
+        )
+    )
+
+
+APPROX_PERCENTILES_ORACLE = """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           TRUE AS p50_within_tol,
+           TRUE AS p99_within_tol
+    FROM orders GROUP BY o_orderstatus
+"""
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,7 +1336,7 @@ def specs() -> list[QuerySpec]:
         mk("grouping_sets", q_grouping_sets, GROUPING_SETS_ORACLE, ("relational", "agg", "sql"), "GROUPING SETS via SQL API."),
         mk("having", q_having, HAVING_ORACLE, ("relational", "agg"), "Post-agg HAVING filter."),
         mk("percentiles", q_percentiles, PERCENTILES_ORACLE, ("relational", "agg"), "Exact continuous percentiles."),
-        mk("approx_distinct", q_approx_distinct, None, ("relational", "approx"), "HLL++ approx distinct (rows-only; error bounded in tests)."),
+        mk("approx_distinct", q_approx_distinct, APPROX_DISTINCT_ORACLE, ("relational", "approx"), "HLL++ approx distinct: exact counts + in-query bounded-error verdict."),
         mk("tpch_q3", q_tpch_q3, TPCH_Q3_ORACLE, ("relational", "join", "topk"), "TPC-H Q3: 3-way join + top-10."),
         mk("tpch_q5", q_tpch_q5, TPCH_Q5_ORACLE, ("relational", "join"), "TPC-H Q5-style 6-way broadcast-dim join."),
         mk("join_semi", q_join_semi, JOIN_SEMI_ORACLE, ("relational", "join"), "LEFT SEMI (EXISTS)."),
@@ -1298,7 +1363,7 @@ def specs() -> list[QuerySpec]:
         mk("tpch_q14", q_tpch_q14, TPCH_Q14_ORACLE, ("relational", "join", "agg"), "TPC-H Q14 promo revenue ratio."),
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
-        mk("approx_percentiles", q_approx_percentiles, None, ("relational", "approx"), "GK-sketch approximate percentiles (rows-only; error bounded in tests)."),
+        mk("approx_percentiles", q_approx_percentiles, APPROX_PERCENTILES_ORACLE, ("relational", "approx"), "GK approx percentiles: exact quantiles + in-query bounded-error verdict."),
         mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
         mk("window_frames", q_window_frames, WINDOW_FRAMES_ORACLE, ("relational", "window"), "RANGE/sliding frames, nth_value, percent_rank, cume_dist."),
         mk("tpch_q7", q_tpch_q7, TPCH_Q7_ORACLE, ("relational", "join"), "TPC-H Q7 nation-pair volume shipping."),
