@@ -511,6 +511,116 @@ DEDUP_EMBEDDING_ORACLE = f"""
 """
 
 
+# ------------------------------------------- cluster resolution / apply
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair set -> duplicate clusters: connected components by
+    iterative min-label propagation over the verified MinHash pairs.
+
+    Each round sends every node's current label to its neighbors and
+    takes the min; a node's label converges to the smallest doc_id in
+    its component, which doubles as the cluster id and the keeper.
+    Near-dup components from LSH are small and dense (candidates that
+    verify are mutual near-dups, so components are clique-like with
+    tiny diameter) — propagation converges in a handful of rounds, and
+    each round shuffles only the edge list (two small long columns),
+    never the corpus. For adversarial long-chain graphs the same join
+    shape supports alternating large-star/small-star (O(log n) rounds);
+    diameter-bounded propagation is the right default for dedup graphs.
+    The driver-side loop holds one scalar per round (the label-sum
+    convergence check), not data.
+    """
+    pairs = (
+        q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    prev_sum = None
+    for _ in range(25):  # >= diameter; dedup components converge in ~3
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+            "n_members",
+        )
+    )
+
+
+def _clusters_labels_sql() -> str:
+    """Recursive-CTE twin of the label propagation: walk(v, m) holds
+    'm is in v's component'; min(m) per v = the cluster id."""
+    return f"""
+        pairs AS ({_minhash_oracle()}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(v, m) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.m FROM walk w JOIN edges e ON w.v = e.src
+        ),
+        labels AS (SELECT v AS doc_id, min(m) AS cluster_id FROM walk GROUP BY v)
+    """
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    {_clusters_labels_sql()},
+    sized AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, l.doc_id = l.cluster_id AS is_keeper, s.n_members
+    FROM labels l JOIN sized s USING (cluster_id)
+"""
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing last step of the dedup pipeline: EMIT the
+    deduplicated corpus. Drops every non-keeper cluster member via
+    anti-join; output is the kept document ids + text fingerprint (the
+    fingerprint keeps the registry row compact while still hashing the
+    retained content). At scale the drop-set is a small fraction of
+    the corpus, so AQE turns the anti-join into a broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    drop = q_dedup_clusters(spark, sf_dir).filter(~F.col("is_keeper")).select("doc_id")
+    return d.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("text_fp")
+    )
+
+
+DEDUP_APPLY_ORACLE = f"""
+    WITH RECURSIVE
+    {_clusters_labels_sql()}
+    SELECT doc_id, md5(text) AS text_fp
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_ORACLE, ("dedup", "llm"),
@@ -533,4 +643,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_edit_distance", q_dedup_edit_distance, _edit_distance_oracle(),
                   ("dedup", "llm"),
                   "Levenshtein verification over MinHash candidates (sketch->exact composition)."),
+        QuerySpec("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_ORACLE,
+                  ("dedup", "llm", "graph"),
+                  "Connected components over near-dup pairs: min-label propagation vs recursive-CTE oracle."),
+        QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_ORACLE,
+                  ("dedup", "llm"),
+                  "Emit the deduplicated corpus: drop non-keeper cluster members."),
     ]

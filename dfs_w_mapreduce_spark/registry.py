@@ -63,6 +63,8 @@ DRIVER_FRONT: tuple[str, ...] = (
     "window_running", "tpch_q7",
     # no_oracle in r02 — oracle-ified this round, must re-verify
     "approx_distinct", "approx_percentiles",
+    # new this round
+    "dedup_clusters", "dedup_apply",
 )
 
 

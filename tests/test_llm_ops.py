@@ -158,3 +158,40 @@ def test_bloom_filter_no_false_negatives(spark, sf_dir):
     assert neg and all(probe(k) for k in neg), "false negative!"
     fp = sum(1 for k in pos if k not in set(neg) and probe(k)) / len(pos)
     assert fp < 0.5, f"false-positive rate {fp}"
+
+
+def test_dedup_clusters_are_components(spark, sf_dir):
+    """Every verified near-dup pair must land in one cluster, the
+    cluster id must be the minimum member id (the keeper), and member
+    counts must agree with the label table."""
+    labels = {
+        r.doc_id: (r.cluster_id, r.is_keeper, r.n_members)
+        for r in D.q_dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b) for r in D.q_dedup_minhash_pairs(spark, sf_dir).collect()
+    ]
+    assert pairs and labels
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0], (a, b)
+    from collections import Counter
+
+    members = Counter(cid for cid, _, _ in labels.values())
+    for doc, (cid, keeper, n) in labels.items():
+        assert cid <= doc
+        assert keeper == (doc == cid)
+        assert n == members[cid]
+        assert cid in labels and labels[cid][0] == cid  # keeper labels itself
+
+
+def test_dedup_apply_drops_exactly_non_keepers(spark, sf_dir):
+    """Kept corpus = all documents minus the non-keeper members."""
+    from dfs_w_mapreduce_spark.catalog import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    labels = D.q_dedup_clusters(spark, sf_dir).collect()
+    dropped = sum(1 for r in labels if not r.is_keeper)
+    kept_ids = {r.doc_id for r in D.q_dedup_apply(spark, sf_dir).collect()}
+    assert len(kept_ids) == total - dropped
+    assert all(r.doc_id in kept_ids for r in labels if r.is_keeper)
+    assert all(r.doc_id not in kept_ids for r in labels if not r.is_keeper)
