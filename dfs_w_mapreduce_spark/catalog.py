@@ -53,6 +53,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Gate broadcast hints on the dim's on-disk size. Parquet bytes are a
+# conservative proxy (in-memory is ~2-4x larger); 64 MB of parquet is
+# well inside executor/driver headroom while 10x that is not. At
+# 100 TB TPC-H scale customer/supplier are tens of GB — a hard
+# F.broadcast would OOM the driver, so those sites must degrade to
+# letting Catalyst/AQE pick (sort-merge, or AQE's own broadcast if
+# stats say it fits).
+BROADCAST_FILE_CAP = 64 << 20
+
+
+def gated_broadcast(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """Broadcast-hint `df` only if its SOURCE table's file is small.
+
+    `df` may carry filters (which only shrink it), so gating on the
+    base table is conservative. Above the cap the frame is returned
+    unhinted and the optimizer chooses the join strategy.
+    """
+    try:
+        size = os.path.getsize(table_path(sf_dir, table))
+    except OSError:
+        size = None
+    if size is not None and size <= BROADCAST_FILE_CAP:
+        return F.broadcast(df)
+    return df
+
+
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a scan that has far fewer splits than cores —
     for CPU-heavy per-row pipelines (shingling/hashing) only.

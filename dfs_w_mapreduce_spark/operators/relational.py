@@ -8,9 +8,11 @@ predicate pushdown, column pruning, partial aggregation, join
 selection, and whole-stage codegen.
 
 Scale posture (100 TB):
-- Dimension joins (region/nation/customer/supplier/part) are
-  broadcast — `F.broadcast` hints where the side is known small, so
-  the fact table never shuffles for them.
+- Dimension joins: nation/region are hard-broadcast (bounded tiny);
+  customer/supplier/part go through `catalog.gated_broadcast`, which
+  hints only while the dim's file is under a size cap — at 100 TB
+  those dims are tens of GB and the hint would OOM, so the site
+  degrades to letting Catalyst/AQE choose the strategy.
 - Fact-fact joins (orders x lineitem) shuffle on the join key; AQE
   (enabled in the session factory) coalesces post-shuffle partitions
   and splits skewed ones.
@@ -26,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import load_table, register_views
+from dfs_w_mapreduce_spark.catalog import gated_broadcast, load_table, register_views
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 
@@ -316,7 +318,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-03-15"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsumx(_dec_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -350,8 +352,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(s, sf_dir, "supplier"), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -892,7 +894,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.col("p_type").startswith("PROMO")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100 * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev), 4
@@ -964,8 +966,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
@@ -1001,7 +1003,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsumx(_dec_revenue()).alias("revenue"))
@@ -1068,7 +1070,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",

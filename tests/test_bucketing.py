@@ -81,3 +81,22 @@ def test_q5_degrades_to_sort_merge_without_broadcast(spark, sf_dir, no_broadcast
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
     assert_matches_oracle(df, oracle, TPCH_Q5_ORACLE)
+
+
+def test_gated_broadcast_drops_hint_above_cap(spark, sf_dir, no_broadcast, oracle, monkeypatch):
+    """The real scale guard: with the file-size cap forced to zero,
+    gated_broadcast must NOT hint customer/supplier, so (with
+    auto-broadcast off) tpch_q5 plans sort-merge joins for the big
+    dims — and still matches the oracle. nation/region keep their
+    hard hints (bounded tiny) and stay broadcast."""
+    from dfs_w_mapreduce_spark import catalog
+    from dfs_w_mapreduce_spark.operators import relational as R
+    from dfs_w_mapreduce_spark.plans.explain import formatted_plan
+    from tests.conftest import assert_matches_oracle
+
+    monkeypatch.setattr(catalog, "BROADCAST_FILE_CAP", 0)
+    df = R.q_tpch_q5(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]  # nation/region hints
+    assert_matches_oracle(df, oracle, R.TPCH_Q5_ORACLE)
