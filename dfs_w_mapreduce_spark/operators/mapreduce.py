@@ -38,7 +38,7 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- tier 1
@@ -61,6 +61,27 @@ def reduce_by_key(df: DataFrame, *aggs: Column, key: str = "key") -> DataFrame:
 def map_reduce(df: DataFrame, pairs_expr: Column, *aggs: Column) -> DataFrame:
     """The reference's fixed chain: scan -> map -> shuffle -> reduce."""
     return reduce_by_key(flat_map_expr(df, pairs_expr), *aggs)
+
+
+# Reference chunks are fixed-size line runs (client.go line-chunked put);
+# the synthetic A1 corpus maps doc_id runs onto chunks at this width.
+CHUNK_LINES = 100
+
+
+def with_line_numbers(
+    lines: DataFrame, chunk_col: Column, order_col: Column
+) -> DataFrame:
+    """The reference Map's ``lineNumber`` argument (wordcountjob.go:16,
+    204-224: a 0-based counter *per chunk*, reset for every map task's
+    chunk) as a Spark operator: a partition-local row_number over a
+    deterministic chunk key. Planned as a PARTITIONED window — the
+    shuffle keys on `chunk`, so no single-partition exchange; at 100 TB
+    each chunk's numbering is computed where its rows land, exactly like
+    the reference's per-chunk counter."""
+    w = W.partitionBy(chunk_col).orderBy(order_col)
+    return lines.withColumn("chunk", chunk_col).withColumn(
+        "line_number", F.row_number().over(w) - 1
+    )
 
 
 # ---------------------------------------------------------------- tier 2
@@ -201,6 +222,50 @@ def _q_kv_group_values(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mr_map_positional(spark, sf_dir: str) -> DataFrame:
+    """Positional Map: the reference's ``Map(lineNumber, line)`` contract
+    (wordcountjob.go:16 — neither reference job reads the argument, but
+    the runner supplies it per chunk, wordcountjob.go:213-224) exercised
+    end to end: a first-occurrence inverted index — per word, its count
+    and the global position (chunk * CHUNK_LINES + line_number) of its
+    first appearance in the corpus."""
+    from dfs_w_mapreduce_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = with_line_numbers(
+        docs.select(F.col("text").alias("value"), "doc_id"),
+        F.floor(F.col("doc_id") / CHUNK_LINES),
+        F.col("doc_id"),
+    )
+    pos = (F.col("chunk") * CHUNK_LINES + F.col("line_number")).cast("bigint")
+    tokens = F.filter(F.split(F.col("value"), r"\s+"), lambda t: t != F.lit(""))
+    pairs = F.explode(tokens).alias("word")
+    return (
+        lines.select(pairs, pos.alias("pos"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"), F.min("pos").alias("first_pos"))
+    )
+
+
+MR_MAP_POSITIONAL_ORACLE = f"""
+    WITH lines AS (
+        SELECT text AS value,
+               doc_id // {CHUNK_LINES} AS chunk,
+               row_number() OVER (PARTITION BY doc_id // {CHUNK_LINES}
+                                  ORDER BY doc_id) - 1 AS line_number
+        FROM documents
+    )
+    SELECT word,
+           count(*) AS cnt,
+           CAST(min(chunk * {CHUNK_LINES} + line_number) AS BIGINT) AS first_pos
+    FROM (SELECT unnest(string_split_regex(value, '\\s+')) AS word,
+                 chunk, line_number
+          FROM lines)
+    WHERE word <> ''
+    GROUP BY word
+"""
+
+
 def _q_mr_reduce_pandas(spark, sf_dir: str) -> DataFrame:
     """Tier-2 generality: arbitrary Python Reduce(key, values) via
     applyInPandas — the reference's Atoi/sum/Itoa reduce shape
@@ -240,6 +305,14 @@ def specs():
             """,
             tags=("mapreduce", "grouping"),
             doc="key -> sorted value list (reference keyListOfValuesPair).",
+        ),
+        QuerySpec(
+            name="mr_map_positional",
+            fn=_q_mr_map_positional,
+            oracle=MR_MAP_POSITIONAL_ORACLE,
+            tags=("mapreduce", "positional"),
+            doc="Map(lineNumber, line) contract: per-chunk line numbering "
+                "feeding a first-occurrence inverted index.",
         ),
         QuerySpec(
             name="mr_reduce_pandas",

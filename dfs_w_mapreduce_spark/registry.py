@@ -63,8 +63,10 @@ DRIVER_FRONT: tuple[str, ...] = (
     "window_running", "tpch_q7",
     # no_oracle in r02 — oracle-ified this round, must re-verify
     "approx_distinct", "approx_percentiles",
-    # new this round
+    # new in round 2
     "dedup_clusters", "dedup_apply",
+    # new in round 3
+    "mr_map_positional",
 )
 
 

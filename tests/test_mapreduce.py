@@ -93,3 +93,21 @@ def test_job_facade_wordcount(spark):
     )
     got = {(r.key, r.value) for r in job.run(spark, lines).collect()}
     assert got == {("the", "3"), ("quick", "1"), ("brown", "1"), ("THE", "1")}
+
+
+def test_with_line_numbers_per_chunk_and_partitioned(spark):
+    from dfs_w_mapreduce_spark.operators.mapreduce import with_line_numbers
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id bigint"
+    ).withColumn("value", F.lit("x"))
+    out = with_line_numbers(df, F.floor(F.col("doc_id") / 4), F.col("doc_id"))
+    rows = {r.doc_id: (r.chunk, r.line_number) for r in out.collect()}
+    # counter resets at every chunk boundary, 0-based (reference
+    # wordcountjob.go:204-224 semantics)
+    assert rows[0] == (0, 0) and rows[3] == (0, 3)
+    assert rows[4] == (1, 0) and rows[7] == (1, 3)
+    assert rows[8] == (2, 0)
+    # partitioned window: the plan must not collapse to one partition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:1500]
