@@ -52,6 +52,101 @@ def decode_image(payload: bytes) -> "object":
     raise NotImplementedError("real decode path reserved for codec-enabled builds")
 
 
+# ---------------------------------------------------- real binary codecs
+#
+# WAV (RIFF) and BMP are pure-arithmetic public formats, so their decode
+# path can be REAL in this container (struct.unpack, no codec library).
+# Fixture parquet has no media column, so a builder synthesizes valid
+# files deterministically from document attributes; the decoder then
+# parses the actual bytes back. The oracle recomputes the decoded fields
+# arithmetically — any offset/endianness bug in builder or parser breaks
+# the hash match.
+
+import struct
+
+
+def build_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
+    """Minimal valid 16-bit PCM WAV: RIFF header + fmt + data chunks."""
+    bits = 16
+    block_align = n_channels * bits // 8
+    data_size = n_samples * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,  # fmt chunk size
+            1,  # PCM
+            n_channels,
+            sample_rate,
+            sample_rate * block_align,  # byte rate
+            block_align,
+            bits,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+        + bytes(data_size)
+    )
+
+
+def decode_wav(b: bytes) -> dict:
+    """Real RIFF/WAVE parser: walks the chunk list, returns the fmt
+    fields and data size. Raises on malformed input."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    out: dict = {"file_size": riff_size + 8}
+    pos = 12
+    while pos + 8 <= len(b):
+        cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            (fmt, ch, rate, _brate, balign, bits) = struct.unpack_from(
+                "<HHIIHH", b, pos + 8
+            )
+            out.update(
+                audio_format=fmt, n_channels=ch, sample_rate=rate,
+                block_align=balign, bits_per_sample=bits,
+            )
+        elif cid == b"data":
+            out["data_size"] = csize
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    return out
+
+
+def build_bmp(width: int, height: int) -> bytes:
+    """Minimal valid 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    zeroed pixel array with 4-byte row alignment."""
+    stride = (width * 3 + 3) // 4 * 4
+    pixel_bytes = stride * height
+    file_size = 54 + pixel_bytes
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      pixel_bytes, 2835, 2835, 0, 0)
+        + bytes(pixel_bytes)
+    )
+
+
+def decode_bmp(b: bytes) -> dict:
+    """Real BMP header parser (BITMAPINFOHEADER variant)."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    file_size, _, _, data_offset = struct.unpack_from("<IHHI", b, 2)
+    hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", b, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported DIB header")
+    return {
+        "file_size": file_size,
+        "data_offset": data_offset,
+        "width": width,
+        "height": height,
+        "bpp": bpp,
+    }
+
+
 def media_manifest(docs: DataFrame) -> DataFrame:
     """Binary payload + typed metadata columns from the documents
     table (the ingest convention)."""
