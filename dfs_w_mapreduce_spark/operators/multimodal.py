@@ -147,6 +147,77 @@ def decode_bmp(b: bytes) -> dict:
     }
 
 
+DECODE_SCHEMA = (
+    "doc_id long, wav_sample_rate int, wav_channels int, wav_bits int, "
+    "wav_block_align int, wav_data_size long, wav_file_size long, "
+    "bmp_width int, bmp_height int, bmp_bpp int, bmp_file_size long"
+)
+
+
+def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Build a valid WAV and BMP per document (params derived from
+    doc_id / n_chars), then parse the actual bytes back with the real
+    chunk-walking decoders. Any offset/endianness/alignment bug in
+    builder OR parser changes the decoded fields and breaks the oracle
+    hash match — the decode path is real, not a fake."""
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            rate = 8000 * (1 + doc_id % 3)
+            ch = 1 + doc_id % 2
+            n_samples = n_chars % 1000 + 1
+            wav = decode_wav(build_wav(rate, ch, n_samples))
+            width = n_chars % 64 + 1
+            height = doc_id % 48 + 1
+            bmp = decode_bmp(build_bmp(width, height))
+            rows.append(
+                (
+                    doc_id,
+                    wav["sample_rate"], wav["n_channels"], wav["bits_per_sample"],
+                    wav["block_align"], wav["data_size"], wav["file_size"],
+                    bmp["width"], bmp["height"], bmp["bpp"], bmp["file_size"],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "wav_sample_rate", "wav_channels", "wav_bits",
+                "wav_block_align", "wav_data_size", "wav_file_size",
+                "bmp_width", "bmp_height", "bmp_bpp", "bmp_file_size",
+            ],
+        )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binary decode: synthesize valid RIFF/WAVE and BMP files
+    per document and parse them back (struct-level chunk walking, no
+    codec library — both formats are pure-arithmetic public specs).
+    The oracle recomputes every decoded field from the same params, so
+    the builder->parser roundtrip is hash-verified end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").mapInPandas(
+        _build_decode_media, schema=DECODE_SCHEMA
+    )
+
+
+MULTIMODAL_DECODE_ORACLE = """
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS wav_sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS wav_channels,
+           CAST(16 AS INT) AS wav_bits,
+           CAST((1 + doc_id % 2) * 2 AS INT) AS wav_block_align,
+           CAST((n_chars % 1000 + 1) * (1 + doc_id % 2) * 2 AS BIGINT) AS wav_data_size,
+           CAST(44 + (n_chars % 1000 + 1) * (1 + doc_id % 2) * 2 AS BIGINT) AS wav_file_size,
+           CAST(n_chars % 64 + 1 AS INT) AS bmp_width,
+           CAST(doc_id % 48 + 1 AS INT) AS bmp_height,
+           CAST(24 AS INT) AS bmp_bpp,
+           CAST(54 + (((n_chars % 64 + 1) * 3 + 3) // 4) * 4 * (doc_id % 48 + 1)
+                AS BIGINT) AS bmp_file_size
+    FROM documents
+"""
+
+
 def media_manifest(docs: DataFrame) -> DataFrame:
     """Binary payload + typed metadata columns from the documents
     table (the ingest convention)."""
@@ -278,4 +349,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("multimodal_frames", q_multimodal_frames, MULTIMODAL_FRAMES_ORACLE,
                   ("multimodal", "llm"),
                   "Every-5th frame sampling with per-frame fingerprints."),
+        QuerySpec("multimodal_decode", q_multimodal_decode, MULTIMODAL_DECODE_ORACLE,
+                  ("multimodal", "llm", "pandas"),
+                  "Real WAV/BMP build->parse roundtrip, fields hash-verified."),
     ]

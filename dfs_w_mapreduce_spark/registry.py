@@ -66,7 +66,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     # new in round 2
     "dedup_clusters", "dedup_apply",
     # new in round 3
-    "mr_map_positional",
+    "mr_map_positional", "multimodal_decode",
 )
 
 

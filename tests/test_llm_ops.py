@@ -76,6 +76,36 @@ def test_decode_image_stub_raises_cleanly():
         M.decode_image(b"\x89PNG")
 
 
+def test_wav_roundtrip_and_malformed():
+    got = M.decode_wav(M.build_wav(44100, 2, 321))
+    assert got == {
+        "file_size": 44 + 321 * 4,
+        "audio_format": 1,
+        "n_channels": 2,
+        "sample_rate": 44100,
+        "block_align": 4,
+        "bits_per_sample": 16,
+        "data_size": 321 * 4,
+    }
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"NOT A WAV FILE AT ALL")
+
+
+def test_bmp_roundtrip_row_alignment_and_malformed():
+    # width=3 -> 9 pixel bytes/row, padded to 12: alignment must be
+    # consistent between builder and parser via file_size
+    got = M.decode_bmp(M.build_bmp(3, 7))
+    assert got == {
+        "file_size": 54 + 12 * 7,
+        "data_offset": 54,
+        "width": 3,
+        "height": 7,
+        "bpp": 24,
+    }
+    with pytest.raises(ValueError, match="BMP"):
+        M.decode_bmp(b"\x00\x00junk")
+
+
 def test_manifest_metadata_projection_prunes_payload(spark, sf_dir):
     """The metadata-only query must not materialize payload bytes from
     more columns than needed: scan reads only doc_id + text (payload
