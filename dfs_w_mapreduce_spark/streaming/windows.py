@@ -144,17 +144,19 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark strategies and the DuckDB idiom all agree)."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = SESSION_GAP_MIN * 60
-    # cast("double") keeps sub-second precision; unix_timestamp()
-    # truncates to whole seconds and silently merges sessions whose
-    # gap is within 1s of the threshold.
+    # Interval comparison keeps sub-second precision and is timestamp-
+    # type-agnostic: Spark 4 forbids CAST(timestamp_ntz AS double), and
+    # unix_timestamp() truncates to whole seconds, silently merging
+    # sessions whose gap is within 1s of the threshold. ts - lag(ts)
+    # yields a DayTimeInterval for both TIMESTAMP and TIMESTAMP_NTZ —
+    # the same idiom the DuckDB oracle uses.
     marked = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > F.lit(float(gap_s))
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
             ),
             1,
         ).otherwise(0),
@@ -252,24 +254,40 @@ STREAM_JSON_TYPED_ORACLE = """
 """
 
 
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the same output schema as
+    `load_table`, regardless of how `ts` is physically stored (int64
+    TIMESTAMP(NANOS) in older fixtures, TIMESTAMP(NTZ) in newer ones).
+    Streaming sources require an explicit schema, so take it from a
+    batch scan's parquet footer and apply load_table's nanos
+    conversion only when the footer says the column is a long."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # The parquet streaming source requires a directory; point it at
+    # the sf dir with a glob so only events.parquet matches.
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks demand TIMESTAMP (LTZ); with the session timezone
+        # pinned to UTC the cast preserves the wall-clock instant.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming execution through the driver
     contract: file-replay the events parquet, run the tumbling agg
     with a watermark, availableNow trigger into a memory sink, return
     the sink as a DataFrame. Rows-only check (the semantics oracle is
     `stream_tumbling`; equality of the two is asserted in tests)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The parquet streaming source requires a directory; point it at
-    # the sf dir with a glob so only events.parquet matches.
-    raw = (
-        spark.readStream.schema("event_id long, ts long, user_id long, "
-                                "event_type string, value double, props string")
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-    agg = tumbling_agg(raw.withWatermark("ts", "1 hour"))
+    agg = tumbling_agg(stream_events(spark, sf_dir).withWatermark("ts", "1 hour"))
     name = "t_" + uuid.uuid4().hex[:12]
     q = (
         agg.writeStream.outputMode("complete")

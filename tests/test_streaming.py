@@ -12,20 +12,9 @@ from pyspark.sql import functions as F
 from dfs_w_mapreduce_spark.catalog import table_path
 from dfs_w_mapreduce_spark.streaming import windows as SW
 
-RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def _stream_events(spark, sf_dir):
-    raw = (
-        spark.readStream.schema(RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Physical-layout-agnostic reader (int64 nanos vs TIMESTAMP_NTZ).
+    return SW.stream_events(spark, sf_dir)
 
 
 def _run_to_memory(df, mode="complete"):
