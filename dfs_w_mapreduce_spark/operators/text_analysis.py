@@ -285,6 +285,144 @@ TEXT_TFIDF_ORACLE = f"""
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (the Gopher/C4-style battery): fraction of
+    the document covered by its most-common token and most-common word
+    2-gram. High fractions flag boilerplate/spam for removal before
+    training. Two hash aggregations (unigram + bigram term counts per
+    doc) — at 100 TB the shuffle keys are (doc_id, term), perfectly
+    spread, and the window per doc_id touches vocabulary-sized groups."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("w"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice("w", 1, n1), F.slice("w", 2, n1), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    uni = base.select("doc_id", F.explode("w").alias("t")).groupBy("doc_id", "t").agg(
+        F.count("*").alias("n")
+    )
+    big = base.select("doc_id", F.explode(grams).alias("g")).groupBy(
+        "doc_id", "g"
+    ).agg(F.count("*").alias("n"))
+    wd = W.partitionBy("doc_id")
+
+    def top1(df, term_col, prefix):
+        return (
+            df.withColumn("total", F.sum("n").over(wd))
+            .withColumn("rk", F.row_number().over(wd.orderBy(F.desc("n"), term_col)))
+            .filter(F.col("rk") == 1)
+            .select(
+                "doc_id",
+                F.col(term_col).alias(f"top_{prefix}"),
+                F.col("n").alias(f"top_{prefix}_n"),
+                F.col("total").alias(f"n_{prefix}s"),
+                F.round(F.col("n") / F.col("total"), 4).alias(f"top_{prefix}_frac"),
+            )
+        )
+
+    return top1(uni, "t", "token").join(top1(big, "g", "bigram"), "doc_id")
+
+
+TEXT_REPETITION_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    unic AS (
+        SELECT doc_id, t, count(*) AS n
+        FROM (SELECT doc_id, unnest(w) AS t FROM base) GROUP BY 1, 2
+    ),
+    bigc AS (
+        SELECT doc_id, g, count(*) AS n
+        FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS g
+              FROM base)
+        GROUP BY 1, 2
+    ),
+    topu AS (
+        SELECT doc_id, t AS top_token, n AS top_token_n,
+               CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, t) AS rk
+        FROM unic
+    ),
+    topb AS (
+        SELECT doc_id, g AS top_bigram, n AS top_bigram_n,
+               CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rk
+        FROM bigc
+    )
+    SELECT u.doc_id, u.top_token, u.top_token_n, u.n_tokens,
+           round(u.top_token_n * 1.0 / u.n_tokens, 4) AS top_token_frac,
+           b.top_bigram, b.top_bigram_n, b.n_bigrams,
+           round(b.top_bigram_n * 1.0 / b.n_bigrams, 4) AS top_bigram_frac
+    FROM topu u JOIN topb b USING (doc_id)
+    WHERE u.rk = 1 AND b.rk = 1
+"""
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): plain character classes, no lookarounds, no \p classes.
+PII_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]"
+PII_PHONE_RE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask email/phone matches. The fixture
+    corpus is PII-free, so deterministic PII is synthesized per doc
+    (one email always, a phone for every other doc) — the regexes then
+    provably fire, and the DuckDB oracle re-runs the identical
+    synthesize→count→redact pipeline, so any cross-engine regex
+    semantic drift breaks the hash. Pure projection: scan-bound at
+    100 TB, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" or +1-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+TEXT_PII_ORACLE = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END AS t
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PII_PHONE_RE}', '<PHONE>', 'g') AS r
+        FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(length(r) AS INT) AS redacted_len,
+           md5(r) AS redacted_fp
+    FROM red
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -302,4 +440,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_tfidf", q_text_tfidf, TEXT_TFIDF_ORACLE,
                   ("text", "llm", "retrieval"),
                   "TF-IDF top-3 terms per document (inverted-index build)."),
+        QuerySpec("text_repetition", q_text_repetition, TEXT_REPETITION_ORACLE,
+                  ("text", "llm", "quality"),
+                  "Gopher-style repetition filters: top unigram/bigram fractions."),
+        QuerySpec("text_pii_redact", q_text_pii_redact, TEXT_PII_ORACLE,
+                  ("text", "llm", "quality"),
+                  "Email/phone PII counting + regex redaction (synthesized PII)."),
     ]

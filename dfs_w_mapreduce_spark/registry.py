@@ -67,6 +67,8 @@ DRIVER_FRONT: tuple[str, ...] = (
     "dedup_clusters", "dedup_apply",
     # new in round 3
     "mr_map_positional", "multimodal_decode",
+    "text_repetition", "text_pii_redact",
+    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
 )
 
 
@@ -83,6 +85,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import text_analysis
     from dfs_w_mapreduce_spark.operators import multimodal
     from dfs_w_mapreduce_spark.operators import pipeline
+    from dfs_w_mapreduce_spark.sources import roundtrip
     from dfs_w_mapreduce_spark.streaming import windows as streaming_windows
 
     registry: dict[str, QuerySpec] = {}
@@ -98,6 +101,7 @@ def collect() -> dict[str, QuerySpec]:
         text_analysis,
         multimodal,
         pipeline,
+        roundtrip,
         streaming_windows,
     ):
         for spec in module.specs():

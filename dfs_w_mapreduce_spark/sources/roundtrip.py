@@ -1,0 +1,136 @@
+"""Sink/source roundtrip operators: CSV, JSON, and partitioned parquet.
+
+The reference's storage surface is format-agnostic `put`/`get` of
+whole files (client.go chunking); its computable corpus is text. The
+Spark engine's equivalent breadth is the DataFrameWriter/Reader format
+matrix — these queries prove the non-parquet formats end-to-end
+*through the driver contract*: write the fixture table out in the
+target format, read it back (explicit schema — no inference
+nondeterminism), aggregate the read-back frame, and let the DuckDB
+oracle compute the same aggregate from the original parquet. A lossy
+writer, a schema-drifting reader, or a broken partition layout breaks
+the hash match.
+
+Scale posture: writes are the engine's normal distributed sink (one
+file per task); `sink_partitioned` additionally demonstrates
+partition-pruned reads — the scan of one `o_orderstatus` partition
+must read only that directory (PartitionFilters in the plan, asserted
+in tests/test_sources.py) — which at 100 TB is the difference between
+scanning 1/3 of the table and all of it.
+
+Each query materializes into a fresh temp dir under /tmp; the dir is
+left in place because the returned DataFrame scans it lazily (the
+driver collects after this function returns). Dirs are per-invocation
+(mkdtemp) so concurrent sessions never collide.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.registry import QuerySpec
+
+
+def _money(col: str):
+    """Decimal-typed sum rounded to cents — exact and associative, so
+    Spark's and DuckDB's accumulation orders cannot diverge."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,4)")), 2).cast("double")
+
+
+_MONEY_SQL = "CAST(round(sum(CAST({col} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> header CSV -> read back (explicit schema) -> per-status
+    rollup. Exercises quoting, date/timestamp serialization, and double
+    round-tripping through the text format."""
+    src = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_csv_"), "orders_csv")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(src.schema).option("header", True).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _money("o_totalprice").alias("total"),
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+SINK_CSV_ORACLE = f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total,
+           min(CAST(o_orderdate AS DATE)) AS first_day,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY 1
+"""
+
+
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSON lines -> read back (explicit schema) -> per
+    (lang, source) rollup. The free-text column exercises JSON string
+    escaping both directions; checksum over the round-tripped text
+    proves byte fidelity, not just row counts."""
+    src = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_json_"), "documents_json")
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema(src.schema).json(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+        .alias("text_checksum"),
+    )
+
+
+SINK_JSON_ORACLE = """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_checksum
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> parquet partitioned by o_orderstatus -> read ONE
+    partition back -> monthly rollup. The filter on the partition
+    column prunes to a single directory (PartitionFilters, asserted in
+    tests); the oracle applies the same predicate to the flat table."""
+    src = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_part_"), "orders_part")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_orders"),
+        _money("o_totalprice").alias("total"),
+    )
+
+
+SINK_PARTITIONED_ORACLE = f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("sink_csv_roundtrip", q_sink_csv_roundtrip, SINK_CSV_ORACLE,
+                  ("source", "sink", "csv"),
+                  "orders through header-CSV write+read, per-status rollup."),
+        QuerySpec("sink_json_roundtrip", q_sink_json_roundtrip, SINK_JSON_ORACLE,
+                  ("source", "sink", "json"),
+                  "documents through JSON-lines write+read with text checksum."),
+        QuerySpec("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_ORACLE,
+                  ("source", "sink", "partitioning"),
+                  "Hive-partitioned parquet write, partition-pruned read-back."),
+    ]

@@ -225,3 +225,38 @@ def test_dedup_apply_drops_exactly_non_keepers(spark, sf_dir):
     assert len(kept_ids) == total - dropped
     assert all(r.doc_id in kept_ids for r in labels if r.is_keeper)
     assert all(r.doc_id not in kept_ids for r in labels if not r.is_keeper)
+
+
+def test_repetition_fractions_sane(spark, sf_dir):
+    """Top-term fractions are valid probabilities and the top bigram
+    can never be more frequent than the top unigram."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_repetition
+
+    rows = q_text_repetition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top_token_frac <= 1 and 0 < r.top_bigram_frac <= 1
+        assert r.top_bigram_n <= r.top_token_n
+        assert r.n_bigrams == r.n_tokens - 1
+
+
+def test_pii_redaction_counts_and_masking(spark, sf_dir):
+    """Every doc gets one synthesized email; phones only on even
+    doc_ids; redaction shortens or rewrites the augmented text."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_pii_redact
+
+    rows = q_text_pii_redact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == 1
+        assert r.n_phones == (1 if r.doc_id % 2 == 0 else 0)
+
+
+def test_sink_partitioned_plan_prunes(spark, sf_dir):
+    """The registry's partitioned-sink query must read back via a
+    partition-pruned scan, not a full-table filter."""
+    from dfs_w_mapreduce_spark.plans.explain import formatted_plan
+    from dfs_w_mapreduce_spark.sources.roundtrip import q_sink_partitioned
+
+    plan = formatted_plan(q_sink_partitioned(spark, sf_dir))
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
