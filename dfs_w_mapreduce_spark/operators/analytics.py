@@ -1,0 +1,226 @@
+"""Behavioral-analytics + iterative-graph operators over `events`.
+
+Three operator families the reference's fixed MapReduce chain cannot
+express but any analytics engine at this scale must:
+
+- **Funnel** (`funnel_stages`): staged conversion (view -> click ->
+  purchase) where each stage's timestamp must be >= the previous
+  stage's. Three conditional aggregations chained by per-user joins —
+  each pass is one hash aggregate + one co-partitioned join on
+  user_id, so the three passes reuse one shuffle partitioning.
+- **Cohort retention** (`cohort_retention`): users bucketed by first-
+  activity day, activity counted per day-offset. Two aggregations
+  (first-day per user; distinct users per cohort x offset) joined on
+  user_id.
+- **PageRank** (`graph_pagerank`): 5 iterations of damped PageRank
+  over the bipartite user <-> event_type co-occurrence graph. The
+  iteration is a driver-side loop building one lazy plan (join ranks
+  to edges, integer-split rank over out-degree, hash-agg inflow) —
+  the canonical Spark iterative-algorithm shape. All arithmetic is
+  BIGINT (ranks scaled by 1e12, damping as 85/100 integer division),
+  so results are bit-exact across engines — no float-accumulation-
+  order hazard — and the DuckDB oracle is the same recurrence
+  unrolled as chained CTEs. At 100 TB: each iteration shuffles only
+  (node, rank) pairs; lineage growth is bounded by the fixed
+  iteration count (a production run with 50+ iterations would
+  localCheckpoint every ~10 rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.registry import QuerySpec
+
+FUNNEL = ("view", "click", "purchase")
+
+PAGERANK_ITERS = 5
+PR_BASE = 1_000_000_000_000  # initial/teleport rank per node (scaled)
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel: first 'view', first 'click' at-or-after that
+    view, first 'purchase' at-or-after that click. NULL = stage never
+    reached; each row carries how deep the user got."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == FUNNEL[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).alias("depth"),
+        )
+    )
+
+
+FUNNEL_ORACLE = f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = '{FUNNEL[0]}' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = '{FUNNEL[1]}' AND e.ts >= s1.t_view
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = '{FUNNEL[2]}' AND e.ts >= s2.t_click
+        GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort = first-activity day,
+    n_active = distinct users from that cohort active `day_offset`
+    days later."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+COHORT_ORACLE = """
+    WITH act AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+def _pr_edges(ev: DataFrame) -> DataFrame:
+    """Symmetric bipartite edges: u<user_id> <-> t<event_type>."""
+    pairs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("a"),
+        F.concat(F.lit("t"), F.col("event_type")).alias("b"),
+    ).distinct()
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration damped PageRank over user<->event_type edges in
+    exact integer arithmetic: rank' = (15*BASE) div 100 +
+    (85 * sum(rank_in div deg_in)) div 100, ranks scaled by 1e12."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = _pr_edges(ev).cache()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg").cache()
+    ranks = nodes.select("node", "deg", F.lit(PR_BASE).cast("long").alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(15 * PR_BASE // 100).cast("long")
+                    + F.expr("(85 * coalesce(inflow, 0)) div 100")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def _pagerank_oracle() -> str:
+    body = [
+        """
+        edges AS (
+            SELECT a AS src, b AS dst FROM (
+                SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                                't' || event_type AS b
+                FROM events
+            )
+            UNION ALL
+            SELECT b, a FROM (
+                SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS a,
+                                't' || event_type AS b
+                FROM events
+            )
+        ),
+        nodes AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        """
+        + f"r0 AS (SELECT node, deg, CAST({PR_BASE} AS BIGINT) AS rank FROM nodes)"
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        body.append(f"""
+        c{i} AS (
+            SELECT e.dst, CAST(sum(r.rank // r.deg) AS BIGINT) AS inflow
+            FROM r{i - 1} r JOIN edges e ON r.node = e.src
+            GROUP BY 1
+        ),
+        r{i} AS (
+            SELECT n.node, n.deg,
+                   CAST({15 * PR_BASE} // 100
+                        + (85 * coalesce(c.inflow, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+        )""")
+    return (
+        "WITH " + ",".join(body)
+        + f" SELECT node, rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("funnel_stages", q_funnel_stages, FUNNEL_ORACLE,
+                  ("analytics", "events"),
+                  "Staged view->click->purchase funnel with ordered timestamps."),
+        QuerySpec("cohort_retention", q_cohort_retention, COHORT_ORACLE,
+                  ("analytics", "events"),
+                  "First-activity-day cohorts x day-offset retention."),
+        QuerySpec("graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
+                  ("analytics", "graph", "iterative"),
+                  "5-iter integer-exact PageRank over user<->type edges."),
+    ]

@@ -69,6 +69,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "mr_map_positional", "multimodal_decode",
     "text_repetition", "text_pii_redact",
     "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
+    "funnel_stages", "cohort_retention", "graph_pagerank",
 )
 
 
@@ -77,6 +78,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.jobs import specs as job_specs
     from dfs_w_mapreduce_spark.operators import mapreduce
     from dfs_w_mapreduce_spark.operators import admin
+    from dfs_w_mapreduce_spark.operators import analytics
     from dfs_w_mapreduce_spark.operators import relational
     from dfs_w_mapreduce_spark.operators import temporal
     from dfs_w_mapreduce_spark.operators import dedup
@@ -92,6 +94,7 @@ def collect() -> dict[str, QuerySpec]:
     for module in (
         job_specs,
         admin,
+        analytics,
         mapreduce,
         relational,
         temporal,
