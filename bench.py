@@ -47,6 +47,15 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_lsh_bucketed",
     "bloom_build",
+    # round-3 additions (keys are additive; earlier keys stay comparable)
+    "dedup_clusters",
+    "knn_ivf",
+    "text_repetition",
+    "funnel_stages",
+    "cohort_retention",
+    "graph_pagerank",
+    "sink_partitioned",
+    "multimodal_decode",
 ]
 
 

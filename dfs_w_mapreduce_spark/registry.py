@@ -70,6 +70,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "text_repetition", "text_pii_redact",
     "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
     "funnel_stages", "cohort_retention", "graph_pagerank",
+    "stream_dedup_live",
 )
 
 

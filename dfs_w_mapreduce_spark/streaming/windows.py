@@ -301,6 +301,41 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful streaming operators executed live:
+    dropDuplicates on (user_id, event_type, 5-min bucket) followed by
+    a per-type aggregation, through an availableNow run into a memory
+    sink. Unlike `stream_tumbling_live` this one IS oracle-checkable:
+    streaming dedup-then-count over a finite replay is exactly batch
+    DISTINCT-then-count, so the DuckDB twin hash-verifies a real
+    multi-stateful-operator streaming execution."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    keyed = ev.select(
+        "user_id", "event_type", F.window("ts", "5 minutes").getField("start").alias("w")
+    ).dropDuplicates(["user_id", "event_type", "w"])
+    agg = keyed.groupBy("event_type").agg(F.count("*").alias("n_active_buckets"))
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAM_DEDUP_LIVE_ORACLE = """
+    SELECT event_type, count(*) AS n_active_buckets
+    FROM (SELECT DISTINCT user_id, event_type,
+                 time_bucket(INTERVAL '5 minutes', ts) AS w
+          FROM events)
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_ORACLE,
@@ -328,4 +363,7 @@ def specs() -> list[QuerySpec]:
                   ("streaming", "live"),
                   "Actual readStream->memory-sink execution (rows-only; "
                   "equality with stream_tumbling asserted in tests)."),
+        QuerySpec("stream_dedup_live", q_stream_dedup_live, STREAM_DEDUP_LIVE_ORACLE,
+                  ("streaming", "live", "dedup"),
+                  "Live chained stateful ops (dedup->agg), oracle-verified."),
     ]

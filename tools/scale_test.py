@@ -63,6 +63,13 @@ QUERIES = [
     "text_quality",
     "text_tfidf",
     "bloom_build",
+    # round-3 operators
+    "dedup_clusters",
+    "text_repetition",
+    "funnel_stages",
+    "cohort_retention",
+    "graph_pagerank",
+    "sink_partitioned",
 ]
 
 
