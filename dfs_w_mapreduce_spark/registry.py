@@ -65,12 +65,16 @@ DRIVER_FRONT: tuple[str, ...] = (
     "approx_distinct", "approx_percentiles",
     # new in round 2
     "dedup_clusters", "dedup_apply",
-    # new in round 3
+    # new in round 3, ordered by driver-environment risk: the 50-row
+    # snapshot window cuts somewhere below, so the queries most likely
+    # to behave differently under the driver's session (live streaming
+    # with temp checkpoints, temp-dir sink roundtrips) come first and
+    # the pure-expression text ops can wait a round for their row.
     "mr_map_positional", "multimodal_decode",
-    "text_repetition", "text_pii_redact",
-    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
-    "funnel_stages", "cohort_retention", "graph_pagerank",
     "stream_dedup_live",
+    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
+    "graph_pagerank", "funnel_stages", "cohort_retention",
+    "text_repetition", "text_pii_redact",
 )
 
 

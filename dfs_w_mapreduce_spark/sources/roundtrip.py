@@ -107,7 +107,11 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders")
     out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_part_"), "orders_part")
     src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # Explicit schema: an empty source writes zero partition dirs, and
+    # a schema-less read of an empty hive layout cannot infer anything.
+    back = spark.read.schema(src.schema).parquet(out).filter(
+        F.col("o_orderstatus") == "F"
+    )
     return back.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.count("*").alias("n_orders"),
         _money("o_totalprice").alias("total"),
