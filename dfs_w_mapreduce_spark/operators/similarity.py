@@ -320,8 +320,117 @@ def _knn_ivf_oracle() -> str:
     """
 
 
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (chunk->document pooling), emitted as
+    (label, pos, n, mean_val) rows — long form both because the driver
+    canonicalizer needs scalar cells and because at 100 TB the long
+    form is one explode + one hash aggregate on (label, pos): evenly
+    spread keys, no wide-row skew. Element sums run in DECIMAL so the
+    1000-executor reduction-tree order cannot perturb the mean (a
+    float32 widened to double then cast to DECIMAL(20,10) can never
+    sit on a rounding tie: binary fractions have no exact 5e-11
+    remainder)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("double").cast("decimal(20,10)")).alias("_s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            # + 0.0 collapses IEEE negative zero (round can yield -0.0
+            # in one engine and +0.0 in the other for tiny negatives)
+            (F.round(F.col("_s").cast("double") / F.col("n"), 4) + 0.0).alias(
+                "mean_val"
+            ),
+        )
+    )
+
+
+EMBEDDING_POOL_ORACLE = """
+    SELECT label, CAST(pos - 1 AS INT) AS pos, count(*) AS n,
+           round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 4) + 0.0 AS mean_val
+    FROM (
+        SELECT label, pos, embedding[pos] AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) g
+    )
+    GROUP BY 1, 2
+"""
+
+
+QUANT_LEVELS = 256
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization: per-dimension global [min,max] ->
+    code = floor((x-min)/(max-min)*256) clamped to 255. Returns one
+    row per vector with a position-weighted code checksum and the max
+    reconstruction error. The dim table (one min/max per position) is
+    vocabulary-sized and broadcasts; everything else is a projection +
+    one (vec_id) aggregate. Quantization arithmetic is single IEEE
+    ops, bit-identical across engines; code sums are exact ints."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    dims = ex.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    q = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(QUANT_LEVELS - 1),
+            F.floor(
+                (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * QUANT_LEVELS
+            ),
+        )
+    ).cast("long")
+    recon = F.col("lo") + (F.col("q") + 0.5) * (F.col("hi") - F.col("lo")) / QUANT_LEVELS
+    return (
+        ex.join(F.broadcast(dims), "pos")
+        .withColumn("q", q)
+        .withColumn("err", F.abs(recon - F.col("x")))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("q") * (F.col("pos") + 1)).alias("code_checksum"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) g
+    ),
+    dims AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+    coded AS (
+        SELECT vec_id, ex.pos, x, lo, hi,
+               CAST(CASE WHEN hi = lo THEN 0
+                         ELSE least({QUANT_LEVELS - 1},
+                                    floor((x - lo) / (hi - lo) * {QUANT_LEVELS}))
+                    END AS BIGINT) AS q
+        FROM ex JOIN dims ON ex.pos = dims.pos
+    )
+    SELECT vec_id,
+           CAST(sum(q * (pos + 1)) AS BIGINT) AS code_checksum,
+           round(max(abs(lo + (q + 0.5) * (hi - lo) / {QUANT_LEVELS} - x)), 6) AS max_err
+    FROM coded GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("embedding_pool", q_embedding_pool, EMBEDDING_POOL_ORACLE,
+                  ("embedding", "llm"),
+                  "Per-label element-wise mean pooling (decimal-exact sums)."),
+        QuerySpec("embedding_quantize", q_embedding_quantize, EMBEDDING_QUANTIZE_ORACLE,
+                  ("embedding", "llm", "compression"),
+                  "int8 scalar quantization with reconstruction-error report."),
         QuerySpec("embedding_stats", q_embedding_stats, EMBEDDING_STATS_ORACLE,
                   ("similarity", "llm"), "Per-label embedding norm statistics."),
         QuerySpec("knn_bruteforce", q_knn_bruteforce, KNN_BRUTEFORCE_ORACLE,

@@ -423,6 +423,63 @@ TEXT_PII_ORACLE = f"""
 """
 
 
+VOCAB_TOP = 100
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction step 0: corpus-wide term frequencies,
+    top-100 terms by count, and the cumulative fraction of all tokens
+    each vocabulary prefix covers (the curve that decides vocab size
+    for a tokenizer). One explode + one hash aggregate; the ranked
+    window runs over the vocabulary-sized aggregate, not the corpus."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), "term")
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= VOCAB_TOP
+    )
+    total = tf.agg(F.sum("cnt").alias("_t"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "term",
+        "cnt",
+        F.round(
+            F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            / F.col("_t"),
+            6,
+        ).alias("cum_frac"),
+    )
+
+
+VOCAB_COVERAGE_ORACLE = f"""
+    WITH tf AS (
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents)
+        GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tf),
+    ranked AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tf
+    )
+    SELECT CAST(rank AS INT) AS rank, term, cnt,
+           round(cum * 1.0 / t, 6) AS cum_frac
+    FROM ranked CROSS JOIN total
+    WHERE rank <= {VOCAB_TOP}
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -446,4 +503,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_pii_redact", q_text_pii_redact, TEXT_PII_ORACLE,
                   ("text", "llm", "quality"),
                   "Email/phone PII counting + regex redaction (synthesized PII)."),
+        QuerySpec("vocab_coverage", q_vocab_coverage, VOCAB_COVERAGE_ORACLE,
+                  ("text", "llm", "tokenizer"),
+                  "Top-100 vocabulary with cumulative token coverage curve."),
     ]

@@ -75,6 +75,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
     "graph_pagerank", "funnel_stages", "cohort_retention",
     "text_repetition", "text_pii_redact",
+    "embedding_pool", "embedding_quantize", "vocab_coverage",
 )
 
 
