@@ -12,8 +12,9 @@ engine/executor facts from the SparkContext. Driver-side by nature
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import list_tables
+from dfs_w_mapreduce_spark.catalog import list_tables, load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 
@@ -37,10 +38,60 @@ def q_engine_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, value string")
 
 
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over `documents` (the `info` surface grown into
+    real data profiling): per column, null count, exact distinct
+    count, and min/max rendered as strings. Computed in ONE global
+    aggregation pass (Catalyst expands the distinct counts into expand
+    + two-phase agg), then pivoted to long form with stack — a single
+    scan regardless of column count."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            # min/max on the NATIVE type, cast after — string-casting
+            # first would compare '10' < '9' lexically
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    )
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_val,
+                   CAST(max({c}) AS VARCHAR) AS max_val,
+                   count(*) AS n_rows
+            FROM documents"""
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("catalog_ls", q_catalog_ls, None, ("admin",),
                   "Catalog listing (reference `ls`, client.go:788-797)."),
         QuerySpec("engine_info", q_engine_info, None, ("admin",),
                   "Engine diagnostics (reference `info`, client.go:798-805)."),
+        QuerySpec("profile_table", q_profile_table, _profile_oracle(), ("admin", "profiling"),
+                  "Single-pass column profiler (nulls/distincts/min/max)."),
     ]

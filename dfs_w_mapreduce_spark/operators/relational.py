@@ -1327,6 +1327,71 @@ MERGE_UPSERT_ORACLE = """
 """
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build via gaps-and-islands: treat each
+    customer's order stream as a change feed of `o_orderpriority`,
+    collapse consecutive equal values into one validity interval
+    (change-point flag -> running island id -> per-island min/lead),
+    mark the open interval current. Window order key includes
+    o_orderkey because order dates duplicate within a customer.
+    One shuffle on o_custkey feeds both windows and the final group."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey").withColumn(
+        "chg",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.col("o_orderpriority") != F.lag("o_orderpriority").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    g = islands.groupBy("o_custkey", "island", "o_orderpriority").agg(
+        F.min("o_orderdate").alias("eff_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("island")
+    return g.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "eff_from",
+        F.lead("eff_from").over(w2).alias("eff_to"),
+        "n_orders",
+        F.lead("eff_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+    WITH marked AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                      OR o_orderpriority <> lag(o_orderpriority) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    islands AS (
+        SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    g AS (
+        SELECT o_custkey, island, o_orderpriority,
+               min(o_orderdate) AS eff_from, count(*) AS n_orders
+        FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority, eff_from,
+           lead(eff_from) OVER w2 AS eff_to,
+           n_orders,
+           lead(eff_from) OVER w2 IS NULL AS is_current
+    FROM g
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)
+"""
+
+
 def specs() -> list[QuerySpec]:
     mk = QuerySpec
     return [
@@ -1365,6 +1430,7 @@ def specs() -> list[QuerySpec]:
         mk("tpch_q14", q_tpch_q14, TPCH_Q14_ORACLE, ("relational", "join", "agg"), "TPC-H Q14 promo revenue ratio."),
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
+        mk("scd2_build", q_scd2_build, SCD2_ORACLE, ("relational", "cdc", "window"), "SCD-type-2 intervals via gaps-and-islands."),
         mk("approx_percentiles", q_approx_percentiles, APPROX_PERCENTILES_ORACLE, ("relational", "approx"), "GK approx percentiles: exact quantiles + in-query bounded-error verdict."),
         mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
         mk("window_frames", q_window_frames, WINDOW_FRAMES_ORACLE, ("relational", "window"), "RANGE/sliding frames, nth_value, percent_rank, cume_dist."),

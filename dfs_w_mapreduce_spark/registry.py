@@ -76,6 +76,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "graph_pagerank", "funnel_stages", "cohort_retention",
     "text_repetition", "text_pii_redact",
     "embedding_pool", "embedding_quantize", "vocab_coverage",
+    "scd2_build", "profile_table",
 )
 
 
