@@ -212,6 +212,58 @@ def _pagerank_oracle() -> str:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: events whose value is > 3 sigma from their
+    event_type's mean. Sufficient statistics (n, sum, sum-of-squares)
+    are computed in DECIMAL so they are exact and order-independent;
+    mean/variance derive from the exact sums in double (one identical
+    IEEE expression per engine) — no stddev() call, whose
+    accumulation order would differ between engines. Stats table is
+    type-cardinality-sized and broadcasts back onto the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        joined.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("z", 4).alias("z"),
+        )
+    )
+
+
+ANOMALY_ORACLE = f"""
+    WITH stats AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS s1,
+               sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+        FROM events GROUP BY 1
+    ),
+    scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - CAST(s1 AS DOUBLE) / n)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS z
+        FROM events e JOIN stats USING (event_type)
+    )
+    SELECT event_id, event_type, round(value, 4) AS value, round(z, 4) AS z
+    FROM scored WHERE abs(z) > {Z_THRESHOLD}
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("funnel_stages", q_funnel_stages, FUNNEL_ORACLE,
@@ -223,4 +275,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
                   ("analytics", "graph", "iterative"),
                   "5-iter integer-exact PageRank over user<->type edges."),
+        QuerySpec("anomaly_zscore", q_anomaly_zscore, ANOMALY_ORACLE,
+                  ("analytics", "quality"),
+                  "3-sigma outliers from exact-decimal sufficient statistics."),
     ]

@@ -77,6 +77,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "text_repetition", "text_pii_redact",
     "embedding_pool", "embedding_quantize", "vocab_coverage",
     "scd2_build", "profile_table",
+    "anomaly_zscore", "stream_file_sink_live",
 )
 
 

@@ -336,6 +336,61 @@ STREAM_DEDUP_LIVE_ORACLE = """
 """
 
 
+def q_stream_file_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> FILE sink executed live: the tumbling aggregation
+    written as append-mode parquet (watermark-closed windows only)
+    with a real checkpoint dir, then the sink directory is read back
+    and re-aggregated per event_type. Oracle: append mode emits
+    exactly the windows the watermark passed — for a finite replay
+    with a 1-hour watermark, every window strictly older than the
+    final hour relative to the max event time; the DuckDB twin
+    applies the same cutoff. Proves the durable-sink path (the
+    reference's 'reducer output put back to the DFS'), not just the
+    memory sink."""
+    import tempfile
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = tumbling_agg(ev)
+    base = tempfile.mkdtemp(prefix="graft_stream_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    back = spark.read.schema(agg.schema).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("n").alias("n_events"),
+        F.round(F.sum(F.col("total").cast("decimal(18,4)")), 2).cast("double").alias("grand_total"),
+    )
+
+
+STREAM_FILE_SINK_ORACLE = """
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type, count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    cutoff AS (
+        SELECT time_bucket(INTERVAL '5 minutes', max(ts) - INTERVAL '1 hour') AS wm
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_windows,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(total AS DECIMAL(18,4))), 2) AS DOUBLE) AS grand_total
+    FROM agg CROSS JOIN cutoff
+    WHERE window_start + INTERVAL '5 minutes' <= wm
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_ORACLE,
@@ -366,4 +421,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_dedup_live", q_stream_dedup_live, STREAM_DEDUP_LIVE_ORACLE,
                   ("streaming", "live", "dedup"),
                   "Live chained stateful ops (dedup->agg), oracle-verified."),
+        QuerySpec("stream_file_sink_live", q_stream_file_sink_live,
+                  STREAM_FILE_SINK_ORACLE, ("streaming", "live", "sink"),
+                  "Live append-mode parquet file sink + checkpoint, read back."),
     ]
