@@ -277,6 +277,44 @@ def _q_mr_reduce_pandas(spark, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 3
+
+
+@F.udtf(returnType="idx int, ngram string")
+class NgramUDTF:
+    """UDTF tier: a real Python UDTF (1 row -> 0..N rows, the exact
+    reference Map arity) expanding word trigrams. Row-at-a-time
+    Python is the documented slow path — this tier exists for API
+    parity (SURVEY §2.5 UDF/UDAF/UDTF row), the expression tier is
+    the hot path for the same shape (text_chunking/_shingles)."""
+
+    def eval(self, text: str):
+        toks = [t for t in (text or "").split() if t]
+        for i in range(len(toks) - NGRAM_N + 1):
+            yield i, " ".join(toks[i : i + NGRAM_N])
+
+
+def _q_mr_map_udtf(spark, sf_dir: str) -> DataFrame:
+    from dfs_w_mapreduce_spark.catalog import load_table
+
+    spark.udtf.register("ngrams_udtf", NgramUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, n.idx, n.ngram "
+        "FROM _docs_udtf d, LATERAL ngrams_udtf(d.text) n"
+    )
+
+
+MR_MAP_UDTF_ORACLE = f"""
+    SELECT doc_id, CAST(i - 1 AS INT) AS idx,
+           array_to_string(w[i:i + {NGRAM_N - 1}], ' ') AS ngram
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+          FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS i) g
+"""
+
+
 def specs():
     from dfs_w_mapreduce_spark.registry import QuerySpec
     from dfs_w_mapreduce_spark.sources.readers import KV_PAIRS_SQL, TEXT_LINES_SQL
@@ -315,6 +353,13 @@ def specs():
                 "feeding a first-occurrence inverted index.",
         ),
         QuerySpec(
+            name="mr_map_udtf",
+            fn=_q_mr_map_udtf,
+            oracle=MR_MAP_UDTF_ORACLE,
+            tags=("mapreduce", "udtf"),
+            doc="Python UDTF map tier (lateral trigram expansion).",
+        ),
+        QuerySpec(
             name="mr_reduce_pandas",
             fn=_q_mr_reduce_pandas,
             oracle=f"""
@@ -326,3 +371,15 @@ def specs():
             doc="applyInPandas UDAF escape hatch (arbitrary Reduce parity).",
         ),
     ]
+
+
+# Workers deserialize the UDTF class by value: the driver session's
+# Python workers don't have this repo on their import path, and Spark
+# serializes with its VENDORED cloudpickle — registering with the
+# standalone cloudpickle package does nothing (same coupling as
+# operators/multimodal.py / sources/chunked_source.py).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

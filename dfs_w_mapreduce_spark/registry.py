@@ -78,6 +78,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "embedding_pool", "embedding_quantize", "vocab_coverage",
     "scd2_build", "profile_table",
     "anomaly_zscore", "stream_file_sink_live",
+    "source_chunked_scan", "mr_map_udtf", "stream_json_variant",
 )
 
 

@@ -1,0 +1,83 @@
+"""Custom Python DataSource: the reference's line-chunked storage
+model as a first-class Spark source.
+
+The reference DFS splits every stored file into fixed-size chunks on
+line boundaries and runs one map task per chunk with per-chunk line
+numbers (client.go SendLineChunks; wordcountjob.go `Map(lineNumber,
+line)`). This module reproduces that contract through Spark's Python
+DataSource API (pyspark 4.x): `refchunks` plans one InputPartition
+per chunk from parquet FOOTER metadata only (no data read at plan
+time — the controller-side chunk map), and each partition's reader
+yields `(chunk_id, line_no, value)` with line numbers local to the
+chunk, exactly the tuple the reference hands its mappers.
+
+Scale posture: partition planning is O(row-count/lines_per_chunk)
+driver-side arithmetic; each task reads the column-pruned corpus and
+slices its own row range. At 100 TB the slice would push down to
+parquet row groups (the chunk map IS the row-group map); the fixture
+is a single row group, so each task prunes columns but scans the
+file — documented, and irrelevant beyond fixture scale where real
+files have thousands of row groups.
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class ChunkPartition(InputPartition):
+    def __init__(self, chunk_id: int, start: int, end: int):
+        self.chunk_id = chunk_id
+        self.start = start
+        self.end = end
+
+
+class ChunkedTextReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.lines_per_chunk = int(options.get("lines_per_chunk", "100"))
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(self.path).metadata.num_rows  # footer only
+        step = self.lines_per_chunk
+        return [
+            ChunkPartition(i // step, i, min(i + step, n))
+            for i in range(0, n, step)
+        ]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path, columns=["doc_id", "text"])
+        # Deterministic line order = doc_id order (the fixture writes
+        # rows in doc_id order; sorting makes that a contract, not an
+        # accident of file layout).
+        t = t.sort_by("doc_id").slice(
+            partition.start, partition.end - partition.start
+        )
+        for line_no, text in enumerate(t.column("text").to_pylist()):
+            yield (partition.chunk_id, line_no, text)
+
+
+class ChunkedTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "refchunks"
+
+    def schema(self) -> str:
+        return "chunk_id int, line_no int, value string"
+
+    def reader(self, schema) -> ChunkedTextReader:
+        return ChunkedTextReader(self.options)
+
+
+# Worker processes deserialize the DataSource by value: the driver's
+# session has no importable copy of this repo on its executors' path
+# (same coupling as operators/multimodal.py).
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

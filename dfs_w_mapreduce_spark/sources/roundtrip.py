@@ -126,6 +126,50 @@ SINK_PARTITIONED_ORACLE = f"""
 """
 
 
+CHUNK_LINES = 100
+
+
+def q_source_chunked_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan `documents` through the custom `refchunks` Python
+    DataSource (sources/chunked_source.py — the reference's
+    line-chunked `get` with per-chunk line numbers) and aggregate per
+    chunk: line count, the max local line number (must be count-1 if
+    per-chunk numbering is correct), and an md5-derived content
+    checksum. The oracle rebuilds chunk/line assignment with
+    row_number arithmetic over the same parquet — any drift in the
+    source's partition planning, row order, or line numbering breaks
+    the hash."""
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    df = (
+        spark.read.format("refchunks")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("lines_per_chunk", str(CHUNK_LINES))
+        .load()
+    )
+    checksum = F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+    return df.groupBy("chunk_id").agg(
+        F.count("*").alias("n_lines"),
+        F.max("line_no").alias("max_line"),
+        F.sum(checksum).alias("checksum"),
+    )
+
+
+SOURCE_CHUNKED_ORACLE = f"""
+    WITH numbered AS (
+        SELECT text,
+               CAST((row_number() OVER (ORDER BY doc_id) - 1) // {CHUNK_LINES} AS INT) AS chunk_id,
+               CAST((row_number() OVER (ORDER BY doc_id) - 1) % {CHUNK_LINES} AS INT) AS line_no
+        FROM documents
+    )
+    SELECT chunk_id, count(*) AS n_lines,
+           CAST(max(line_no) AS INT) AS max_line,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM numbered GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("sink_csv_roundtrip", q_sink_csv_roundtrip, SINK_CSV_ORACLE,
@@ -137,4 +181,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_ORACLE,
                   ("source", "sink", "partitioning"),
                   "Hive-partitioned parquet write, partition-pruned read-back."),
+        QuerySpec("source_chunked_scan", q_source_chunked_scan, SOURCE_CHUNKED_ORACLE,
+                  ("source", "datasource-api"),
+                  "Custom Python DataSource: reference-style line chunks."),
     ]

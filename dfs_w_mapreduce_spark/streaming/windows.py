@@ -336,6 +336,30 @@ STREAM_DEDUP_LIVE_ORACLE = """
 """
 
 
+def q_stream_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing via VariantType (Spark 4): parse_json
+    once into a variant, typed extraction with variant_get — the
+    shredded-JSON path that replaces per-field string re-parsing at
+    scale. Oracle extracts the same field with DuckDB's JSON ops."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        (F.variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+    )
+
+
+STREAM_JSON_VARIANT_ORACLE = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing
+    FROM events
+"""
+
+
 def q_stream_file_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming -> FILE sink executed live: the tumbling aggregation
     written as append-mode parquet (watermark-closed windows only)
@@ -424,4 +448,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_file_sink_live", q_stream_file_sink_live,
                   STREAM_FILE_SINK_ORACLE, ("streaming", "live", "sink"),
                   "Live append-mode parquet file sink + checkpoint, read back."),
+        QuerySpec("stream_json_variant", q_stream_json_variant,
+                  STREAM_JSON_VARIANT_ORACLE, ("streaming", "json", "variant"),
+                  "VariantType parse_json/variant_get typed extraction."),
     ]
