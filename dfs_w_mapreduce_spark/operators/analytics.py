@@ -28,7 +28,7 @@ express but any analytics engine at this scale must:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dfs_w_mapreduce_spark.catalog import load_table
@@ -264,6 +264,98 @@ ANOMALY_ORACLE = f"""
 """
 
 
+INCR_CUTOFF_FRAC = 0.8
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance algebra: split events at a cutoff
+    (80% through the time range), aggregate base and delta
+    independently, MERGE the partial states (n, decimal sum, min, max
+    are all mergeable), and emit the merged result. The oracle
+    aggregates the full table directly — equality proves the merge is
+    lossless, the property incremental refresh and streaming state
+    stores rely on. All merge math is count/decimal/min/max: exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    if bounds.lo is None:  # empty input: any cutoff splits nothing
+        import datetime
+
+        cutoff = datetime.datetime(1970, 1, 1)
+    else:
+        cutoff = bounds.lo + (bounds.hi - bounds.lo) * INCR_CUTOFF_FRAC
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < F.lit(cutoff)))
+    delta = partial(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("s"), 2).cast("double").alias("total"),
+        F.round("mn", 4).alias("min_val"),
+        F.round("mx", 4).alias("max_val"),
+    )
+
+
+INCREMENTAL_AGG_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total,
+           round(min(value), 4) AS min_val,
+           round(max(value), 4) AS max_val
+    FROM events GROUP BY 1
+"""
+
+
+HIST_BUCKETS = 10
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile(10) of value within each
+    event_type (tie-broken by event_id so the split is deterministic
+    at every scale factor), per-bucket count and value range."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bucket", F.ntile(HIST_BUCKETS).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = f"""
+    SELECT event_type, CAST(bucket AS INT) AS bucket, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM (SELECT event_type, value,
+                 ntile({HIST_BUCKETS}) OVER (PARTITION BY event_type
+                                             ORDER BY value, event_id) AS bucket
+          FROM events)
+    GROUP BY 1, 2
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("funnel_stages", q_funnel_stages, FUNNEL_ORACLE,
@@ -278,4 +370,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("anomaly_zscore", q_anomaly_zscore, ANOMALY_ORACLE,
                   ("analytics", "quality"),
                   "3-sigma outliers from exact-decimal sufficient statistics."),
+        QuerySpec("incremental_agg", q_incremental_agg, INCREMENTAL_AGG_ORACLE,
+                  ("analytics", "incremental"),
+                  "Partial-state merge (base+delta) equals full aggregation."),
+        QuerySpec("value_histogram", q_value_histogram, VALUE_HISTOGRAM_ORACLE,
+                  ("analytics", "histogram"),
+                  "Equi-depth ntile histogram per event_type."),
     ]

@@ -29,6 +29,22 @@ from pyspark import cloudpickle as _cloudpickle
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
+def _num_rows(path: str) -> int:
+    """Row count from parquet footer metadata, for a single file or a
+    Spark-written directory of part files (no data pages read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 class ChunkPartition(InputPartition):
     def __init__(self, chunk_id: int, start: int, end: int):
         self.chunk_id = chunk_id
@@ -42,10 +58,8 @@ class ChunkedTextReader(DataSourceReader):
         self.lines_per_chunk = int(options.get("lines_per_chunk", "100"))
 
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        n = pq.ParquetFile(self.path).metadata.num_rows  # footer only
         step = self.lines_per_chunk
+        n = _num_rows(self.path)  # footers only
         return [
             ChunkPartition(i // step, i, min(i + step, n))
             for i in range(0, n, step)
@@ -54,6 +68,8 @@ class ChunkedTextReader(DataSourceReader):
     def read(self, partition):
         import pyarrow.parquet as pq
 
+        if partition is None:  # empty source: Spark calls read() once
+            return
         t = pq.read_table(self.path, columns=["doc_id", "text"])
         # Deterministic line order = doc_id order (the fixture writes
         # rows in doc_id order; sorting makes that a contract, not an

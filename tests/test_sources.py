@@ -67,3 +67,40 @@ def test_csv_json_readers(spark, tmp_path):
         f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     dj = spark.read.json(js, schema="a long, b string")
     assert {(r.a, r.b) for r in dj.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_chunked_datasource_contract(spark, sf_dir):
+    """The refchunks DataSource: per-chunk 0-based line numbers, chunk
+    sizes equal lines_per_chunk except the tail, total lines = corpus
+    rows, and planning tolerates lines_per_chunk > row count."""
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = spark.read.parquet(path).count()
+
+    df = (
+        spark.read.format("refchunks")
+        .option("path", path)
+        .option("lines_per_chunk", "64")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == n_docs
+    by_chunk = {}
+    for r in rows:
+        by_chunk.setdefault(r.chunk_id, []).append(r.line_no)
+    for cid, lines in by_chunk.items():
+        assert sorted(lines) == list(range(len(lines)))
+        if cid < max(by_chunk) :
+            assert len(lines) == 64
+
+    # one giant chunk: single partition, still the whole corpus
+    one = (
+        spark.read.format("refchunks")
+        .option("path", path)
+        .option("lines_per_chunk", str(n_docs * 10))
+        .load()
+    )
+    assert one.count() == n_docs
+    assert one.select("chunk_id").distinct().count() == 1
