@@ -86,6 +86,62 @@ def _profile_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint sweep, one row per check: referential
+    integrity (orders -> customer, lineitem -> orders via broadcast-
+    able anti-joins), primary-key uniqueness, NOT-NULL, and a domain
+    check. The long-form (check, n_violations) output is what a
+    pipeline gate consumes; every check is a filter/anti-join + count,
+    so the sweep costs one scan per involved table at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        (
+            "orders_fk_customer",
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
+        ),
+        (
+            "lineitem_fk_orders",
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        (
+            "orders_pk_unique",
+            orders.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+        ),
+        ("orders_totalprice_not_null", orders.filter(F.col("o_totalprice").isNull())),
+        (
+            "orders_status_domain",
+            orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+    ]
+    out = None
+    for name, viol in checks:
+        row = viol.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check"), "n_violations"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+DQ_CONSTRAINTS_ORACLE = """
+    SELECT 'orders_fk_customer' AS check, count(*) AS n_violations
+    FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem_fk_orders', count(*)
+    FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders_pk_unique', count(*)
+    FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'orders_totalprice_not_null', count(*)
+    FROM orders WHERE o_totalprice IS NULL
+    UNION ALL
+    SELECT 'orders_status_domain', count(*)
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("catalog_ls", q_catalog_ls, None, ("admin",),
@@ -94,4 +150,7 @@ def specs() -> list[QuerySpec]:
                   "Engine diagnostics (reference `info`, client.go:798-805)."),
         QuerySpec("profile_table", q_profile_table, _profile_oracle(), ("admin", "profiling"),
                   "Single-pass column profiler (nulls/distincts/min/max)."),
+        QuerySpec("dq_constraints", q_dq_constraints, DQ_CONSTRAINTS_ORACLE,
+                  ("admin", "quality"),
+                  "FK/PK/not-null/domain constraint sweep, long-form counts."),
     ]

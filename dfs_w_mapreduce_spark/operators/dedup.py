@@ -162,7 +162,15 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot shingles — the baseline the LSH path is measured against."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # Join on a 60-bit md5-derived long, not the shingle string: the
+    # inverted-index shuffle and join hash tables then carry 8-byte
+    # keys instead of ~15-char strings (the memory peak of this
+    # operator). Distinct shingles collide with ~2^-60 probability;
+    # the oracle hashes identically so both engines agree regardless.
+    ex = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
+    )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -187,7 +195,8 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_ORACLE = f"""
     WITH sh AS ({_DOC_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    ex AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS s
+           FROM sh),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -552,12 +561,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
+        prev_labels = labels
         labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .cache()
         )
+        labels.count()  # materialize the new cache, then release the
+        prev_labels.unpersist()  # superseded round's blocks: a long run
+        # would otherwise pin every round's labels in (eviction-immune)
+        # storage memory and starve later queries' execution pool
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
         labels.join(sizes, "label")

@@ -79,7 +79,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "scd2_build", "profile_table",
     "anomaly_zscore", "stream_file_sink_live",
     "source_chunked_scan", "mr_map_udtf", "stream_json_variant",
-    "incremental_agg", "value_histogram",
+    "incremental_agg", "value_histogram", "dq_constraints",
 )
 
 

@@ -66,6 +66,10 @@ qs, os_ = e.queries(), e.oracle_sql()
 fails = 0
 for name, fn in sorted(qs.items()):
     try:
+        # queries that .cache() shared frames must not starve later
+        # queries' execution memory (observed: accumulated eviction-
+        # immune storage blocks OOM'd the ngram join at sf0.1)
+        spark.catalog.clearCache()
         sdf = fn(spark, SF)
         got_cols = sdf.columns
         got = [tuple(r) for r in sdf.collect()]
