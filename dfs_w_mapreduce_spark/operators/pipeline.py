@@ -114,6 +114,40 @@ def _decontaminate_oracle() -> str:
     """
 
 
+STRATA_K = 25
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: exactly K docs per source, chosen by
+    rank over the deterministic doc hash (reproducible 'random' order,
+    same property as mix_sample_by_source but with an exact per-group
+    quota — what a training-mix builder actually needs). One window
+    per source partition; at 100 TB the per-group top-K never
+    materializes the group (rank + filter prune early)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    h = _h31_spark(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATA_K)
+        .select("doc_id", "source", "rk")
+    )
+
+
+def _stratified_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {h} ASC, doc_id ASC) AS rk
+            FROM documents
+        ) WHERE rk <= {STRATA_K}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
@@ -122,4 +156,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("decontaminate", q_decontaminate, _decontaminate_oracle(),
                   ("pipeline", "llm"),
                   "Benchmark-ngram decontamination via inverted-index anti-join."),
+        QuerySpec("sample_stratified", q_sample_stratified, _stratified_oracle(),
+                  ("pipeline", "llm", "sampling"),
+                  "Exact K-per-source stratified sample via hash-rank window."),
     ]
