@@ -1392,6 +1392,37 @@ SCD2_ORACLE = """
 """
 
 
+def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression battery: try_cast on unparseable
+    strings, try_divide by zero, try_to_timestamp on invalid dates —
+    the NULL-not-exception contract a pipeline needs to survive dirty
+    data without ANSI-mode job aborts. Oracle uses DuckDB TRY_CAST and
+    a CASE guard for the zero denominator."""
+    o = load_table(spark, sf_dir, "orders")
+    day = (F.col("o_orderkey") % 40).cast("int")  # 00 and 32..39 invalid
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+        F.round(F.try_divide("o_totalprice", F.col("o_custkey") % 3), 4).alias("ratio"),
+        F.try_to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad(day.cast("string"), 2, "0"))
+        ).alias("maybe_ts"),
+    )
+
+
+SAFE_ARITHMETIC_ORACLE = """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           round(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / (o_custkey % 3) END, 4) AS ratio,
+           TRY_CAST('2024-01-' || lpad(CAST(o_orderkey % 40 AS VARCHAR), 2, '0')
+                    AS TIMESTAMP) AS maybe_ts
+    FROM orders
+"""
+
+
 def specs() -> list[QuerySpec]:
     mk = QuerySpec
     return [
@@ -1431,6 +1462,7 @@ def specs() -> list[QuerySpec]:
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
         mk("scd2_build", q_scd2_build, SCD2_ORACLE, ("relational", "cdc", "window"), "SCD-type-2 intervals via gaps-and-islands."),
+        mk("safe_arithmetic", q_safe_arithmetic, SAFE_ARITHMETIC_ORACLE, ("relational", "scalar", "errors"), "try_cast/try_divide/try_to_timestamp dirty-data battery."),
         mk("approx_percentiles", q_approx_percentiles, APPROX_PERCENTILES_ORACLE, ("relational", "approx"), "GK approx percentiles: exact quantiles + in-query bounded-error verdict."),
         mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
         mk("window_frames", q_window_frames, WINDOW_FRAMES_ORACLE, ("relational", "window"), "RANGE/sliding frames, nth_value, percent_rank, cume_dist."),

@@ -80,7 +80,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "anomaly_zscore", "stream_file_sink_live",
     "source_chunked_scan", "mr_map_udtf", "stream_json_variant",
     "incremental_agg", "value_histogram", "dq_constraints",
-    "sample_stratified",
+    "sample_stratified", "stream_stateful_live", "safe_arithmetic",
 )
 
 

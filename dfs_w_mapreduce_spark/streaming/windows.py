@@ -415,6 +415,53 @@ STREAM_FILE_SINK_ORACLE = """
 """
 
 
+def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator executed live: per-user running counts
+    through applyInPandasWithState (the arbitrary-stateful-reduce
+    escape hatch — the streaming analog of the reference's Reduce
+    generality), availableNow into a memory sink. Update mode emits
+    one row per user per micro-batch, so the query returns the MAX
+    emitted count per user — which must equal the batch per-user
+    count, making a genuinely stateful execution hash-checkable."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    counted = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_fn,
+            outputStructType="user_id long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).groupBy("user_id").agg(F.max("n").alias("n_events"))
+
+
+STREAM_STATEFUL_ORACLE = """
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_ORACLE,
@@ -451,4 +498,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_json_variant", q_stream_json_variant,
                   STREAM_JSON_VARIANT_ORACLE, ("streaming", "json", "variant"),
                   "VariantType parse_json/variant_get typed extraction."),
+        QuerySpec("stream_stateful_live", q_stream_stateful_live,
+                  STREAM_STATEFUL_ORACLE, ("streaming", "live", "stateful"),
+                  "Live applyInPandasWithState running counts, oracle-verified."),
     ]
