@@ -356,6 +356,57 @@ VALUE_HISTOGRAM_ORACLE = f"""
 """
 
 
+def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy resolution by POINTER JUMPING: each node's
+    parent pointer doubles per round (parent -> grandparent -> ...),
+    reaching every root in O(log depth) rounds instead of the O(depth)
+    rounds of naive label propagation — the right recursion shape for
+    deep hierarchies at scale. The hierarchy is derived
+    deterministically from customers: parent(c) = c div 10, roots are
+    custkey < 10, so depth <= 6 digits and 3 doubling rounds suffice
+    (jump covers 2^3 = 8 levels). Each round is one self-join on the
+    (node, ancestor) frame; depth sums the same way. Oracle: DuckDB
+    recursive CTE walking parents one level at a time."""
+    c = load_table(spark, sf_dir, "customer")
+    # (node, anc, d): current known ancestor + its distance
+    cur = c.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 10, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("anc"),
+        F.when(F.col("c_custkey") < 10, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    for _ in range(3):  # 2^3 = 8 >= max depth (6-digit custkeys)
+        j = cur.alias("x").join(
+            cur.alias("y"), F.col("x.anc") == F.col("y.node")
+        ).select(
+            F.col("x.node").alias("node"),
+            F.col("y.anc").alias("anc"),
+            (F.col("x.d") + F.col("y.d")).alias("d"),
+        )
+        cur = j
+    return cur.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
+
+
+HIERARCHY_ORACLE = """
+    WITH RECURSIVE walk(node, anc, d) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey < 10 THEN c_custkey ELSE c_custkey // 10 END,
+               CASE WHEN c_custkey < 10 THEN 0 ELSE 1 END
+        FROM customer WHERE c_custkey >= 10
+        UNION ALL
+        SELECT w.node,
+               CASE WHEN w.anc < 10 THEN w.anc ELSE w.anc // 10 END,
+               w.d + CASE WHEN w.anc < 10 THEN 0 ELSE 1 END
+        FROM walk w WHERE w.anc >= 10
+    )
+    SELECT DISTINCT node, anc AS root, CAST(d AS INT) AS depth
+    FROM walk WHERE anc < 10
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("funnel_stages", q_funnel_stages, FUNNEL_ORACLE,
@@ -376,4 +427,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("value_histogram", q_value_histogram, VALUE_HISTOGRAM_ORACLE,
                   ("analytics", "histogram"),
                   "Equi-depth ntile histogram per event_type."),
+        QuerySpec("hierarchy_closure", q_hierarchy_closure, HIERARCHY_ORACLE,
+                  ("analytics", "graph", "recursive"),
+                  "Pointer-jumping transitive closure (root + depth per node)."),
     ]
