@@ -315,6 +315,76 @@ MR_MAP_UDTF_ORACLE = f"""
 """
 
 
+def _q_cogroup_pandas(spark, sf_dir: str) -> DataFrame:
+    """Two-input grouped map via cogroup + applyInPandas: per order
+    key, both the order rows AND its lineitems arrive as pandas frames
+    in one function call — the co-group the reference cannot express
+    (its ComputeRequest takes exactly one input file; SURVEY §2.5
+    joins row). Output: order count check + decimal-exact lineitem
+    revenue per order, computed in Python, verified against a plain
+    SQL join-aggregate."""
+    import decimal
+
+    import pandas as pd
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def merge(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # lineitem without order: excluded (inner semantics)
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_orders", "n_items", "revenue"]
+            )
+        # decimal per-item rounding, exact and order-independent
+        rev = sum(
+            (
+                decimal.Decimal(str(p)) * (1 - decimal.Decimal(str(d)))
+            ).quantize(decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP)
+            for p, d in zip(ldf["l_extendedprice"], ldf["l_discount"])
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_orders": [len(odf)],
+                "n_items": [len(ldf)],
+                # quantize, not round(): Python round on Decimal is
+                # HALF_EVEN; DuckDB rounds HALF_UP
+                "revenue": [
+                    float(
+                        decimal.Decimal(rev).quantize(
+                            decimal.Decimal("0.01"),
+                            rounding=decimal.ROUND_HALF_UP,
+                        )
+                    )
+                ],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge, "o_orderkey long, n_orders long, n_items long, revenue double"
+        )
+    )
+
+
+COGROUP_ORACLE = """
+    SELECT o_orderkey,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(l_orderkey) AS n_items,
+           CAST(round(coalesce(sum(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                                         * (1 - CAST(l_discount AS DECIMAL(18,4))), 4)),
+                               0), 2) AS DOUBLE) AS revenue
+    FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""
+
+
 def specs():
     from dfs_w_mapreduce_spark.registry import QuerySpec
     from dfs_w_mapreduce_spark.sources.readers import KV_PAIRS_SQL, TEXT_LINES_SQL
@@ -358,6 +428,14 @@ def specs():
             oracle=MR_MAP_UDTF_ORACLE,
             tags=("mapreduce", "udtf"),
             doc="Python UDTF map tier (lateral trigram expansion).",
+        ),
+        QuerySpec(
+            name="cogroup_pandas",
+            fn=_q_cogroup_pandas,
+            oracle=COGROUP_ORACLE,
+            tags=("mapreduce", "cogroup", "pandas"),
+            doc="Two-input grouped map (cogroup+applyInPandas) — the "
+                "co-group the single-input reference chain cannot express.",
         ),
         QuerySpec(
             name="mr_reduce_pandas",

@@ -81,7 +81,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "source_chunked_scan", "mr_map_udtf", "stream_json_variant",
     "incremental_agg", "value_histogram", "dq_constraints",
     "sample_stratified", "stream_stateful_live", "safe_arithmetic",
-    "hierarchy_closure",
+    "hierarchy_closure", "cogroup_pandas",
 )
 
 
