@@ -173,8 +173,24 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = ex.alias("a"), ex.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # shuffle_hash hint: the exploded corpus-sized frame must
+        # never be broadcast (AQE would try at fixture scale and build a
+        # hundreds-of-MB HashedRelation in the driver heap; observed
+        # OOM at sf0.1 in a default-heap session). Shuffled-hash keeps
+        # per-partition build maps executor-side and small.
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        # Repartition the (quadratic) pair stream on the pair key
+        # BEFORE aggregating: the join tasks then only write shuffle
+        # blocks (no partial-agg hash map over millions of pairs in
+        # the join stage — that map's sort-fallback OOM'd a
+        # pressured 1g heap), and the count runs on many small
+        # co-partitioned tasks with no further exchange.
+        .repartition(64, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     na, nb = sizes.alias("na"), sizes.alias("nb")
