@@ -148,6 +148,125 @@ def _stratified_oracle() -> str:
     """
 
 
+SEQ_LEN = 64  # training sequence length (tokens) for packing
+N_PACK_SHARDS = 32
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay the corpus out as fixed-length training
+    sequences (GPT-style concat-then-split). Each doc, in doc_id
+    order, gets a global token start offset; pack_id = offset div
+    SEQ_LEN, plus how many packs the doc spans.
+
+    The global prefix sum is computed WITHOUT a single-partition
+    window (the naive `Window.orderBy(doc_id)` collapses 100 TB onto
+    one task): range-shard on doc_id, cumsum within each shard, then
+    add the tiny per-shard totals' own prefix sum back via a
+    broadcast join — the classic two-level scan. Shard boundaries
+    don't affect the result, only the order does, so the output is
+    boundary- and partitioner-invariant.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    per_doc = (
+        d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .repartitionByRange(N_PACK_SHARDS, "doc_id")
+        .withColumn("shard", F.spark_partition_id())
+    )
+    per_doc = per_doc.persist()
+    in_shard = W.partitionBy("shard").orderBy("doc_id")
+    local = per_doc.withColumn(
+        "local_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                in_shard.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    shard_w = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        per_doc.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .withColumn("shard_before", F.coalesce(F.sum("shard_total").over(shard_w), F.lit(0)))
+        .select("shard", "shard_before")
+    )
+    start = F.col("local_before") + F.col("shard_before")
+    return (
+        local.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / SEQ_LEN).alias("pack_id"),
+            (start % SEQ_LEN).alias("offset_in_pack"),
+            (
+                F.floor((start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / SEQ_LEN)
+                - F.floor(start / SEQ_LEN)
+                + 1
+            ).cast("int").alias("packs_spanned"),
+        )
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / {SEQ_LEN}) AS BIGINT) AS pack_id,
+           start_offset % {SEQ_LEN} AS offset_in_pack,
+           CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / {SEQ_LEN})
+                - floor(start_offset / {SEQ_LEN}) + 1 AS INT) AS packs_spanned
+    FROM o
+"""
+
+
+# split thresholds on h(doc_id) % 100: [0,80) train, [80,90) val, rest test
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 90
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the split follows the
+    document hash, not row order, so it is stable across reruns,
+    engines, and repartitioning — then rolled up per (source, split)
+    to verify the mix. Single hash-agg; scan-bound at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _h31_spark(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _split_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT source,
+               CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {h} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
@@ -159,4 +278,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sample_stratified", q_sample_stratified, _stratified_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact K-per-source stratified sample via hash-rank window."),
+        QuerySpec("pack_sequences", q_pack_sequences, PACK_SEQUENCES_ORACLE,
+                  ("pipeline", "llm", "tokenizer"),
+                  "Fixed-length sequence packing via two-level distributed prefix sum."),
+        QuerySpec("split_train_val_test", q_split_train_val_test, _split_oracle(),
+                  ("pipeline", "llm", "sampling"),
+                  "Hash-deterministic train/val/test split rolled up per source."),
     ]

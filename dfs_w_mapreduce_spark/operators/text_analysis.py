@@ -480,6 +480,221 @@ VOCAB_COVERAGE_ORACLE = f"""
 """
 
 
+SEG_LEN = 8          # tokens per pseudo-paragraph segment
+SEG_DOC_FREQ_MAX = 2  # keep a segment iff it occurs in <= this many docs
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet/RefinedWeb line-dedup):
+    segment every document into fixed 8-token pseudo-paragraphs (the
+    fixture corpus is single-line, so token windows stand in for
+    lines), count each segment's distinct-document frequency across
+    the WHOLE corpus, drop segments shared by more than
+    SEG_DOC_FREQ_MAX documents, and reassemble the cleaned text.
+
+    Plan shape at 100 TB: one explode, one hash-agg keyed on the
+    segment string for the frequency table, one hash join back
+    (segment space ~ corpus size — no broadcast), one per-doc
+    reassembly agg. Segments shuffle as strings once; nothing is
+    pairwise. The left join from `documents` keeps docs whose every
+    segment was boilerplate (cleaned_text = '')."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_segs = F.ceil(F.size("tk") / SEG_LEN).cast("int")
+    segs = (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.posexplode(
+                F.when(F.size("tk") > 0, F.sequence(F.lit(0), n_segs - 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("seg_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice("tk", F.col("seg_idx") * SEG_LEN + 1, SEG_LEN), " "
+            ).alias("seg"),
+        )
+    )
+    segs = segs.persist()
+    freq = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("seg_df")
+    )
+    kept = segs.join(freq, "seg").filter(F.col("seg_df") <= SEG_DOC_FREQ_MAX)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_segs"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+TEXT_LINE_DEDUP_ORACLE = f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, tk,
+               unnest(range(0, CAST(ceil(len(tk) / {SEG_LEN}.0) AS INT))) AS seg_idx
+        FROM tk
+    ),
+    segs AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               array_to_string(tk[(seg_idx * {SEG_LEN} + 1):(seg_idx * {SEG_LEN} + {SEG_LEN})], ' ') AS seg
+        FROM idx
+    ),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY 1),
+    kept AS (
+        SELECT s.* FROM segs s JOIN freq USING (seg)
+        WHERE seg_df <= {SEG_DOC_FREQ_MAX}
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+               array_to_string(list(seg ORDER BY seg_idx), ' ') AS cleaned_text
+        FROM kept GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segs FROM segs GROUP BY 1)
+    SELECT t.doc_id, t.n_segs,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# BM25 keyword retrieval: fixed two-term queries over fixture vocabulary
+BM25_QUERIES: tuple[tuple[str, str, str], ...] = (
+    ("q_spark_join", "spark", "join"),
+    ("q_window_scan", "window", "scan"),
+    ("q_hash_stream", "hash", "stream"),
+)
+BM25_K1, BM25_B, BM25_TOP_K = 1.2, 0.75, 5
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: score a fixed set of two-term queries
+    against the corpus, return the top-5 documents per query.
+
+    The corpus-side explode filters to the queries' term set BEFORE
+    any aggregation, so tf/df are computed only for matched terms —
+    at 100 TB the post-filter stream is (hits x terms), not the
+    corpus. Document length and corpus stats come from a size()
+    projection (no explode, no shuffle); df and the query list are
+    broadcast-sized. Score = sum over query terms of
+    idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with the standard
+    +0.5 idf smoothing; two-term sums are order-safe in doubles."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    qterms = sorted({t for _, a, b in BM25_QUERIES for t in (a, b)})
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, a, b in BM25_QUERIES for t in (a, b)],
+        "query_id string, term string",
+    )
+    toks = tokens_col(F.lower(F.col("text")))
+    dl = d.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("double").alias("tot_dl"),
+        F.count("*").cast("double").alias("n_docs"),
+    )
+    hits = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(qterms))
+    )
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = hits.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    avgdl = F.col("tot_dl") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    s = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    )
+    scored = (
+        queries.join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(s), 4).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, a, b in BM25_QUERIES for t in (a, b)
+    )
+    qterms = ", ".join(
+        f"'{t}'" for t in sorted({t for _, a, b in BM25_QUERIES for t in (a, b)})
+    )
+    return f"""
+        WITH q(query_id, term) AS (VALUES {qvals}),
+        dl AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot_dl,
+                         CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        hits AS (
+            SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> '')) AS term
+                FROM documents
+            ) WHERE term IN ({qterms})
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY 1),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({BM25_K1} + 1)
+                          / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (tot_dl / n_docs))))
+                   ), 4) AS score
+            FROM q JOIN tf USING (term) JOIN df USING (term)
+                 JOIN dl ON tf.doc_id = dl.doc_id
+                 CROSS JOIN stats
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= {BM25_TOP_K}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -506,4 +721,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("vocab_coverage", q_vocab_coverage, VOCAB_COVERAGE_ORACLE,
                   ("text", "llm", "tokenizer"),
                   "Top-100 vocabulary with cumulative token coverage curve."),
+        QuerySpec("text_line_dedup", q_text_line_dedup, TEXT_LINE_DEDUP_ORACLE,
+                  ("text", "llm", "dedup"),
+                  "CCNet-style corpus boilerplate-segment removal + doc rebuild."),
+        QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(),
+                  ("text", "llm", "retrieval"),
+                  "BM25 top-5 retrieval for fixed queries via filtered inverted index."),
     ]

@@ -260,3 +260,156 @@ def test_sink_partitioned_plan_prunes(spark, sf_dir):
 
     plan = formatted_plan(q_sink_partitioned(spark, sf_dir))
     assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark, sf_dir):
+    """The two-level sharded prefix sum must equal the naive
+    single-window cumulative sum (shard boundaries must not leak into
+    the result), and per-doc offsets must tile the token stream."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.pipeline import SEQ_LEN, q_pack_sequences
+
+    got = {r.doc_id: r for r in q_pack_sequences(spark, sf_dir).collect()}
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    naive = (
+        d.select("doc_id", F.size(toks).cast("long").alias("n"))
+        .withColumn(
+            "start",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .collect()
+    )
+    assert len(naive) == len(got)
+    for r in naive:
+        g = got[r.doc_id]
+        assert g.start_offset == r.start
+        assert g.pack_id == r.start // SEQ_LEN
+        assert g.offset_in_pack == r.start % SEQ_LEN
+        assert 0 <= g.offset_in_pack < SEQ_LEN
+
+
+def test_text_line_dedup_matches_python_oracle(spark, sf_dir):
+    """Segment frequency thresholding and doc reassembly vs a
+    pure-Python reimplementation over the collected fixture corpus."""
+    from collections import Counter
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        SEG_DOC_FREQ_MAX,
+        SEG_LEN,
+        q_text_line_dedup,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    segs = {
+        did: [
+            " ".join(tk[i : i + SEG_LEN])
+            for i in range(0, len(tk), SEG_LEN)
+        ]
+        for did, tk in ((d, t.split()) for d, t in docs.items())
+    }
+    freq = Counter()
+    for ss in segs.values():
+        for s in set(ss):
+            freq[s] += 1
+    expected = {
+        did: [s for s in ss if freq[s] <= SEG_DOC_FREQ_MAX]
+        for did, ss in segs.items()
+    }
+
+    rows = q_text_line_dedup(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    dropped_any = False
+    for r in rows:
+        want = expected[r.doc_id]
+        assert r.n_segs == len(segs[r.doc_id])
+        assert r.n_kept == len(want)
+        assert r.cleaned_text == " ".join(want)
+        dropped_any |= r.n_kept < r.n_segs
+    assert dropped_any, "fixture should contain shared boilerplate segments"
+
+
+def test_bm25_matches_python_oracle(spark, sf_dir):
+    """BM25 scores and top-k ranking vs a pure-Python reimplementation."""
+    import math
+    from collections import Counter
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+        q_bm25_search,
+    )
+
+    docs = {
+        r.doc_id: r.text.lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = Counter()
+    for tk in docs.values():
+        for t in set(tk):
+            df[t] += 1
+
+    def score(terms, tk):
+        c = Counter(tk)
+        s = 0.0
+        for t in terms:
+            if c[t] == 0 or df[t] == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * c[t] * (BM25_K1 + 1) / (
+                c[t] + BM25_K1 * (1 - BM25_B + BM25_B * len(tk) / avgdl)
+            )
+        return round(s, 4)
+
+    expected = {}
+    for qid, a, b in BM25_QUERIES:
+        scored = [
+            (did, score((a, b), tk)) for did, tk in docs.items()
+        ]
+        scored = [(d_, s) for d_, s in scored if s > 0]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expected[qid] = scored[:BM25_TOP_K]
+
+    rows = q_bm25_search(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rk))
+    for qid, want in expected.items():
+        g = sorted(got[qid], key=lambda x: x[2])
+        assert [(d_, s) for d_, s, _ in g] == want, qid
+        assert [rk for _, _, rk in g] == list(range(1, len(g) + 1))
+
+
+def test_split_train_val_test_fractions(spark, sf_dir):
+    """Hash split should be ~80/10/10 overall and cover every source."""
+    from dfs_w_mapreduce_spark.operators.pipeline import q_split_train_val_test
+
+    rows = q_split_train_val_test(spark, sf_dir).collect()
+    by_split = {}
+    sources = set()
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+        sources.add(r.source)
+    total = sum(by_split.values())
+    assert len(sources) >= 4
+    assert 0.70 <= by_split["train"] / total <= 0.90
+    assert by_split["val"] / total <= 0.20
+    assert by_split["test"] / total <= 0.20

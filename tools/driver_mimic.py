@@ -63,6 +63,11 @@ def norm(v):
     return str(v)
 
 qs, os_ = e.queries(), e.oracle_sql()
+only = {n for n in os.environ.get("ONLY", "").split(",") if n}
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f"ONLY names unknown queries: {sorted(unknown)}"
+    qs = {n: f for n, f in qs.items() if n in only}
 fails = 0
 for name, fn in sorted(qs.items()):
     try:
