@@ -1,0 +1,274 @@
+"""Storage-layout operators: the physical-design levers that decide
+whether a 100 TB table is scannable or not.
+
+The reference is a DFS that manages physical layout explicitly — 15 MB
+chunks placed across nodes (/root/reference/dfs/config.go chunk size;
+controller chunk placement) — so layout management is part of its
+computable surface, re-expressed here in Spark terms:
+
+- **Z-order clustering** (`zorder_layout`): multi-dimensional sort-key
+  interleaving so per-file min/max statistics prune on BOTH join/filter
+  dimensions, not just the leading sort column. Pure integer bit math
+  (exactly reproducible cross-engine); the query emits the per-bucket
+  min/max envelopes that a lakehouse would write into file footers.
+- **Bucketed co-located join** (`join_bucketed`): pre-shuffled storage
+  so repeated fact-fact joins on the same key skip the exchange. The
+  query writes both sides bucketed+sorted, joins them under a disabled
+  broadcast threshold, and emits the observed Exchange count as a
+  column — the oracle pins it to 1 (the final groupBy only), making
+  the *plan property itself* hash-verified, not just the rows.
+- **Chunk compaction** (`compact_chunks`): the small-files problem —
+  many tiny chunks → one right-sized file set (the DFS equivalent of
+  chunk merging). Emits before/after file counts and row conservation.
+
+All scratch state lives in a per-run temp dir + uniquely-named catalog
+tables, dropped before the query returns (the result is materialized
+first, then rebuilt as a local DataFrame, so the driver's lazy collect
+never touches the dropped tables).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.registry import QuerySpec
+
+ZBITS = 10          # bits per dimension in the z-value
+ZBUCKET_SHIFT = 16  # keep the top 4 of 20 z-bits => 16 layout buckets
+
+
+def _zvalue_spark(x, y):
+    """Interleave the low ZBITS bits of x (odd positions) and y (even):
+    the Morton / Z-order curve index."""
+    acc = F.lit(0).cast("long")
+    for i in range(ZBITS):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        acc = acc.bitwiseOR(F.shiftleft(xbit, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i)
+        )
+    return acc
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    parts = [
+        f"((({x} >> {i}) & 1) << {2 * i + 1}) | ((({y} >> {i}) & 1) << {2 * i})"
+        for i in range(ZBITS)
+    ]
+    return "(" + " | ".join(parts) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lineitem on (l_partkey, l_suppkey) and report each
+    layout bucket's min/max envelope on both dimensions.
+
+    With a linear sort on l_partkey alone, every file spans the full
+    l_suppkey range and a suppkey predicate prunes nothing; under the
+    Z-curve both per-bucket ranges are narrow, so footer min/max
+    skipping works for either predicate. At 100 TB this is a one-time
+    `repartitionByRange(zvalue).sortWithinPartitions(zvalue)` rewrite;
+    the bucket envelope aggregation below is the evidence query and is
+    a single hash-agg over integer columns — exactly reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    # min/max-normalize each key into the 10-bit z domain with pure
+    # integer division (`div`): exact on both engines at any SF, unlike
+    # a double divide whose floor can straddle a boundary ulp.
+    scaled = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"(l_partkey - pmin) * {1 << ZBITS} div (pmax - pmin + 1)").alias("x"),
+        F.expr(f"(l_suppkey - smin) * {1 << ZBITS} div (smax - smin + 1)").alias("y"),
+    )
+    z = _zvalue_spark(F.col("x"), F.col("y"))
+    return (
+        scaled.select("x", "y", F.shiftright(z, ZBUCKET_SHIFT).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    z = _zvalue_sql("x", "y")
+    return f"""
+        WITH bounds AS (
+            SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                   min(l_suppkey) AS smin, max(l_suppkey) AS smax
+            FROM lineitem
+        ),
+        pts AS (
+            SELECT CAST((l_partkey - pmin) * {1 << ZBITS} // (pmax - pmin + 1) AS BIGINT) AS x,
+                   CAST((l_suppkey - smin) * {1 << ZBITS} // (smax - smin + 1) AS BIGINT) AS y
+            FROM lineitem CROSS JOIN bounds
+        )
+        SELECT ({z} >> {ZBUCKET_SHIFT}) AS bucket,
+               count(*) AS n_rows,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y
+        FROM pts
+        GROUP BY 1
+    """
+
+
+N_BUCKETS = 8
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join: write lineitem and orders bucketed
+    and sorted by the join key, join the bucketed tables with
+    broadcast disabled, and aggregate per order status.
+
+    The bucketed scan's output partitioning already satisfies the
+    join's distribution requirement, so the sort-merge join runs with
+    ZERO exchanges — the only shuffle left is the final 3-group
+    aggregate. `n_join_exchanges` carries the observed Exchange count
+    into the hash-checked result (oracle pins 1): the shuffle-free
+    property is verified by the driver, not just by a local test.
+
+    At 100 TB bucketing is the one-shuffle-at-write-time answer to
+    repeated joins on the same key; 8 buckets here stands in for the
+    thousands a cluster would use."""
+    tag = uuid.uuid4().hex[:8]
+    tmp = tempfile.mkdtemp(prefix=f"spark_graft_bucketed_{tag}_")
+    li_t, o_t = f"li_bucketed_{tag}", f"o_bucketed_{tag}"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{tmp}/li")
+            .saveAsTable(li_t)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{tmp}/o")
+            .saveAsTable(o_t)
+        )
+        lib, ob = spark.table(li_t), spark.table(o_t)
+        joined = (
+            lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        from dfs_w_mapreduce_spark.plans.explain import exchange_count
+
+        n_ex = exchange_count(joined)
+        rows = [
+            (r.o_orderstatus, r.n_lines, r.sum_qty, n_ex)
+            for r in joined.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus string, n_lines bigint, sum_qty double, n_join_exchanges int",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+JOIN_BUCKETED_ORACLE = """
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           1 AS n_join_exchanges
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+
+COMPACT_SMALL_N = 64  # simulated small-chunk count
+COMPACT_TARGET_N = 4  # compacted file count
+
+
+def q_compact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: write `events` as 64 tiny parquet
+    chunks (the DFS-accumulated-small-chunks state), compact to 4
+    right-sized files, and verify conservation: file counts on both
+    sides plus exact row and value totals surviving the rewrite.
+
+    The compaction itself is `repartition(target)` — a single
+    round-robin shuffle sized so each output file lands near the
+    parquet sweet spot (at 100 TB: target = bytes / 512 MB, computed
+    from scan statistics rather than hardcoded)."""
+    import glob
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        ev.repartition(COMPACT_SMALL_N).write.mode("overwrite").parquet(f"{tmp}/small")
+        small = spark.read.parquet(f"{tmp}/small")
+        n_small = len(glob.glob(f"{tmp}/small/part-*.parquet"))
+        small.repartition(COMPACT_TARGET_N).write.mode("overwrite").parquet(
+            f"{tmp}/compact"
+        )
+        n_compact = len(glob.glob(f"{tmp}/compact/part-*.parquet"))
+        agg = (
+            spark.read.parquet(f"{tmp}/compact")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("event_id").cast("long")).alias("sum_event_id"),
+                F.count_distinct("user_id").alias("n_users"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(n_small, n_compact, agg.n_rows, agg.sum_event_id, agg.n_users)],
+            "n_small_files int, n_compact_files int, n_rows bigint, "
+            "sum_event_id bigint, n_users bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+COMPACT_CHUNKS_ORACLE = f"""
+    SELECT {COMPACT_SMALL_N} AS n_small_files,
+           {COMPACT_TARGET_N} AS n_compact_files,
+           count(*) AS n_rows,
+           CAST(sum(CAST(event_id AS BIGINT)) AS BIGINT) AS sum_event_id,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(),
+                  ("layout", "scale"),
+                  "Z-order clustering envelopes for two-dimensional file skipping."),
+        QuerySpec("join_bucketed", q_join_bucketed, JOIN_BUCKETED_ORACLE,
+                  ("layout", "scale", "join"),
+                  "Co-located bucketed join; Exchange count pinned to 1 in the oracle."),
+        QuerySpec("compact_chunks", q_compact_chunks, COMPACT_CHUNKS_ORACLE,
+                  ("layout", "scale", "storage"),
+                  "Small-chunk compaction with file-count and value conservation."),
+    ]

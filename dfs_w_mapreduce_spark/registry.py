@@ -99,6 +99,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import text_analysis
     from dfs_w_mapreduce_spark.operators import multimodal
     from dfs_w_mapreduce_spark.operators import pipeline
+    from dfs_w_mapreduce_spark.operators import layout
     from dfs_w_mapreduce_spark.sources import roundtrip
     from dfs_w_mapreduce_spark.streaming import windows as streaming_windows
 
@@ -116,6 +117,7 @@ def collect() -> dict[str, QuerySpec]:
         text_analysis,
         multimodal,
         pipeline,
+        layout,
         roundtrip,
         streaming_windows,
     ):

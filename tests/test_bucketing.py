@@ -100,3 +100,52 @@ def test_gated_broadcast_drops_hint_above_cap(spark, sf_dir, no_broadcast, oracl
     assert "SortMergeJoin" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]  # nation/region hints
     assert_matches_oracle(df, oracle, R.TPCH_Q5_ORACLE)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """Each of the 16 z-buckets fixes the top 2 bits of BOTH scaled
+    dimensions, so every bucket envelope spans at most a quarter of
+    either domain — the property that makes footer min/max skipping
+    work for predicates on either column."""
+    from dfs_w_mapreduce_spark.operators.layout import ZBITS, q_zorder_layout
+
+    quarter = (1 << ZBITS) // 4
+    rows = q_zorder_layout(spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.max_x - r.min_x < quarter, r
+        assert r.max_y - r.min_y < quarter, r
+
+
+def test_join_bucketed_cleans_up_catalog_and_conf(spark, sf_dir):
+    """The registry query must leave no tables, no temp warehouse
+    dirs, and the broadcast threshold restored."""
+    import glob
+    import tempfile
+
+    from dfs_w_mapreduce_spark.operators.layout import q_join_bucketed
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    rows = q_join_bucketed(spark, sf_dir).collect()
+    assert {r.n_join_exchanges for r in rows} == {1}
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert not [t.name for t in spark.catalog.listTables() if "bucketed" in t.name]
+    assert not glob.glob(f"{tempfile.gettempdir()}/spark_graft_bucketed_*")
+
+
+def test_compact_chunks_conserves_and_cleans(spark, sf_dir):
+    import glob
+    import tempfile
+
+    from dfs_w_mapreduce_spark.operators.layout import (
+        COMPACT_SMALL_N,
+        COMPACT_TARGET_N,
+        q_compact_chunks,
+    )
+    from dfs_w_mapreduce_spark.catalog import load_table
+
+    r = q_compact_chunks(spark, sf_dir).collect()[0]
+    assert r.n_small_files == COMPACT_SMALL_N
+    assert r.n_compact_files == COMPACT_TARGET_N
+    assert r.n_rows == load_table(spark, sf_dir, "events").count()
+    assert not glob.glob(f"{tempfile.gettempdir()}/spark_graft_compact_*")
