@@ -462,6 +462,79 @@ STREAM_STATEFUL_ORACLE = """
 """
 
 
+STREAM_JOIN_WINDOW_MIN = 120
+
+
+def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join executed live: views
+    joined to the same user's clicks arriving within two hours,
+    through an availableNow run into a memory sink, then rolled up
+    per user (pair count + min/max view->click latency in exact
+    microseconds).
+
+    Both sides carry watermarks and the join predicate carries the
+    event-time range — the combination Structured Streaming needs to
+    bound join state: past the watermark, buffered views can never
+    match a future click and are evicted. At 100 TB state is
+    O(traffic within the watermark horizon), not O(stream). A finite
+    replay makes the result exactly the batch interval join, so the
+    DuckDB twin hash-verifies a real dual-stream stateful execution."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "3 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "3 hours")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+    )
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    lat = F.unix_micros("click_ts") - F.unix_micros("view_ts")
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(lat).alias("min_latency_us"),
+            F.max(lat).alias("max_latency_us"),
+        )
+    )
+
+
+STREAM_JOIN_LIVE_ORACLE = f"""
+    SELECT v.user_id, count(*) AS n_pairs,
+           min(epoch_us(c.ts) - epoch_us(v.ts)) AS min_latency_us,
+           max(epoch_us(c.ts) - epoch_us(v.ts)) AS max_latency_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL '{STREAM_JOIN_WINDOW_MIN} minutes'
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_ORACLE,
@@ -501,4 +574,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_stateful_live", q_stream_stateful_live,
                   STREAM_STATEFUL_ORACLE, ("streaming", "live", "stateful"),
                   "Live applyInPandasWithState running counts, oracle-verified."),
+        QuerySpec("stream_join_live", q_stream_join_live, STREAM_JOIN_LIVE_ORACLE,
+                  ("streaming", "live", "join"),
+                  "Live watermarked stream-stream interval join, oracle-verified."),
     ]

