@@ -93,6 +93,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import analytics
     from dfs_w_mapreduce_spark.operators import relational
     from dfs_w_mapreduce_spark.operators import temporal
+    from dfs_w_mapreduce_spark.operators import tpch_extra
     from dfs_w_mapreduce_spark.operators import dedup
     from dfs_w_mapreduce_spark.operators import similarity
     from dfs_w_mapreduce_spark.operators import sketches
@@ -110,6 +111,7 @@ def collect() -> dict[str, QuerySpec]:
         analytics,
         mapreduce,
         relational,
+        tpch_extra,
         temporal,
         dedup,
         similarity,

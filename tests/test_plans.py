@@ -103,3 +103,33 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for r in rows:
         assert r.exact_parts == exact[r.l_returnflag]
+
+
+def test_tpch_q9_broadcasts_dims_and_prunes(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators import tpch_extra as TX
+
+    df = TX.q_tpch_q9(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    read = set(scan_read_schema(df))
+    assert "l_orderkey" not in read and "l_tax" not in read, read
+
+
+def test_tpch_q16_pushes_isin_filter(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators import tpch_extra as TX
+
+    # p_size IN (...) and the <> filters must reach the part scan
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    assert has_pushed_filters(p)
+    assert TX.q_tpch_q16(spark, sf_dir).count() > 0
+
+
+def test_tpch_q21_limits_without_full_sort(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators import tpch_extra as TX
+
+    plan = formatted_plan(TX.q_tpch_q21(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
