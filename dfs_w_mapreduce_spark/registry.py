@@ -94,6 +94,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import relational
     from dfs_w_mapreduce_spark.operators import temporal
     from dfs_w_mapreduce_spark.operators import tpch_extra
+    from dfs_w_mapreduce_spark.operators import corpus
     from dfs_w_mapreduce_spark.operators import dedup
     from dfs_w_mapreduce_spark.operators import similarity
     from dfs_w_mapreduce_spark.operators import sketches
@@ -114,6 +115,7 @@ def collect() -> dict[str, QuerySpec]:
         tpch_extra,
         temporal,
         dedup,
+        corpus,
         similarity,
         sketches,
         text_analysis,

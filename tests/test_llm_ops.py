@@ -439,3 +439,56 @@ def test_knn_pq_recall_and_code_compactness(spark, sf_dir):
     }
     pq = {(r.query_id, r.neighbor_id) for r in rows}
     assert brute and pq
+
+
+def test_misra_gries_candidates_superset_property():
+    """MG with capacity >= K must never evict a token whose frequency
+    exceeds n/K — across arbitrary partitionings (pure-Python check of
+    the sketch the heavy_hitters query ships to executors)."""
+    import random
+
+    import pandas as pd
+
+    from dfs_w_mapreduce_spark.operators.corpus import HH_K, _mg_partial
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(300)]
+    weights = [1 + (50 if i < 5 else 0) for i in range(300)]
+    stream = rng.choices(vocab, weights=weights, k=20000)
+    n = len(stream)
+    from collections import Counter
+
+    truth = {t for t, c in Counter(stream).items() if c * HH_K > n}
+    assert truth  # the test must exercise a non-empty heavy set
+    for parts in (1, 3, 8):
+        chunk = (n + parts - 1) // parts
+        cands = set()
+        for i in range(parts):
+            part = stream[i * chunk : (i + 1) * chunk]
+            out = list(_mg_partial(iter([pd.DataFrame({"token": part})])))
+            cands.update(out[0]["token"])
+        assert truth <= cands, (parts, truth - cands)
+
+
+def test_winnow_shared_long_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= WIN_K + WIN_W - 1 share at least one selected fingerprint."""
+    from dfs_w_mapreduce_spark.operators import corpus as C
+    import tempfile, os
+
+    shared = "zqxjkvbwpmfg_shared_run_0123456789"  # > WIN_K+WIN_W-1 chars
+    docs = [
+        (0, "aaaa " + shared + " bbbb cccc dddd eeee ffff", "en", "s", 1),
+        (1, "gggg hhhh " + shared + " iiii jjjj kkkk llll", "en", "s", 1),
+        (2, "mmmm nnnn oooo pppp qqqq rrrr ssss tttt uuuu", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        pairs = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in C.q_substring_winnow(spark, tmp).collect()
+        }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
