@@ -373,6 +373,56 @@ def _q_cogroup_pandas(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_udaf_grouped_agg(spark, sf_dir):
+    """True UDAF tier: a pandas_udf GROUPED_AGG (Arrow-batched custom
+    aggregate) — quantity-weighted mean price per return flag. The
+    reference's Reduce receives (key, all values) and returns one
+    pair (wordcountjob.go:44-68); a grouped-agg pandas UDF is that
+    contract with vectorized transport and partial-merge planning.
+
+    Numeric discipline: prices are 2-decimal by construction, so
+    cents = round(price*100) is exact int64; both the weighted sum
+    and the weight sum accumulate in int64 (order-independent), and
+    the single double division at the end is deterministic on both
+    engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg_cents(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        w = qty.astype("int64")
+        tot_w = int(w.sum())
+        if tot_w == 0:
+            return float("nan")
+        return float((cents * w).sum()) / (100.0 * tot_w)
+
+    from dfs_w_mapreduce_spark.catalog import load_table as _lt
+    from pyspark.sql import functions as F
+
+    @pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        # Spark forbids mixing grouped-agg pandas UDFs with built-in
+        # aggregates in one agg(), so the count is a UDAF too.
+        return int(len(qty))
+
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg_cents("l_extendedprice", "l_quantity"), 4).alias("wavg_price"),
+        n_rows("l_quantity").alias("n_items"),
+    )
+
+
+UDAF_GROUPED_AGG_ORACLE = """
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / (100.0 * sum(CAST(l_quantity AS BIGINT))), 4) AS wavg_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
 COGROUP_ORACLE = """
     SELECT o_orderkey,
            count(DISTINCT o_orderkey) AS n_orders,
@@ -436,6 +486,13 @@ def specs():
             tags=("mapreduce", "cogroup", "pandas"),
             doc="Two-input grouped map (cogroup+applyInPandas) — the "
                 "co-group the single-input reference chain cannot express.",
+        ),
+        QuerySpec(
+            name="udaf_grouped_agg",
+            fn=_q_udaf_grouped_agg,
+            oracle=UDAF_GROUPED_AGG_ORACLE,
+            tags=("mapreduce", "udaf", "pandas"),
+            doc="pandas_udf GROUPED_AGG weighted mean (int64-exact accumulation).",
         ),
         QuerySpec(
             name="mr_reduce_pandas",

@@ -98,6 +98,7 @@ def collect() -> dict[str, QuerySpec]:
     from dfs_w_mapreduce_spark.operators import dedup
     from dfs_w_mapreduce_spark.operators import similarity
     from dfs_w_mapreduce_spark.operators import sketches
+    from dfs_w_mapreduce_spark.operators import sqlplus
     from dfs_w_mapreduce_spark.operators import text_analysis
     from dfs_w_mapreduce_spark.operators import multimodal
     from dfs_w_mapreduce_spark.operators import pipeline
@@ -118,6 +119,7 @@ def collect() -> dict[str, QuerySpec]:
         corpus,
         similarity,
         sketches,
+        sqlplus,
         text_analysis,
         multimodal,
         pipeline,

@@ -126,6 +126,91 @@ SINK_PARTITIONED_ORACLE = f"""
 """
 
 
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC -> read back -> per-flag rollup. ORC is Spark's
+    second native columnar format (predicate pushdown + striping like
+    parquet); DuckDB cannot read ORC, so the oracle proves value
+    fidelity by computing the same rollup from the original parquet —
+    any writer/reader loss breaks the hash."""
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_orc_"), "lineitem_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.schema(src.schema).orc(out).filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        _money("l_quantity").alias("sum_qty"),
+        _money("l_extendedprice").alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+SINK_ORC_ORACLE = f"""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           {_MONEY_SQL.format(col="l_quantity")} AS sum_qty,
+           {_MONEY_SQL.format(col="l_extendedprice")} AS sum_price,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+"""
+
+
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet drops with different schemas (v2
+    adds a column) merged by mergeSchema=true into one unified scan —
+    the add-a-column migration every long-lived 100 TB dataset goes
+    through. v1 rows surface NULL for the new column; the rollup
+    counts both generations and checks the nullable column aggregates
+    correctly. Oracle rebuilds the same union from the base table."""
+    src = load_table(spark, sf_dir, "orders")
+    v1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_schema_evo_"), "orders_evo")
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_year").isNull(), 1).otherwise(0)).cast("long").alias("n_v1"),
+        F.count("o_year").alias("n_v2"),
+        F.min("o_year").alias("first_year"),
+        _money("o_totalprice").alias("total"),
+    )
+
+
+SOURCE_SCHEMA_EVOLUTION_ORACLE = f"""
+    WITH unioned AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_year
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(year(o_orderdate) AS INT) AS o_year
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_year IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+           count(o_year) AS n_v2,
+           min(o_year) AS first_year,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total
+    FROM unioned GROUP BY 1
+"""
+
+
 CHUNK_LINES = 100
 
 
@@ -181,6 +266,13 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_ORACLE,
                   ("source", "sink", "partitioning"),
                   "Hive-partitioned parquet write, partition-pruned read-back."),
+        QuerySpec("sink_orc_roundtrip", q_sink_orc_roundtrip, SINK_ORC_ORACLE,
+                  ("source", "sink", "orc"),
+                  "lineitem through ORC write+read, per-flag rollup."),
+        QuerySpec("source_schema_evolution", q_source_schema_evolution,
+                  SOURCE_SCHEMA_EVOLUTION_ORACLE,
+                  ("source", "schema-evolution"),
+                  "mergeSchema over two parquet generations (added column)."),
         QuerySpec("source_chunked_scan", q_source_chunked_scan, SOURCE_CHUNKED_ORACLE,
                   ("source", "datasource-api"),
                   "Custom Python DataSource: reference-style line chunks."),
