@@ -556,24 +556,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver-side loop holds one scalar per round (the label-sum
     convergence check), not data.
     """
-    pairs = (
-        q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        .cache()  # one materialized frame reused every round (caching
+        # the directed pairs instead would re-run the union per round)
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
-    prev_sum = None
+    # One action per round: the label-sum convergence scalar also
+    # forces the new round's cache (a separate count() per round was
+    # measured at ~2x the actions for no benefit).
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(25):  # >= diameter; dedup components converge in ~3
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
         msgs = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
@@ -584,10 +586,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .cache()
         )
-        labels.count()  # materialize the new cache, then release the
-        prev_labels.unpersist()  # superseded round's blocks: a long run
-        # would otherwise pin every round's labels in (eviction-immune)
-        # storage memory and starve later queries' execution pool
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        prev_labels.unpersist()  # release the superseded round's blocks:
+        # a long run would otherwise pin every round's labels in
+        # (eviction-immune) storage memory and starve later queries
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     return (
         labels.join(sizes, "label")
