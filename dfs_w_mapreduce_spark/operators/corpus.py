@@ -326,6 +326,158 @@ SUBSTRING_WINNOW_ORACLE = f"""
 """
 
 
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(p_source || p_corpus) —
+    the standard domain-mix diagnostic for training-data pipelines
+    (which sources are token-distribution outliers?).
+
+    Cross-engine float discipline: each term p*ln(p/q) is computed
+    from exact integer count ratios, rounded to 10 decimals, and the
+    SUM accumulates in DECIMAL(28,10) — exact and associative — so
+    partition order and engine accumulation order cannot move the
+    rounded result (a raw double sum over thousands of log terms is
+    the window_running hazard class all over again)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("token")
+    )
+    per_src = toks.groupBy("source", "token").agg(F.count("*").alias("cnt_ts"))
+    src_tot = toks.groupBy("source").agg(F.count("*").alias("n_s"))
+    glob = toks.groupBy("token").agg(F.count("*").alias("cnt_t"))
+    tot = toks.agg(F.count("*").alias("n"))
+    p = F.col("cnt_ts") / F.col("n_s")
+    q = F.col("cnt_t") / F.col("n")
+    term = F.round(p * F.log(p / q), 10).cast("decimal(28,10)")
+    return (
+        per_src.join(src_tot, "source")
+        .join(F.broadcast(glob), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(F.sum(term), 6).cast("double").alias("kl"),
+        )
+    )
+
+
+KL_DIVERGENCE_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    per_src AS (SELECT source, token, count(*) AS cnt_ts FROM toks GROUP BY 1, 2),
+    src_tot AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+    gtok AS (SELECT token, count(*) AS cnt_t FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT source,
+           CAST(max(n_s) AS BIGINT) AS n_tokens,
+           CAST(round(sum(CAST(round(
+               (cnt_ts * 1.0 / n_s)
+               * ln((cnt_ts * 1.0 / n_s) / (cnt_t * 1.0 / n)), 10) AS DECIMAL(28,10))), 6) AS DOUBLE) AS kl
+    FROM per_src JOIN src_tot USING (source) JOIN gtok USING (token) CROSS JOIN tot
+    GROUP BY source
+"""
+
+
+# Triangle counting: degree-ordered edge orientation (each edge points
+# low-degree -> high-degree) bounds the wedge join to O(m^1.5) rows —
+# the standard distributed-triangle trick; a naive wedge join on a
+# dense co-purchase graph is quadratic in the max degree.
+TRI_PART_SIZE_CAP = 5
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts appearing in the
+    same order, restricted to small parts to keep fixture density
+    honest). Three joins total: wedge join on the oriented edge set +
+    one closing-edge probe against the canonical edge set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= TRI_PART_SIZE_CAP
+    ).select("p_partkey")
+    po = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, "src")
+        .filter(F.col("o1.dst") < F.col("o2.dst"))
+        .select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v"))
+    )
+    tri = wedges.join(edges, ["u", "v"], "left_semi").count()
+    n_edges = edges.count()
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(n_edges, tri)], "n_edges long, n_triangles long"
+    )
+
+
+TRIANGLES_ORACLE = f"""
+    WITH po AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= {TRI_PART_SIZE_CAP}
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY 1
+    ),
+    oriented AS (
+        SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                    THEN u ELSE v END AS src,
+               CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                    THEN v ELSE u END AS dst
+        FROM edges JOIN deg du ON u = du.node JOIN deg dv ON v = dv.node
+    ),
+    wedges AS (
+        SELECT o1.dst AS u, o2.dst AS v
+        FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+        WHERE o1.dst < o2.dst
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM wedges JOIN edges USING (u, v)) AS n_triangles
+"""
+
+
 # Worker-executed module-level functions must serialize by value (the
 # driver imports this package from its own cwd; see CLAUDE.md).
 import sys as _sys  # noqa: E402
@@ -351,5 +503,15 @@ def specs() -> list[QuerySpec]:
             "substring_winnow", q_substring_winnow, SUBSTRING_WINNOW_ORACLE,
             ("text", "llm", "dedup"),
             "Winnowing k-gram fingerprints -> substring-duplicate pairs.",
+        ),
+        QuerySpec(
+            "kl_divergence", q_kl_divergence, KL_DIVERGENCE_ORACLE,
+            ("text", "llm", "quality"),
+            "Per-source token-distribution KL drift (decimal-exact term sum).",
+        ),
+        QuerySpec(
+            "graph_triangles", q_graph_triangles, TRIANGLES_ORACLE,
+            ("analytics", "graph"),
+            "Degree-oriented triangle count over the part co-purchase graph.",
         ),
     ]
