@@ -373,6 +373,52 @@ def _q_cogroup_pandas(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mr_map_arrow(spark, sf_dir):
+    """mapInArrow tier: the zero-copy sibling of the Arrow/pandas map
+    tier — per-batch pyarrow.compute kernels with no pandas
+    materialization. The batch-level Map contract (SURVEY.md §2.2 D2)
+    at its cheapest Python transport: for genuinely columnar kernels
+    (lengths, casts, hashes) this skips the pandas Block manager
+    entirely. Per-doc char length via pa.compute.utf8_length, then a
+    JVM-side length-bucket rollup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                ],
+                names=["doc_id", "text_len"],
+            )
+
+    from dfs_w_mapreduce_spark.catalog import load_table as _lt
+    from pyspark.sql import functions as F
+
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = d.mapInArrow(lengths, "doc_id long, text_len long")
+    return (
+        per_doc.groupBy((F.col("text_len") / 50).cast("long").alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_len").alias("sum_len"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+MR_MAP_ARROW_ORACLE = """
+    SELECT CAST(length(text) // 50 AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           min(doc_id) AS min_doc
+    FROM documents
+    GROUP BY 1
+"""
+
+
 def _q_udaf_grouped_agg(spark, sf_dir):
     """True UDAF tier: a pandas_udf GROUPED_AGG (Arrow-batched custom
     aggregate) — quantity-weighted mean price per return flag. The
@@ -486,6 +532,13 @@ def specs():
             tags=("mapreduce", "cogroup", "pandas"),
             doc="Two-input grouped map (cogroup+applyInPandas) — the "
                 "co-group the single-input reference chain cannot express.",
+        ),
+        QuerySpec(
+            name="mr_map_arrow",
+            fn=_q_mr_map_arrow,
+            oracle=MR_MAP_ARROW_ORACLE,
+            tags=("mapreduce", "arrow"),
+            doc="mapInArrow map tier (pyarrow kernels, no pandas).",
         ),
         QuerySpec(
             name="udaf_grouped_agg",

@@ -89,8 +89,72 @@ def _sample_oracle() -> str:
     """
 
 
+HLL_TOL = 0.05
+
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-source DataSketches HLL
+    over document tokens, then a sketch UNION to the corpus total —
+    the algebra that lets 1000 executors each ship ~KB of sketch
+    instead of re-scanning for every rollup level. The registry row
+    stays hash-checkable the same way as approx_distinct: emit the
+    EXACT per-scope distinct count plus an in-query bounded-error
+    verdict on the sketch estimate; the oracle computes exact + TRUE."""
+    d = load_table(spark, sf_dir, "documents")
+    from dfs_w_mapreduce_spark.operators.text_analysis import tokens_col
+
+    toks = d.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("token")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.hll_sketch_agg("token").alias("sk"),
+        F.count_distinct("token").alias("exact_distinct"),
+    )
+    src_rows = per_src.select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= HLL_TOL * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+    glob = per_src.agg(
+        F.hll_union_agg("sk").alias("sk"),
+    ).crossJoin(
+        F.broadcast(toks.agg(F.count_distinct("token").alias("exact_distinct")))
+    )
+    glob_row = glob.select(
+        F.lit("ALL").alias("source"),
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= HLL_TOL * F.col("exact_distinct")
+        ).alias("within_tol"),
+    )
+    return src_rows.unionByName(glob_row)
+
+
+HLL_UNION_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    )
+    SELECT source, count(DISTINCT token) AS exact_distinct, TRUE AS within_tol
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT 'ALL' AS source, count(DISTINCT token) AS exact_distinct,
+           TRUE AS within_tol
+    FROM toks
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("hll_union", q_hll_union, HLL_UNION_ORACLE,
+                  ("sketch", "approx", "llm"),
+                  "Mergeable per-source HLL sketches + union, bounded-error verdict."),
         QuerySpec("bloom_build", q_bloom_build, _bloom_oracle(), ("sketch",),
                   "1024-bit Bloom filter build over a key set "
                   "(reference's unused bloomFilter, controller.go:667, made real)."),
