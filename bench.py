@@ -61,6 +61,19 @@ HEADLINE = [
     "graph_pagerank",
     "sink_partitioned",
     "multimodal_decode",
+    # round-3 late additions: the completed TPC-H sweep's heaviest
+    # shapes + the new corpus/sketch/SQL-surface operators
+    "tpch_q9",
+    "tpch_q21",
+    "heavy_hitters",
+    "substring_winnow",
+    "rrf_fusion",
+    "kl_divergence",
+    "graph_triangles",
+    "recursive_cte",
+    "hll_union",
+    "sink_orc_roundtrip",
+    "udaf_grouped_agg",
 ]
 
 

@@ -274,6 +274,9 @@ def q_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") == F.col("minw"))
         .select("doc_id", "gram")
         .distinct()
+        .cache()  # both sides of the pair self-join and the df-cap agg
+        # read this frame; uncached, the 1.4M-row hash+window pipeline
+        # would run once per consumer
     )
     rare = (
         sel.groupBy("gram")
