@@ -336,6 +336,45 @@ STREAM_DEDUP_LIVE_ORACLE = """
 """
 
 
+def q_stream_wmdedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark executed live, with REAL
+    duplicates to drop: the event stream unioned with itself (two
+    independent replays of the same files), deduplicated on event_id
+    within the watermark horizon, then rolled up per type. The state
+    for each key expires once the watermark passes it — the bounded-
+    state form of streaming dedup (a plain dropDuplicates keeps every
+    key forever; at 100 TB/day that state never fits). Doubled input
+    collapsing back to exactly the batch counts is the oracle."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    doubled = ev.union(ev)
+    dd = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    # (count DISTINCT is illegal on streaming frames; an integer
+    # checksum over the deduped ids proves the same row-identity)
+    agg = dd.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("event_id") % 97).alias("id_chk"),
+    )
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAM_WMDEDUP_LIVE_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(event_id % 97) AS BIGINT) AS id_chk
+    FROM events
+    GROUP BY 1
+"""
+
+
 def q_stream_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured parsing via VariantType (Spark 4): parse_json
     once into a variant, typed extraction with variant_get — the
@@ -565,6 +604,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_dedup_live", q_stream_dedup_live, STREAM_DEDUP_LIVE_ORACLE,
                   ("streaming", "live", "dedup"),
                   "Live chained stateful ops (dedup->agg), oracle-verified."),
+        QuerySpec("stream_wmdedup_live", q_stream_wmdedup_live,
+                  STREAM_WMDEDUP_LIVE_ORACLE,
+                  ("streaming", "live", "dedup", "watermark"),
+                  "Live dropDuplicatesWithinWatermark over a doubled stream, "
+                  "oracle-verified."),
         QuerySpec("stream_file_sink_live", q_stream_file_sink_live,
                   STREAM_FILE_SINK_ORACLE, ("streaming", "live", "sink"),
                   "Live append-mode parquet file sink + checkpoint, read back."),
