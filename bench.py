@@ -74,6 +74,7 @@ HEADLINE = [
     "hll_union",
     "sink_orc_roundtrip",
     "udaf_grouped_agg",
+    "pipeline_end_to_end",
 ]
 
 

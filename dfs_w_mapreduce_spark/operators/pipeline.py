@@ -267,6 +267,105 @@ def _split_oracle() -> str:
     """
 
 
+E2E_MIN_TOKENS = 20
+E2E_K_PER_SOURCE = 30
+
+
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative DAG — the
+    composition the engine exists for: quality filter -> exact dedup
+    -> near-dup (fingerprint) dedup -> decontamination -> stratified
+    per-source cap -> corpus stats. Catalyst plans the five stages as
+    a single job; nothing materializes between steps.
+
+    Scale shape: two hash aggregations (16-byte keys), one broadcast
+    blocklist filter, one per-source window over a hash-capped rank —
+    no pairwise step anywhere, so the pipeline is a constant number of
+    linear passes + shuffles regardless of corpus size. Every
+    selection is md5-hash-deterministic, so the same corpus in any
+    partitioning/order yields the identical kept set on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    q = d.select(
+        "doc_id", "text", "source", F.size(toks).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") >= E2E_MIN_TOKENS)
+    # exact dedup: keeper = min doc_id per raw-text hash
+    e_keep = q.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    q2 = q.join(e_keep.select("doc_id"), "doc_id")
+    # near-dup dedup: keeper per sorted-distinct-token fingerprint
+    norm = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+                )
+            )
+        ),
+        " ",
+    )
+    f_keep = (
+        q2.select("doc_id", F.md5(norm).alias("nfp"))
+        .groupBy("nfp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    q3 = q2.join(f_keep.select("doc_id"), "doc_id")
+    # decontamination: drop docs containing any benchmark phrase
+    clean = q3
+    for p in BLOCKLIST_PHRASES:
+        clean = clean.filter(~F.col("text").contains(p))
+    # stratified cap: at most K docs per source, hash-rank selected
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        _h31_spark(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = clean.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= E2E_K_PER_SOURCE
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+        F.sum("doc_id").alias("id_chk"),
+    )
+
+
+def _e2e_oracle() -> str:
+    not_like = " AND ".join(
+        f"text NOT LIKE '%{p}%'" for p in BLOCKLIST_PHRASES
+    )
+    return f"""
+        WITH q AS (
+            SELECT doc_id, text, source,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS BIGINT) AS n_toks
+            FROM documents
+            WHERE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  >= {E2E_MIN_TOKENS}
+        ),
+        e_keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        q2 AS (SELECT q.* FROM q JOIN e_keep USING (doc_id)),
+        f_keep AS (
+            SELECT min(doc_id) AS doc_id FROM q2
+            GROUP BY md5(array_to_string(list_sort(list_distinct(list_filter(
+                         string_split_regex(lower(text), '\\s+'), t -> t <> ''))), ' '))
+        ),
+        q3 AS (SELECT q2.* FROM q2 JOIN f_keep USING (doc_id)),
+        clean AS (SELECT * FROM q3 WHERE {not_like}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY {_h31_sql('CAST(doc_id AS VARCHAR)')}, doc_id) AS rn
+            FROM clean
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_chk
+        FROM ranked WHERE rn <= {E2E_K_PER_SOURCE}
+        GROUP BY source
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
@@ -284,4 +383,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("split_train_val_test", q_split_train_val_test, _split_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Hash-deterministic train/val/test split rolled up per source."),
+        QuerySpec("pipeline_end_to_end", q_pipeline_end_to_end, _e2e_oracle(),
+                  ("pipeline", "llm", "composition"),
+                  "Quality->dedup->near-dup->decontaminate->stratify as ONE DAG."),
     ]
