@@ -244,7 +244,12 @@ def q_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates collision-free. Grams seen in more than WIN_MAX_DF
     docs are dropped as boilerplate before pairing (the same hot-key
     cap as dedup_ngram_pairs), bounding the per-gram pair fan-out."""
-    d = load_table(spark, sf_dir, "documents")
+    from dfs_w_mapreduce_spark.catalog import fan_out
+
+    # the fixture parquet yields 1-3 scan partitions; the per-char
+    # gram explode + md5 is CPU-bound, so spread the docs across
+    # cores BEFORE fan-out work (no-op on a real many-split dataset)
+    d = fan_out(spark, load_table(spark, sf_dir, "documents"))
     npos = F.length("text") - (WIN_K - 1)
     grams = (
         d.select(
