@@ -389,6 +389,50 @@ KL_DIVERGENCE_ORACLE = """
 """
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document: mean token negative
+    log-likelihood under the corpus's own unigram distribution — the
+    cheap statistical stand-in for the model-based perplexity filter
+    every LLM data pipeline runs (docs with outlier NLL are
+    boilerplate or noise). Same exact-decimal term-sum discipline as
+    kl_divergence: each -ln p(tok) is rounded to 10 decimals and
+    accumulated in DECIMAL(28,10), so accumulation order cannot move
+    the result; the final mean is one double division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").alias("cnt_t"))
+    tot = toks.agg(F.count("*").alias("n"))
+    term = F.round(-F.log(F.col("cnt_t") / F.col("n")), 10).cast("decimal(28,10)")
+    return (
+        toks.join(F.broadcast(cnt), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.sum(term).cast("double") / F.count("*"), 6).alias("mean_nll"),
+        )
+    )
+
+
+TEXT_PERPLEXITY_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS cnt_t FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT doc_id, count(*) AS n_toks,
+           round(CAST(sum(CAST(round(-ln(cnt_t * 1.0 / n), 10) AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_nll
+    FROM toks JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
 # Triangle counting: degree-ordered edge orientation (each edge points
 # low-degree -> high-degree) bounds the wedge join to O(m^1.5) rows —
 # the standard distributed-triangle trick; a naive wedge join on a
@@ -516,6 +560,11 @@ def specs() -> list[QuerySpec]:
             "kl_divergence", q_kl_divergence, KL_DIVERGENCE_ORACLE,
             ("text", "llm", "quality"),
             "Per-source token-distribution KL drift (decimal-exact term sum).",
+        ),
+        QuerySpec(
+            "text_perplexity", q_text_perplexity, TEXT_PERPLEXITY_ORACLE,
+            ("text", "llm", "quality"),
+            "Unigram-LM mean-NLL perplexity proxy per document.",
         ),
         QuerySpec(
             "graph_triangles", q_graph_triangles, TRIANGLES_ORACLE,

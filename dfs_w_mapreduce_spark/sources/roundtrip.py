@@ -211,6 +211,40 @@ SOURCE_SCHEMA_EVOLUTION_ORACLE = f"""
 """
 
 
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> XML (Spark 4 native writer) -> read back (explicit
+    schema) -> per-lang rollup with a text checksum. Free text through
+    XML exercises entity escaping both directions; DuckDB cannot read
+    XML, so the oracle computes the same rollup from the original
+    parquet — any escaping/round-trip loss breaks the checksum."""
+    src = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_xml_"), "documents_xml")
+    src.write.mode("overwrite").option("rootTag", "docs").option(
+        "rowTag", "doc"
+    ).format("xml").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(src.schema)
+        .load(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+        .alias("text_checksum"),
+    )
+
+
+SINK_XML_ORACLE = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_checksum
+    FROM documents GROUP BY 1
+"""
+
+
 CHUNK_LINES = 100
 
 
@@ -266,6 +300,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_ORACLE,
                   ("source", "sink", "partitioning"),
                   "Hive-partitioned parquet write, partition-pruned read-back."),
+        QuerySpec("sink_xml_roundtrip", q_sink_xml_roundtrip, SINK_XML_ORACLE,
+                  ("source", "sink", "xml"),
+                  "documents through native XML write+read, checksum rollup."),
         QuerySpec("sink_orc_roundtrip", q_sink_orc_roundtrip, SINK_ORC_ORACLE,
                   ("source", "sink", "orc"),
                   "lineitem through ORC write+read, per-flag rollup."),
