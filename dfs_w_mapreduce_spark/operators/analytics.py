@@ -407,8 +407,51 @@ HIERARCHY_ORACLE = """
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: lead() within (user, time) order -> per (from, to) counts
+    and row-normalized probabilities. The sequence-mining primitive
+    behind next-action prediction and funnel discovery; one window
+    pass + one aggregation, shuffles keyed by user then by from-type.
+    The probability is a single int/int division — deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wtot = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wtot), 4).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM counts
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("event_transitions", q_event_transitions, EVENT_TRANSITIONS_ORACLE,
+                  ("analytics", "events", "sequence"),
+                  "Markov event-transition matrix (lead window + rollup)."),
         QuerySpec("funnel_stages", q_funnel_stages, FUNNEL_ORACLE,
                   ("analytics", "events"),
                   "Staged view->click->purchase funnel with ordered timestamps."),

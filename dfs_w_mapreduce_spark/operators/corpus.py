@@ -530,6 +530,46 @@ TRIANGLES_ORACLE = f"""
 """
 
 
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document source
+    and language — the categorical drift check a corpus pipeline runs
+    to catch a source whose language mix shifted. Expected counts come
+    from exact integer marginals; each (O-E)^2/E term is rounded to 8
+    decimals and summed in DECIMAL(28,8) (exact, associative), so the
+    statistic cannot wobble with partition order on either engine."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    row = d.groupBy("source").agg(F.count("*").alias("r_tot"))
+    col = d.groupBy("lang").agg(F.count("*").alias("c_tot"))
+    tot = d.agg(F.count("*").alias("n"))
+    e = F.col("r_tot") * F.col("c_tot") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 8).cast("decimal(28,8)")
+    cells = (
+        obs.join(F.broadcast(row), "source")
+        .join(F.broadcast(col), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    return cells.agg(
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
+        ((F.count_distinct("source") - 1) * (F.count_distinct("lang") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+CHISQ_ORACLE = """
+    WITH obs AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, count(*) AS r_tot FROM documents GROUP BY 1),
+    c AS (SELECT lang, count(*) AS c_tot FROM documents GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents)
+    SELECT CAST(round(sum(CAST(round((o - r_tot * c_tot * 1.0 / n)
+                                     * (o - r_tot * c_tot * 1.0 / n)
+                                     / (r_tot * c_tot * 1.0 / n), 8) AS DECIMAL(28,8))), 4) AS DOUBLE) AS chi2,
+           CAST((count(DISTINCT obs.source) - 1) * (count(DISTINCT obs.lang) - 1) AS BIGINT) AS dof
+    FROM obs JOIN r USING (source) JOIN c USING (lang) CROSS JOIN tot
+"""
+
+
 # Worker-executed module-level functions must serialize by value (the
 # driver imports this package from its own cwd; see CLAUDE.md).
 import sys as _sys  # noqa: E402
@@ -565,6 +605,11 @@ def specs() -> list[QuerySpec]:
             "text_perplexity", q_text_perplexity, TEXT_PERPLEXITY_ORACLE,
             ("text", "llm", "quality"),
             "Unigram-LM mean-NLL perplexity proxy per document.",
+        ),
+        QuerySpec(
+            "chisq_independence", q_chisq_independence, CHISQ_ORACLE,
+            ("analytics", "quality", "stats"),
+            "Chi-square source x lang independence (decimal-exact terms).",
         ),
         QuerySpec(
             "graph_triangles", q_graph_triangles, TRIANGLES_ORACLE,

@@ -14,7 +14,7 @@ signatures, bands, candidates, and verified pairs:
 - minhash LSH  : 16 md5-based minhashes, 4 bands x 4 rows, band-bucket
                  join for candidates, exact-Jaccard verification — the
                  100 TB path: cost scales with collisions, not n^2
-- simhash      : 48-bit IDF-weighted sign-sum sketch per document, plus byte-band
+- simhash      : 48-bit tf-weighted sign-sum sketch per document, plus byte-band
                  candidate pairs verified by exact Hamming distance
 - embedding    : cosine-similarity pairs over the embedding column
 
@@ -334,6 +334,215 @@ def _minhash_oracle() -> str:
         JOIN shs sb ON doc_b = sb.doc_id
         WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
                     (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= {JACCARD_T}
+    """
+
+
+DELTA_MOD = 10  # doc_id % DELTA_MOD >= DELTA_CUT -> "new batch"
+DELTA_CUT = 8
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: test only the NEW batch against the
+    existing corpus (hash-split stands in for an arrival date). The
+    production shape for a continuously-fed 100 TB corpus: the band
+    join is delta-bands x base-bands — cost proportional to the DELTA,
+    not a full-corpus self-join per ingest; base signatures are the
+    persisted dedup index this query models recomputing."""
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .filter(F.size("sh") > 0)
+        .withColumn("is_delta", F.col("doc_id") % DELTA_MOD >= DELTA_CUT)
+        .cache()
+    )
+    sig = sh.select(
+        "doc_id", "is_delta", F.transform(F.col("sh"), _h31_spark).alias("hs")
+    ).select("doc_id", "is_delta", *_minhash_cols())
+    bands = sig.select(
+        "doc_id",
+        "is_delta",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    delta = bands.filter(F.col("is_delta")).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    base = bands.filter(~F.col("is_delta")).select(
+        F.col("doc_id").alias("base_id"), "band", "sig"
+    )
+    cand = delta.join(base, ["band", "sig"]).select("new_id", "base_id").distinct()
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    union = F.size("sa.sh") + F.size("sb.sh") - inter
+    return (
+        cand.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("base_id") == F.col("sb.doc_id"))
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("base_id").alias("dup_of"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """Shared CTE prefix: shs (non-empty shingle sets) + sig (16
+    minhash columns per doc)."""
+    mh_exprs = ",\n".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P31})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"""
+        shs AS (SELECT * FROM ({_DOC_SHINGLES_SQL}) WHERE len(sh) > 0),
+        sig AS (
+            SELECT doc_id, sh, {mh_exprs}
+            FROM (SELECT doc_id, sh,
+                         list_transform(sh, s -> {_h31_sql('s')}) AS hs
+                  FROM shs)
+        )
+    """
+
+
+def _incremental_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, {b} AS band,
+                   CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 2} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 3} AS VARCHAR) AS sig
+            FROM sig"""
+        for b in range(N_BANDS)
+    )
+    jac = ("len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+           "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
+    return f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT d.doc_id AS new_id, b.doc_id AS base_id
+            FROM bands d JOIN bands b ON d.band = b.band AND d.sig = b.sig
+            WHERE d.doc_id % {DELTA_MOD} >= {DELTA_CUT}
+              AND b.doc_id % {DELTA_MOD} < {DELTA_CUT}
+        )
+        SELECT new_id AS doc_id, base_id AS dup_of, round({jac}, 4) AS jaccard
+        FROM cand
+        JOIN shs sa ON new_id = sa.doc_id
+        JOIN shs sb ON base_id = sb.doc_id
+        WHERE round({jac}, 4) >= {JACCARD_T}
+    """
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimator calibration: for every LSH candidate pair,
+    the MinHash Jaccard ESTIMATE (matching-minhash fraction, the
+    statistic the 100 TB path would act on without touching shingles)
+    side by side with the exact Jaccard and the absolute error. Both
+    are md5-deterministic, so the whole calibration table is
+    hash-checkable — the measured evidence that 16 hashes suffice for
+    a 0.5 threshold on this corpus."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
+    sig = sh.select(
+        "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
+    ).select("doc_id", *_minhash_cols())
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga, gb = sig.alias("ga"), sig.alias("gb")
+    n_match = None
+    for i in range(len(MINHASH_AB)):
+        m = F.when(F.col(f"ga.mh{i}") == F.col(f"gb.mh{i}"), 1).otherwise(0)
+        n_match = m if n_match is None else n_match + m
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    union = F.size("sa.sh") + F.size("sb.sh") - inter
+    est = F.round(n_match / float(len(MINHASH_AB)), 4)
+    jac = F.round(inter / union, 4)
+    return (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.round(F.abs(est - jac), 4).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, {b} AS band,
+                   CAST(mh{b * ROWS_PER_BAND} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 1} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 2} AS VARCHAR) || ',' ||
+                   CAST(mh{b * ROWS_PER_BAND + 3} AS VARCHAR) AS sig
+            FROM sig"""
+        for b in range(N_BANDS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN ga.mh{i} = gb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(len(MINHASH_AB))
+    )
+    jac = ("len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+           "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
+    return f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(({n_match}) / {float(len(MINHASH_AB))}, 4) AS est_jaccard,
+               round({jac}, 4) AS jaccard,
+               round(abs(round(({n_match}) / {float(len(MINHASH_AB))}, 4)
+                         - round({jac}, 4)), 4) AS abs_err
+        FROM cand
+        JOIN sig ga ON doc_a = ga.doc_id
+        JOIN sig gb ON doc_b = gb.doc_id
+        JOIN shs sa ON doc_a = sa.doc_id
+        JOIN shs sb ON doc_b = sb.doc_id
     """
 
 
@@ -688,16 +897,22 @@ def specs() -> list[QuerySpec]:
                   ("dedup", "llm", "lsh"),
                   "MinHash LSH candidates + exact-Jaccard verify, oracle-identical signatures."),
         QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_oracle(), ("dedup", "llm"),
-                  "32-bit SimHash sketch per document."),
+                  "48-bit tf-weighted SimHash sketch per document."),
         QuerySpec("dedup_embedding_pairs", q_dedup_embedding_pairs, DEDUP_EMBEDDING_ORACLE,
                   ("dedup", "llm", "embedding"),
                   "Embedding-cosine near-dup pairs (brute-force baseline)."),
         QuerySpec("dedup_simhash_pairs", q_dedup_simhash_pairs, _simhash_pairs_oracle(),
                   ("dedup", "llm", "lsh"),
-                  "SimHash byte-band candidates verified by Hamming <= 6 (note: the tiny-vocab fixture corpus makes most sketches near-collide, so pair volume is large; discrimination is corpus-dependent, correctness is exact)."),
+                  "SimHash 6-byte-band candidates verified by Hamming <= 4 (tf-weighted sketch; separation-sweep validated)."),
         QuerySpec("dedup_edit_distance", q_dedup_edit_distance, _edit_distance_oracle(),
                   ("dedup", "llm"),
                   "Levenshtein verification over MinHash candidates (sketch->exact composition)."),
+        QuerySpec("dedup_incremental", q_dedup_incremental, _incremental_oracle(),
+                  ("dedup", "llm", "lsh", "incremental"),
+                  "New-batch vs existing-corpus band join: ingest-time dedup."),
+        QuerySpec("minhash_estimate", q_minhash_estimate, _minhash_estimate_oracle(),
+                  ("dedup", "llm", "lsh", "approx"),
+                  "MinHash Jaccard estimate vs exact, per candidate pair."),
         QuerySpec("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                   ("dedup", "llm", "graph"),
                   "Connected components over near-dup pairs: min-label propagation vs recursive-CTE oracle."),
