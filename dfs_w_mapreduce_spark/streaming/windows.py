@@ -173,6 +173,60 @@ def q_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("session_id")
 
 
+DYN_GAP_SHORT_MIN = 5   # 'error' events close sessions quickly
+DYN_GAP_LONG_MIN = 15
+
+
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: the inactivity gap depends on the
+    event (errors close a session after 5 min, everything else 15) —
+    Spark's session_window accepts a gap EXPRESSION, the
+    streaming-stateful-ready form of policy-driven sessions. The
+    oracle reproduces the merge semantics with the prefix-max idiom:
+    a session breaks when an event starts at-or-after the running max
+    of (ts + gap) over all earlier events of the user."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "error", F.lit(f"{DYN_GAP_SHORT_MIN} minutes")
+    ).otherwise(F.lit(f"{DYN_GAP_LONG_MIN} minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+STREAM_SESSION_DYNAMIC_ORACLE = f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               ts + CASE WHEN event_type = 'error'
+                         THEN INTERVAL '{DYN_GAP_SHORT_MIN} minutes'
+                         ELSE INTERVAL '{DYN_GAP_LONG_MIN} minutes' END AS ev_end
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            > ts
+                       THEN 0 ELSE 1 END AS new_session
+        FROM g
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ev_end) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+"""
+
+
 def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filling: hourly event counts per event_type with missing
     hours filled as zero. The spine (full hour range x types) comes
@@ -604,6 +658,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_dedup_live", q_stream_dedup_live, STREAM_DEDUP_LIVE_ORACLE,
                   ("streaming", "live", "dedup"),
                   "Live chained stateful ops (dedup->agg), oracle-verified."),
+        QuerySpec("stream_session_dynamic", q_stream_session_dynamic,
+                  STREAM_SESSION_DYNAMIC_ORACLE,
+                  ("streaming", "window", "session"),
+                  "Dynamic-gap session_window (per-event gap expression)."),
         QuerySpec("stream_wmdedup_live", q_stream_wmdedup_live,
                   STREAM_WMDEDUP_LIVE_ORACLE,
                   ("streaming", "live", "dedup", "watermark"),
