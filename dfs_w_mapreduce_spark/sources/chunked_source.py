@@ -26,7 +26,13 @@ import sys as _sys
 
 from pyspark import cloudpickle as _cloudpickle
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def _num_rows(path: str) -> int:
@@ -81,6 +87,66 @@ class ChunkedTextReader(DataSourceReader):
             yield (partition.chunk_id, line_no, text)
 
 
+class ChunkFileCommit(WriterCommitMessage):
+    def __init__(self, paths: list, n_lines: int):
+        self.paths = paths
+        self.n_lines = n_lines
+
+
+class ChunkedTextWriter(DataSourceWriter):
+    """The reference's chunked `put` as a Spark sink: each task writes
+    its rows as line-oriented chunk files of at most `lines_per_chunk`
+    lines (client.go SendLineChunks splits on line boundaries at a
+    byte budget; here the budget is the same line count the reader
+    plans by). One file per chunk, distributed one task per input
+    partition — the replication/placement half of `put` is the file
+    system's job (SURVEY.md §1.3)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.lines_per_chunk = int(options.get("lines_per_chunk", "100"))
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        task_id = uuid.uuid4().hex
+        paths: list[str] = []
+        n = 0
+        f = None
+        try:
+            for row in iterator:
+                if n % self.lines_per_chunk == 0:
+                    if f is not None:
+                        f.close()
+                    p = os.path.join(
+                        self.path,
+                        f"chunk-{task_id}-{n // self.lines_per_chunk:05d}.txt",
+                    )
+                    paths.append(p)
+                    f = open(p, "w")
+                f.write(row.value + "\n")
+                n += 1
+        finally:
+            if f is not None:
+                f.close()
+        return ChunkFileCommit(paths, n)
+
+    def commit(self, messages):
+        pass  # files are already in place; nothing to finalize
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.paths:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class ChunkedTextDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -91,6 +157,9 @@ class ChunkedTextDataSource(DataSource):
 
     def reader(self, schema) -> ChunkedTextReader:
         return ChunkedTextReader(self.options)
+
+    def writer(self, schema, overwrite) -> ChunkedTextWriter:
+        return ChunkedTextWriter(self.options)
 
 
 # Worker processes deserialize the DataSource by value: the driver's

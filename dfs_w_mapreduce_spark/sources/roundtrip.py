@@ -289,6 +289,43 @@ SOURCE_CHUNKED_ORACLE = f"""
 """
 
 
+def q_sink_chunked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `put` through the custom `refchunks` Python
+    DataSource WRITER: documents out as line-oriented chunk files (<=
+    CHUNK_LINES lines each), read back with the plain text source,
+    rolled up with a content checksum. Write-side chunking + read-back
+    fidelity in one oracle row (the reader half is covered by
+    `source_chunked_scan`)."""
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    src = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_chunks_"), "corpus_chunks")
+    (
+        src.select(F.col("text").alias("value"))
+        .write.format("refchunks")
+        .option("path", out)
+        .option("lines_per_chunk", str(CHUNK_LINES))
+        .mode("append")
+        .save()
+    )
+    back = spark.read.text(out)
+    checksum = F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("sum_len"),
+        F.sum(checksum).alias("checksum"),
+    )
+
+
+SINK_CHUNKED_ORACLE = """
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+    FROM documents
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("sink_csv_roundtrip", q_sink_csv_roundtrip, SINK_CSV_ORACLE,
@@ -310,6 +347,10 @@ def specs() -> list[QuerySpec]:
                   SOURCE_SCHEMA_EVOLUTION_ORACLE,
                   ("source", "schema-evolution"),
                   "mergeSchema over two parquet generations (added column)."),
+        QuerySpec("sink_chunked_roundtrip", q_sink_chunked_roundtrip,
+                  SINK_CHUNKED_ORACLE,
+                  ("source", "sink", "datasource-api"),
+                  "Custom Python DataSource WRITER: reference-style chunked put."),
         QuerySpec("source_chunked_scan", q_source_chunked_scan, SOURCE_CHUNKED_ORACLE,
                   ("source", "datasource-api"),
                   "Custom Python DataSource: reference-style line chunks."),

@@ -104,3 +104,36 @@ def test_chunked_datasource_contract(spark, sf_dir):
     )
     assert one.count() == n_docs
     assert one.select("chunk_id").distinct().count() == 1
+
+
+def test_chunked_writer_respects_chunk_size(spark, sf_dir):
+    """refchunks writer contract: every emitted file holds at most
+    lines_per_chunk lines and the union of files is the exact corpus."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    src = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_chunktest_"), "chunks")
+    (
+        src.select(F.col("text").alias("value"))
+        .write.format("refchunks")
+        .option("path", out)
+        .option("lines_per_chunk", "25")
+        .mode("append")
+        .save()
+    )
+    files = [os.path.join(out, f) for f in os.listdir(out)]
+    assert files
+    total = 0
+    for p in files:
+        with open(p) as f:
+            n = sum(1 for _ in f)
+        assert 0 < n <= 25, (p, n)
+        total += n
+    assert total == src.count()
