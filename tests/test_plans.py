@@ -133,3 +133,12 @@ def test_tpch_q21_limits_without_full_sort(spark, sf_dir):
 
     plan = formatted_plan(TX.q_tpch_q21(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_pipeline_end_to_end_single_dag_no_cartesian(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators import pipeline as P
+
+    plan = formatted_plan(P.q_pipeline_end_to_end(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # two dedup hash-aggregations + the final rollup
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
