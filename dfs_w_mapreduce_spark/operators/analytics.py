@@ -407,6 +407,59 @@ HIERARCHY_ORACLE = """
 """
 
 
+MAD_K = 5.0  # threshold in MAD units (~3.37 sigma for normal data)
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x - median| > K * MAD per
+    event_type. The median/MAD pair tolerates the heavy tails that
+    wreck mean/sigma z-scores (one huge outlier inflates sigma and
+    hides the rest — the reason robust stats exist). Two exact
+    percentile passes (median, then median of absolute deviations);
+    both engines interpolate percentile_cont over identical doubles,
+    the same determinism contract the `percentiles` query pins."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(F.col("adev") / F.col("mad"), 4).alias("mad_score"),
+        )
+    )
+
+
+ANOMALY_MAD_ORACLE = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, abs(e.value - med) AS adev
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT event_id, dev.event_type, round(value, 4) AS value,
+           round(adev / mad, 4) AS mad_score
+    FROM dev JOIN mad USING (event_type)
+    WHERE adev > {MAD_K} * mad
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: lead() within (user, time) order -> per (from, to) counts
@@ -461,6 +514,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
                   ("analytics", "graph", "iterative"),
                   "5-iter integer-exact PageRank over user<->type edges."),
+        QuerySpec("anomaly_mad", q_anomaly_mad, ANOMALY_MAD_ORACLE,
+                  ("analytics", "quality", "robust"),
+                  "Median/MAD robust outliers (exact percentile passes)."),
         QuerySpec("anomaly_zscore", q_anomaly_zscore, ANOMALY_ORACLE,
                   ("analytics", "quality"),
                   "3-sigma outliers from exact-decimal sufficient statistics."),

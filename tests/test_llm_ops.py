@@ -502,3 +502,30 @@ def test_simhash_discriminates_tiny_vocab(spark, sf_dir):
     n_docs = D.load_table(spark, sf_dir, "documents").count()
     n_pairs = D.q_dedup_simhash_pairs(spark, sf_dir).count()
     assert n_pairs <= 0.01 * n_docs * (n_docs - 1) / 2, (n_pairs, n_docs)
+
+
+def test_incremental_dedup_equals_cross_split_pairs(spark, sf_dir):
+    """dedup_incremental (delta-vs-base band join) must find exactly
+    the full self-join's verified pairs that cross the split — no
+    recall loss from restricting the join, no within-split leakage."""
+    from dfs_w_mapreduce_spark.operators.dedup import (
+        DELTA_CUT,
+        DELTA_MOD,
+        q_dedup_incremental,
+        q_dedup_minhash_pairs,
+    )
+
+    inc = {
+        (r.doc_id, r.dup_of): r.jaccard
+        for r in q_dedup_incremental(spark, sf_dir).collect()
+    }
+    full = q_dedup_minhash_pairs(spark, sf_dir).collect()
+    cross = {}
+    for r in full:
+        da, db = r.doc_a % DELTA_MOD >= DELTA_CUT, r.doc_b % DELTA_MOD >= DELTA_CUT
+        if da != db:
+            new, base = (r.doc_a, r.doc_b) if da else (r.doc_b, r.doc_a)
+            cross[(new, base)] = r.jaccard
+    assert inc == cross, (len(inc), len(cross))
+    for new, base in inc:
+        assert new % DELTA_MOD >= DELTA_CUT and base % DELTA_MOD < DELTA_CUT
