@@ -572,11 +572,71 @@ def _knn_pq_oracle() -> str:
     """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K report for every ANN tier against the exact brute
+    force, as one hash-checkable table — the acceptance metric an ANN
+    rollout is judged by. Every tier is deterministic (fixed planes /
+    centroids / codebooks), so recall is a reproducible number, not a
+    sample: the oracle recomputes all four searches and the same set
+    intersection."""
+    brute = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    tot = brute.agg(F.count("*").alias("n_total"))
+    rows = None
+    for method, fn in (
+        ("lsh", q_knn_lsh_bucketed),
+        ("ivf", q_knn_ivf),
+        ("pq", q_knn_pq),
+    ):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id").distinct()
+        row = (
+            brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(method).alias("method"),
+                "n_hits",
+                "n_total",
+                F.round(F.col("n_hits") / F.col("n_total"), 4).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def _ann_recall_oracle() -> str:
+    def one(method, cte):
+        return f"""
+        SELECT '{method}' AS method,
+               (SELECT count(*) FROM brute b
+                JOIN (SELECT DISTINCT query_id, neighbor_id FROM {cte}) a
+                  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id) AS n_hits,
+               (SELECT count(*) FROM brute) AS n_total,
+               round((SELECT count(*) FROM brute b
+                      JOIN (SELECT DISTINCT query_id, neighbor_id FROM {cte}) a
+                        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id) * 1.0
+                     / (SELECT count(*) FROM brute), 4) AS recall"""
+
+    return f"""
+        WITH brute AS (SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_ORACLE}) t),
+        lsh AS (SELECT query_id, neighbor_id FROM ({_knn_lsh_oracle()}) t),
+        ivf AS (SELECT query_id, neighbor_id FROM ({_knn_ivf_oracle()}) t),
+        pq AS (SELECT query_id, neighbor_id FROM ({_knn_pq_oracle()}) t)
+        {one('lsh', 'lsh')}
+        UNION ALL
+        {one('ivf', 'ivf')}
+        UNION ALL
+        {one('pq', 'pq')}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("embedding_pool", q_embedding_pool, EMBEDDING_POOL_ORACLE,
                   ("embedding", "llm"),
                   "Per-label element-wise mean pooling (decimal-exact sums)."),
+        QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(),
+                  ("similarity", "llm", "recall"),
+                  "Recall@K of LSH/IVF/PQ tiers vs exact brute force."),
         QuerySpec("embedding_quantize", q_embedding_quantize, EMBEDDING_QUANTIZE_ORACLE,
                   ("embedding", "llm", "compression"),
                   "int8 scalar quantization with reconstruction-error report."),
