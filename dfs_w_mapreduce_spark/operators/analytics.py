@@ -460,6 +460,96 @@ ANOMALY_MAD_ORACLE = f"""
 """
 
 
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over parts: cheapest-for-their-size price/
+    size points (minimize p_retailprice, maximize p_size; strict
+    dominance). Computed over DISTINCT (price, size) points — two
+    identical points tie and a one-pass sweep would keep an arbitrary
+    one, so the points are first rolled up with their part counts.
+    The engine runs the O(n log n) sweep (sort by price asc, size
+    desc; keep points whose size strictly exceeds the running max of
+    everything at-or-cheaper before them); the oracle runs the
+    textbook NOT EXISTS dominance test — two independent formulations
+    that must agree exactly. The sweep shape scales; the quadratic
+    dominance join does not."""
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.round("p_retailprice", 2).alias("price"), F.col("p_size"))
+        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey"))
+    )
+    w = (
+        W.orderBy("price", F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("best_before", F.max("p_size").over(w))
+        .filter(
+            F.col("best_before").isNull()
+            | (F.col("p_size") > F.col("best_before"))
+        )
+        .select("price", "p_size", "n_parts", "min_partkey")
+    )
+
+
+SKYLINE_ORACLE = """
+    WITH pts AS (
+        SELECT round(p_retailprice, 2) AS price, p_size,
+               count(*) AS n_parts, min(p_partkey) AS min_partkey
+        FROM part GROUP BY 1, 2
+    )
+    SELECT price, p_size, n_parts, min_partkey
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE (q.price <= p.price AND q.p_size > p.p_size)
+           OR (q.price < p.price AND q.p_size >= p.p_size)
+    )
+"""
+
+
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user: the
+    gaps-and-islands date - dense-row-number trick (equal-difference
+    grouping). One distinct, one window, one two-level rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    w2 = W.partitionBy("user_id").orderBy(F.desc("len"), "streak_start")
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_start", F.col("len").alias("streak_days"))
+    )
+
+
+USER_STREAKS_ORACLE = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, count(*) AS len, min(day) AS streak_start
+        FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id, streak_start, CAST(len AS BIGINT) AS streak_days
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY len DESC, streak_start) AS rn
+        FROM streaks
+    ) WHERE rn = 1
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: lead() within (user, time) order -> per (from, to) counts
@@ -502,6 +592,12 @@ EVENT_TRANSITIONS_ORACLE = """
 
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("skyline_pareto", q_skyline_pareto, SKYLINE_ORACLE,
+                  ("analytics", "skyline"),
+                  "Pareto frontier via O(n log n) sweep vs NOT-EXISTS oracle."),
+        QuerySpec("user_streaks", q_user_streaks, USER_STREAKS_ORACLE,
+                  ("analytics", "events", "window"),
+                  "Longest consecutive-day streak (gaps-and-islands)."),
         QuerySpec("event_transitions", q_event_transitions, EVENT_TRANSITIONS_ORACLE,
                   ("analytics", "events", "sequence"),
                   "Markov event-transition matrix (lead window + rollup)."),
