@@ -794,10 +794,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # one materialized frame reused every round (caching
         # the directed pairs instead would re-run the union per round)
     )
+    # Seed labels with the 1-hop minimum (min of self and all direct
+    # neighbors) instead of self: clique-like dedup components — the
+    # common case — are already converged at round 1's fixpoint check,
+    # saving a full propagation round of driver-side actions.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("min_nbr"))
+        .select("doc_id", F.least("doc_id", "min_nbr").alias("label"))
         .cache()
     )
     # One action per round: the label-sum convergence scalar also
