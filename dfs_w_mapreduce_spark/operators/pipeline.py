@@ -267,6 +267,141 @@ def _split_oracle() -> str:
     """
 
 
+ENC_VOCAB_N = 30  # vocab size for the encode step (OOV id = 0)
+
+
+def q_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-encode: induce a top-N vocabulary from the corpus
+    (id = frequency rank), then map every document's ordered token
+    sequence to ids with OOV -> 0 — the id-ization step between text
+    curation and training. The vocabulary broadcasts as a single map
+    value; encoding is one expression pass (no UDF, no shuffle beyond
+    the vocab aggregate). Per-doc output keeps the full sequence as
+    an md5 fingerprint (order-sensitive) plus token/OOV counts, so
+    the row stays scalar for the driver while still pinning the exact
+    id sequence."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    docs = d.select("doc_id", toks.alias("w"))
+    tf = docs.select(F.explode("w").alias("term")).groupBy("term").agg(
+        F.count("*").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("cnt"), "term")
+    vocab = (
+        tf.withColumn("id", F.row_number().over(wr))
+        .filter(F.col("id") <= ENC_VOCAB_N)
+        .select("term", "id")
+    )
+    vmap = vocab.agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "id"))).alias("mp")
+    )
+    ids = F.transform(
+        F.col("w"), lambda t: F.coalesce(F.element_at(F.col("mp"), t), F.lit(0))
+    )
+    return (
+        docs.crossJoin(F.broadcast(vmap))
+        .select("doc_id", ids.alias("ids"))
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("ids"), lambda x: x == 0)).cast("long").alias("n_unk"),
+            F.md5(F.array_join(F.col("ids"), ",")).alias("ids_fp"),
+        )
+    )
+
+
+TOKENIZE_ENCODE_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(w) AS term FROM docs) GROUP BY 1
+    ),
+    vocab AS (
+        SELECT term, id FROM (
+            SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS id FROM tf
+        ) WHERE id <= {ENC_VOCAB_N}
+    ),
+    m AS (SELECT MAP(list(term ORDER BY id), list(id ORDER BY id)) AS mp FROM vocab),
+    enc AS (
+        SELECT doc_id,
+               [coalesce(mp[w[i]][1], 0) FOR i IN range(1, len(w) + 1)] AS ids
+        FROM docs CROSS JOIN m
+    )
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_unk,
+           md5(array_to_string(ids, ',')) AS ids_fp
+    FROM enc
+"""
+
+
+CONTRAST_ANCHORS = 20
+CONTRAST_K = 2
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-pair mining over the embedding table:
+    for each anchor vector, K same-label positives and K
+    different-label negatives, selected by md5-hash rank (so the
+    sample is reproducible across runs/engines/partitionings — the
+    property random sampling lacks). The shape behind contrastive /
+    triplet training-set construction; anchors x corpus is a
+    broadcast-sized join here, a hash-bucketed join at scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = e.filter(F.col("vec_id") < CONTRAST_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cand = a.join(e, a.anchor_id != e.vec_id)
+    kind = F.when(
+        F.col("label") == F.col("anchor_label"), F.lit("positive")
+    ).otherwise(F.lit("negative"))
+    h = _h31_spark(
+        F.concat_ws("-", F.col("anchor_id").cast("string"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy("h", "partner_id")
+    return (
+        cand.select(
+            "anchor_id",
+            F.col("vec_id").alias("partner_id"),
+            kind.alias("kind"),
+            h.alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CONTRAST_K)
+        .select("anchor_id", "partner_id", "kind", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _contrastive_oracle() -> str:
+    h = _h31_sql("CAST(anchor_id AS VARCHAR) || '-' || CAST(vec_id AS VARCHAR)")
+    return f"""
+        WITH a AS (
+            SELECT vec_id AS anchor_id, label AS anchor_label
+            FROM embeddings WHERE vec_id < {CONTRAST_ANCHORS}
+        ),
+        cand AS (
+            SELECT anchor_id,
+                   e.vec_id AS partner_id,
+                   CASE WHEN e.label = anchor_label THEN 'positive' ELSE 'negative' END AS kind,
+                   {h.replace('vec_id', 'e.vec_id')} AS h
+            FROM a JOIN embeddings e ON a.anchor_id <> e.vec_id
+        )
+        SELECT anchor_id, partner_id, kind, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+                                         ORDER BY h, partner_id) AS rk
+            FROM cand
+        ) WHERE rk <= {CONTRAST_K}
+    """
+
+
 E2E_MIN_TOKENS = 20
 E2E_K_PER_SOURCE = 30
 
@@ -383,6 +518,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("split_train_val_test", q_split_train_val_test, _split_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Hash-deterministic train/val/test split rolled up per source."),
+        QuerySpec("tokenize_encode", q_tokenize_encode, TOKENIZE_ENCODE_ORACLE,
+                  ("pipeline", "llm", "tokenizer"),
+                  "Vocab-induced id encoding with OOV, order-sensitive fingerprint."),
+        QuerySpec("contrastive_pairs", q_contrastive_pairs, _contrastive_oracle(),
+                  ("pipeline", "llm", "sampling"),
+                  "Hash-deterministic positive/negative contrastive pair mining."),
         QuerySpec("pipeline_end_to_end", q_pipeline_end_to_end, _e2e_oracle(),
                   ("pipeline", "llm", "composition"),
                   "Quality->dedup->near-dup->decontaminate->stratify as ONE DAG."),
