@@ -550,6 +550,116 @@ USER_STREAKS_ORACLE = """
 """
 
 
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP = 20
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over orders: support /
+    confidence / lift for part pairs co-purchased in the same order
+    (min-support pruned, top-N by lift). All three metrics are ratios
+    of exact integer counts — deterministic on both engines. The pair
+    space is bounded by the same per-order self-join as the
+    co-purchase graph; min-support pruning happens before ranking."""
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = po.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = po.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("n_p")
+    )
+    a, b = po.alias("a"), po.alias("b")
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
+    lift = (F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("lift6"), "pa", "pb")
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab",
+            F.round(F.col("n_ab") / F.col("n_a"), 4).alias("confidence"),
+            F.round(lift, 4).alias("lift"),
+            F.round(lift, 6).alias("lift6"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BASKET_TOP)
+        .select("pa", "pb", "n_ab", "confidence", "lift", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+BASKET_LIFT_ORACLE = f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM po),
+    item AS (SELECT l_partkey AS p, count(*) AS n_p FROM po GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    scored AS (
+        SELECT pa, pb, n_ab,
+               round(n_ab * 1.0 / ia.n_p, 4) AS confidence,
+               round((n_ab * n_orders) * 1.0 / (ia.n_p * ib.n_p), 4) AS lift,
+               round((n_ab * n_orders) * 1.0 / (ia.n_p * ib.n_p), 6) AS lift6
+        FROM pair
+        JOIN item ia ON pa = ia.p
+        JOIN item ib ON pb = ib.p
+        CROSS JOIN n_orders
+    )
+    SELECT pa, pb, n_ab, confidence, lift, CAST(rk AS INT) AS rk FROM (
+        SELECT *, row_number() OVER (ORDER BY lift6 DESC, pa, pb) AS rk
+        FROM scored
+    ) WHERE rk <= {BASKET_TOP}
+"""
+
+
+def q_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational percentile bands: p50/p95/p99 of event value per
+    (hour, event_type) — the SLO dashboard query. Exact percentiles
+    (same determinism contract as the `percentiles` query); the
+    group-by key includes time, so state is bounded per window at
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+LATENCY_BANDS_ORACLE = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1, 2
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: lead() within (user, time) order -> per (from, to) counts
@@ -592,6 +702,12 @@ EVENT_TRANSITIONS_ORACLE = """
 
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("basket_lift", q_basket_lift, BASKET_LIFT_ORACLE,
+                  ("analytics", "basket"),
+                  "Support/confidence/lift association mining, top-N by lift."),
+        QuerySpec("latency_bands", q_latency_bands, LATENCY_BANDS_ORACLE,
+                  ("analytics", "percentiles", "ops"),
+                  "p50/p95/p99 bands per (hour, event_type)."),
         QuerySpec("skyline_pareto", q_skyline_pareto, SKYLINE_ORACLE,
                   ("analytics", "skyline"),
                   "Pareto frontier via O(n log n) sweep vs NOT-EXISTS oracle."),
