@@ -70,6 +70,60 @@ def _bloom_oracle() -> str:
     """
 
 
+def q_bloom_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter doing its real job: semi-join pushdown. Build
+    the 1024-bit filter over negative-balance customers (the
+    reference's declared-but-unused bloomFilter, controller.go:667,
+    completed into an operator), ship its 32 words to every task as a
+    literal, pre-filter the orders scan to bloom members (exact
+    members + ~FP rate of the sketch), then run the exact semi-join
+    on the survivors. The final result is bloom-independent — FPs are
+    dropped by the exact join — so the oracle is the plain semi-join:
+    the sketch may only accelerate, never change, the answer. At
+    100 TB this is the standard trick for cutting a fact-scan's
+    shuffle by the dim's selectivity before the join."""
+    words = {
+        int(r.word_idx): int(r.word)
+        for r in q_bloom_build(spark, sf_dir).collect()  # 32 longs
+    }
+    arr = F.array(*[F.lit(words.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)])
+    o = load_table(spark, sf_dir, "orders")
+    h = _h31_spark(F.col("o_custkey").cast("string"))
+    # One membership test per hash fn, over the broadcast word array.
+    o2 = o.withColumn("_h", h).withColumn("_bloom", arr)
+    tests = []
+    for a, b in MINHASH_AB[:K_HASHES]:
+        tests.append(
+            f"((element_at(_bloom, CAST((({a} * _h + {b}) % {P31} % {BLOOM_BITS}) / 32 AS INT) + 1)"
+            f" >> CAST((({a} * _h + {b}) % {P31} % {BLOOM_BITS}) % 32 AS INT)) & 1) = 1"
+        )
+    cand = o2.filter(F.expr(" AND ".join(tests))).drop("_h", "_bloom")
+    neg = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return (
+        cand.join(
+            F.broadcast(neg.select("c_custkey")),
+            cand.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+BLOOM_PROBE_ORACLE = """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY 1
+"""
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample of orders by key hash. Reproducible
     across engines/runs/retries (unlike TABLESAMPLE's RNG), composable
@@ -155,6 +209,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("hll_union", q_hll_union, HLL_UNION_ORACLE,
                   ("sketch", "approx", "llm"),
                   "Mergeable per-source HLL sketches + union, bounded-error verdict."),
+        QuerySpec("bloom_probe_join", q_bloom_probe_join, BLOOM_PROBE_ORACLE,
+                  ("sketch", "join"),
+                  "Bloom-pruned semi-join: sketch prefilter + exact verify."),
         QuerySpec("bloom_build", q_bloom_build, _bloom_oracle(), ("sketch",),
                   "1024-bit Bloom filter build over a key set "
                   "(reference's unused bloomFilter, controller.go:667, made real)."),
