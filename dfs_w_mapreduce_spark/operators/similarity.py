@@ -596,7 +596,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(method).alias("method"),
                 "n_hits",
                 "n_total",
-                F.round(F.col("n_hits") / F.col("n_total"), 4).alias("recall"),
+                # try_divide: an empty corpus yields n_total = 0, and
+                # ANSI mode would turn the plain division into a
+                # DIVIDE_BY_ZERO error instead of a NULL recall
+                F.round(F.try_divide(F.col("n_hits"), F.col("n_total")), 4).alias("recall"),
             )
         )
         rows = row if rows is None else rows.unionByName(row)
