@@ -79,6 +79,17 @@ QUERIES = [
     "graph_triangles",
     "hll_union",
     "udaf_grouped_agg",
+    # late round-3 operators
+    "pipeline_end_to_end",
+    "dedup_incremental",
+    "anomaly_mad",
+    "basket_lift",
+    "event_transitions",
+    "user_streaks",
+    "latency_bands",
+    "tokenize_encode",
+    "bloom_probe_join",
+    "stream_session_dynamic",
 ]
 
 
