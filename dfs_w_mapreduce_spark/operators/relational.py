@@ -1363,6 +1363,35 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_ASOF_T = "1999-06-15 00:00:00"
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup over the SCD2 dimension: which
+    priority was valid for each customer at a fixed probe instant —
+    the time-travel read every slowly-changing dimension exists to
+    answer. Interval membership is eff_from <= T < eff_to (open
+    current intervals match any later T); exactly one interval per
+    key can match by construction, which the oracle re-derives
+    independently."""
+    dim = q_scd2_build(spark, sf_dir)
+    t = F.lit(SCD2_ASOF_T).cast("timestamp")
+    return dim.filter(
+        (F.col("eff_from") <= t)
+        & (F.col("eff_to").isNull() | (t < F.col("eff_to")))
+    ).select("custkey", "priority", "eff_from", "is_current")
+
+
+def _scd2_asof_oracle() -> str:
+    return f"""
+        WITH dim AS ({SCD2_ORACLE}),
+        probe AS (SELECT TIMESTAMP '{SCD2_ASOF_T}' AS t)
+        SELECT custkey, priority, eff_from, is_current
+        FROM dim CROSS JOIN probe
+        WHERE eff_from <= t AND (eff_to IS NULL OR t < eff_to)
+    """
+
+
 SCD2_ORACLE = """
     WITH marked AS (
         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -1462,6 +1491,7 @@ def specs() -> list[QuerySpec]:
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
         mk("scd2_build", q_scd2_build, SCD2_ORACLE, ("relational", "cdc", "window"), "SCD-type-2 intervals via gaps-and-islands."),
+        mk("scd2_asof_lookup", q_scd2_asof_lookup, _scd2_asof_oracle(), ("relational", "cdc", "timetravel"), "Point-in-time AS OF read over the SCD2 dimension."),
         mk("safe_arithmetic", q_safe_arithmetic, SAFE_ARITHMETIC_ORACLE, ("relational", "scalar", "errors"), "try_cast/try_divide/try_to_timestamp dirty-data battery."),
         mk("approx_percentiles", q_approx_percentiles, APPROX_PERCENTILES_ORACLE, ("relational", "approx"), "GK approx percentiles: exact quantiles + in-query bounded-error verdict."),
         mk("agg_corr", q_agg_corr, AGG_CORR_ORACLE, ("relational", "agg"), "Pearson correlation + sample covariance."),
