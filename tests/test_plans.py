@@ -142,3 +142,23 @@ def test_pipeline_end_to_end_single_dag_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     # two dedup hash-aggregations + the final rollup
     assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_bloom_probe_join_pushes_prefilter_to_scan_side(spark, sf_dir):
+    """The bloom membership predicate must run BEFORE the join (a
+    Filter on the orders side under the join, not after it)."""
+    from dfs_w_mapreduce_spark.operators import sketches as SK
+
+    plan = formatted_plan(SK.q_bloom_probe_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    # the bloom tests appear as a Filter containing element_at over
+    # the literal word array
+    assert "element_at" in plan, plan[:1500]
+
+
+def test_basket_lift_partial_aggregation(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators import analytics as AN
+
+    plan = formatted_plan(AN.q_basket_lift(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan[:1500]
+    assert "CartesianProduct" not in plan
