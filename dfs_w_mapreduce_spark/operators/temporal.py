@@ -171,6 +171,55 @@ def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each order, the EARLIEST event
+    at-or-after the order date — the mirror of q_asof_join (backward),
+    same union + window idiom with the time axis reversed (order by
+    ts DESC so "carry the last event seen" means "smallest ts >= T").
+    Ties on ts resolve to the minimum event_id on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % USER_MOD).alias("u"), "ts", "event_id"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % USER_MOD).alias("u"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    unioned = ev.select(
+        "u", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("ev_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        orders.select(
+            "u", "ts", F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("ev_id"), "o_orderkey",
+        )
+    )
+    w = (
+        W.partitionBy("u")
+        .orderBy(F.desc("ts"), "side", F.desc("ev_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    resolved = unioned.withColumn(
+        "next_event_id", F.last("ev_id", ignorenulls=True).over(w)
+    )
+    return resolved.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        F.col("u").alias("user_id"),
+        F.col("next_event_id").alias("event_id"),
+    )
+
+
+ASOF_FORWARD_ORACLE = f"""
+    WITH o AS (SELECT o_orderkey, o_custkey % {USER_MOD} AS u, o_orderdate AS ts
+               FROM orders),
+    e AS (SELECT user_id % {USER_MOD} AS u, ts, min(event_id) AS event_id
+          FROM events GROUP BY 1, 2)
+    SELECT o.o_orderkey, o.u AS user_id, e.event_id
+    FROM o ASOF LEFT JOIN e ON o.u = e.u AND o.ts <= e.ts
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("asof_join", q_asof_join, ASOF_JOIN_ORACLE, ("temporal", "join"),
@@ -178,6 +227,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("asof_join_pandas", q_asof_join_pandas, ASOF_JOIN_ORACLE,
                   ("temporal", "join", "pandas"),
                   "As-of join via per-group pd.merge_asof (Arrow tier, same oracle)."),
+        QuerySpec("asof_join_forward", q_asof_join_forward, ASOF_FORWARD_ORACLE,
+                  ("temporal", "join"),
+                  "Forward as-of join (earliest event at-or-after), mirrored idiom."),
         QuerySpec("range_join", q_range_join, RANGE_JOIN_ORACLE, ("temporal", "join"),
                   "Banded range join: clicks within 5 min before each error."),
     ]
