@@ -429,6 +429,48 @@ STREAM_WMDEDUP_LIVE_ORACLE = """
 """
 
 
+def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window executed as a REAL streaming query:
+    watermarked session aggregation, availableNow replay into a
+    memory sink, complete mode. Over a finite replay the final
+    sessions equal the batch session_window result, so this live
+    stateful-session execution shares `stream_session`'s DuckDB
+    oracle — the strongest check a streaming session operator can
+    get."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+
 def q_stream_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured parsing via VariantType (Spark 4): parse_json
     once into a variant, typed extraction with variant_get — the
@@ -662,6 +704,10 @@ def specs() -> list[QuerySpec]:
                   STREAM_SESSION_DYNAMIC_ORACLE,
                   ("streaming", "window", "session"),
                   "Dynamic-gap session_window (per-event gap expression)."),
+        QuerySpec("stream_session_live", q_stream_session_live,
+                  STREAM_SESSION_ORACLE,
+                  ("streaming", "live", "session"),
+                  "Live session_window execution sharing the batch session oracle."),
         QuerySpec("stream_wmdedup_live", q_stream_wmdedup_live,
                   STREAM_WMDEDUP_LIVE_ORACLE,
                   ("streaming", "live", "dedup", "watermark"),
