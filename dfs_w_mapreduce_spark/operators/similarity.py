@@ -632,11 +632,63 @@ def _ann_recall_oracle() -> str:
     """
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-3 cosine neighbors restricted to
+    candidates sharing the query's label — the metadata-prefiltered
+    ANN every vector store exposes (filter-then-search, not
+    search-then-filter, so recall is not silently lost to the
+    filter). Same determinism contract as the other knn tiers."""
+    v = _vecs(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    vl = v.join(lab, "vec_id")
+    q = vl.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = vl.alias("c")
+    cos = F.round(
+        _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 6
+    )
+    scored = q.join(
+        c,
+        (F.col("q.label") == F.col("c.label"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q.label").alias("label"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "label", "neighbor_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _knn_filtered_oracle() -> str:
+    return f"""
+        WITH v AS ({_VECS_SQL}),
+        vl AS (SELECT v.*, e.label FROM v JOIN embeddings e USING (vec_id))
+        SELECT query_id, label, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+            SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id) AS rk
+            FROM vl q JOIN vl c ON q.label = c.label AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rk <= 3
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("embedding_pool", q_embedding_pool, EMBEDDING_POOL_ORACLE,
                   ("embedding", "llm"),
                   "Per-label element-wise mean pooling (decimal-exact sums)."),
+        QuerySpec("knn_filtered", q_knn_filtered, _knn_filtered_oracle(),
+                  ("similarity", "llm", "filtered"),
+                  "Metadata-prefiltered (same-label) exact top-3 search."),
         QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(),
                   ("similarity", "llm", "recall"),
                   "Recall@K of LSH/IVF/PQ tiers vs exact brute force."),
