@@ -660,6 +660,54 @@ LATENCY_BANDS_ORACLE = """
 """
 
 
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas: weekly exact-decimal revenue
+    per order priority with lag-based absolute and percent change —
+    the BI time-comparison staple. The pct change divides two
+    deterministic doubles (exact decimal sums cast down), try_divide
+    guards the first week / empty-input NULLs under ANSI mode."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.date_trunc("week", "o_orderdate").alias("week")
+    weekly = o.groupBy(wk, "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("week")
+    prev = F.lag("rev_dec").over(w)
+    return weekly.select(
+        "week",
+        "o_orderpriority",
+        F.round("rev_dec", 2).cast("double").alias("revenue"),
+        "n_orders",
+        F.round(F.col("rev_dec") - prev, 2).cast("double").alias("abs_change"),
+        F.round(
+            F.try_divide(
+                (F.col("rev_dec") - prev).cast("double"), prev.cast("double")
+            ),
+            6,
+        ).alias("pct_change"),
+    )
+
+
+WOW_CHANGE_ORACLE = """
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week,
+               o_orderpriority,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT week, o_orderpriority,
+           CAST(round(rev_dec, 2) AS DOUBLE) AS revenue,
+           n_orders,
+           CAST(round(rev_dec - lag(rev_dec) OVER w, 2) AS DOUBLE) AS abs_change,
+           round(CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)
+                 / CAST(lag(rev_dec) OVER w AS DOUBLE), 6) AS pct_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY week)
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: lead() within (user, time) order -> per (from, to) counts
@@ -702,6 +750,9 @@ EVENT_TRANSITIONS_ORACLE = """
 
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("wow_change", q_wow_change, WOW_CHANGE_ORACLE,
+                  ("analytics", "timeseries", "window"),
+                  "Week-over-week revenue deltas (lag window, exact sums)."),
         QuerySpec("basket_lift", q_basket_lift, BASKET_LIFT_ORACLE,
                   ("analytics", "basket"),
                   "Support/confidence/lift association mining, top-N by lift."),
