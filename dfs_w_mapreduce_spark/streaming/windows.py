@@ -471,6 +471,36 @@ def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows executed live (complete mode over an
+    availableNow replay equals the batch sliding aggregation, so this
+    shares `stream_sliding`'s oracle): each event lands in two
+    10-minute windows stepping every 5."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+
 def q_stream_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured parsing via VariantType (Spark 4): parse_json
     once into a variant, typed extraction with variant_get — the
@@ -704,6 +734,10 @@ def specs() -> list[QuerySpec]:
                   STREAM_SESSION_DYNAMIC_ORACLE,
                   ("streaming", "window", "session"),
                   "Dynamic-gap session_window (per-event gap expression)."),
+        QuerySpec("stream_sliding_live", q_stream_sliding_live,
+                  STREAM_SLIDING_ORACLE,
+                  ("streaming", "live", "window"),
+                  "Live sliding-window execution sharing the batch oracle."),
         QuerySpec("stream_session_live", q_stream_session_live,
                   STREAM_SESSION_ORACLE,
                   ("streaming", "live", "session"),
