@@ -708,6 +708,67 @@ WOW_CHANGE_ORACLE = """
 """
 
 
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per first-view-day cohort, the
+    p50/p90 minutes from a user's first view to their first
+    subsequent purchase. All timestamp arithmetic is exact integer
+    MICROSECONDS (unix_micros / epoch_us) — the fixture has sub-second
+    timestamps, and truncating to seconds (unix_timestamp) or casting
+    fractional epochs would round differently per engine. ts may be
+    stored as TIMESTAMP_NTZ — cast to TIMESTAMP (UTC session keeps
+    wall-clock) before unix_micros, which rejects NTZ."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts").cast("timestamp")))
+            ).alias("v_us")
+        )
+        .filter(F.col("v_us").isNotNull())
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us")
+    )
+    conv = (
+        purch.join(per_user, "user_id")
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg(F.min("p_us").alias("first_p_us"))
+        .withColumn(
+            "delta_min", (F.col("first_p_us") - F.col("v_us")) / 60000000.0
+        )
+        .withColumn("cohort_day", F.to_date(F.timestamp_micros(F.col("v_us"))))
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(delta_min, 0.5)"), 3).alias("p50_min"),
+        F.round(F.expr("percentile(delta_min, 0.9)"), 3).alias("p90_min"),
+    )
+
+
+FUNNEL_TTC_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us
+        FROM events GROUP BY 1
+        HAVING min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) IS NOT NULL
+    ),
+    conv AS (
+        SELECT e.user_id, v_us, min(epoch_us(e.ts)) AS first_p_us
+        FROM events e JOIN per_user USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v_us
+        GROUP BY 1, 2
+    )
+    SELECT CAST(make_timestamp(v_us) AS DATE) AS cohort_day,
+           count(*) AS n_converted,
+           round(quantile_cont((first_p_us - v_us) / 60000000.0, 0.5), 3) AS p50_min,
+           round(quantile_cont((first_p_us - v_us) / 60000000.0, 0.9), 3) AS p90_min
+    FROM conv
+    GROUP BY 1
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: lead() within (user, time) order -> per (from, to) counts
@@ -750,6 +811,9 @@ EVENT_TRANSITIONS_ORACLE = """
 
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("funnel_time_to_convert", q_funnel_time_to_convert, FUNNEL_TTC_ORACLE,
+                  ("analytics", "events", "funnel"),
+                  "First-view to first-purchase latency percentiles per cohort."),
         QuerySpec("wow_change", q_wow_change, WOW_CHANGE_ORACLE,
                   ("analytics", "timeseries", "window"),
                   "Week-over-week revenue deltas (lag window, exact sums)."),
