@@ -769,6 +769,70 @@ FUNNEL_TTC_ORACLE = """
 """
 
 
+RFM_BUCKETS = 4
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (exact-decimal spend), each quartiled with ntile over a
+    deterministic total order (metric + custkey tie-break), rolled up
+    per (r, f, m) cell. Date subtraction is integer days; ntile over
+    a unique order key is engine-stable — the same discipline as
+    window_running."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend_dec"),
+    )
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("max_day"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("max_day", "last_day")
+    )
+    wr = W.orderBy("recency_days", "o_custkey")  # fewer days = bucket 1
+    wf = W.orderBy(F.desc("freq"), "o_custkey")
+    wm = W.orderBy(F.desc("spend_dec"), "o_custkey")
+    cells = scored.select(
+        "o_custkey",
+        F.ntile(RFM_BUCKETS).over(wr).alias("r"),
+        F.ntile(RFM_BUCKETS).over(wf).alias("f"),
+        F.ntile(RFM_BUCKETS).over(wm).alias("m"),
+        "spend_dec",
+    )
+    return cells.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("spend_dec"), 2).cast("double").alias("cell_spend"),
+    )
+
+
+RFM_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_day,
+               count(*) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+        FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+    scored AS (
+        SELECT *, (max_day - last_day) AS recency_days
+        FROM per_cust CROSS JOIN anchor
+    ),
+    cells AS (
+        SELECT o_custkey, spend_dec,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey) AS r,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               ntile({RFM_BUCKETS}) OVER (ORDER BY spend_dec DESC, o_custkey) AS m
+        FROM scored
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           count(*) AS n_customers,
+           CAST(round(sum(spend_dec), 2) AS DOUBLE) AS cell_spend
+    FROM cells GROUP BY 1, 2, 3
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     stream: lead() within (user, time) order -> per (from, to) counts
@@ -811,6 +875,9 @@ EVENT_TRANSITIONS_ORACLE = """
 
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("rfm_segments", q_rfm_segments, RFM_ORACLE,
+                  ("analytics", "segmentation", "window"),
+                  "RFM quartile segmentation with deterministic ntiles."),
         QuerySpec("funnel_time_to_convert", q_funnel_time_to_convert, FUNNEL_TTC_ORACLE,
                   ("analytics", "events", "funnel"),
                   "First-view to first-purchase latency percentiles per cohort."),
