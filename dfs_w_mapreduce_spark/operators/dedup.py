@@ -786,43 +786,60 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence check), not data.
     """
     pairs = q_dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs, "doc_a", "doc_b", "doc_id")
+
+
+def _min_label_components(
+    pairs: DataFrame, col_a: str, col_b: str, out_id: str
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair set; shared by every near-dup family's cluster
+    step (MinHash text pairs, embedding-cosine pairs). Returns one row
+    per member: (out_id, cluster_id, is_keeper, n_members)."""
     edges = (
         pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+            pairs.select(F.col(col_b).alias(col_a), F.col(col_a).alias(col_b))
         )
-        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
-        .cache()  # one materialized frame reused every round (caching
-        # the directed pairs instead would re-run the union per round)
+        .withColumnsRenamed({col_a: "src", col_b: "dst"})
+        # localCheckpoint, not cache: iterative propagation re-embeds
+        # the edge plan into every round's plan, so a heavy pair
+        # pipeline (the embedding path inlines 64-dim dot-product
+        # expression trees) must have its LINEAGE truncated, not just
+        # its execution memoized — with cache alone the accumulated
+        # plan string OOM'd the driver before round 1.
+        .localCheckpoint()
     )
     # Seed labels with the 1-hop minimum (min of self and all direct
     # neighbors) instead of self: clique-like dedup components — the
     # common case — are already converged at round 1's fixpoint check,
     # saving a full propagation round of driver-side actions.
+    #
+    # Every round's plan references the previous round's TWICE (the
+    # union and the join), so without lineage truncation the logical
+    # plan doubles per round — exponential in rounds; a graph that
+    # needed ~10 rounds OOM'd the driver on plan strings alone.
+    # localCheckpoint (eager) materializes each round AND cuts the
+    # plan back to a leaf — the standard idiom for iterative Spark
+    # algorithms; superseded rounds' tiny (id,label) blocks are left
+    # to GC.
     labels = (
-        edges.groupBy(F.col("src").alias("doc_id"))
+        edges.groupBy(F.col("src").alias(out_id))
         .agg(F.min("dst").alias("min_nbr"))
-        .select("doc_id", F.least("doc_id", "min_nbr").alias("label"))
-        .cache()
+        .select(out_id, F.least(out_id, "min_nbr").alias("label"))
+        .localCheckpoint()
     )
-    # One action per round: the label-sum convergence scalar also
-    # forces the new round's cache (a separate count() per round was
-    # measured at ~2x the actions for no benefit).
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(25):  # >= diameter; dedup components converge in ~3
-        msgs = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "label"
+        msgs = edges.join(labels, edges.src == F.col(out_id)).select(
+            F.col("dst").alias(out_id), "label"
         )
-        prev_labels = labels
         labels = (
             labels.unionByName(msgs)
-            .groupBy("doc_id")
+            .groupBy(out_id)
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
-        prev_labels.unpersist()  # release the superseded round's blocks:
-        # a long run would otherwise pin every round's labels in
-        # (eviction-immune) storage memory and starve later queries
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -830,31 +847,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.join(sizes, "label")
         .select(
-            "doc_id",
+            out_id,
             F.col("label").alias("cluster_id"),
-            (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+            (F.col(out_id) == F.col("label")).alias("is_keeper"),
             "n_members",
         )
     )
 
 
-def _clusters_labels_sql() -> str:
+def _labels_ctes_sql(pairs_sql: str, col_a: str, col_b: str, out_id: str) -> str:
     """Recursive-CTE twin of the label propagation: walk(v, m) holds
     'm is in v's component'; min(m) per v = the cluster id."""
     return f"""
-        pairs AS ({_minhash_oracle()}),
+        pairs AS ({pairs_sql}),
         edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            SELECT {col_a} AS src, {col_b} AS dst FROM pairs
             UNION
-            SELECT doc_b, doc_a FROM pairs
+            SELECT {col_b}, {col_a} FROM pairs
         ),
         walk(v, m) AS (
             SELECT src, src FROM edges
             UNION
             SELECT e.dst, w.m FROM walk w JOIN edges e ON w.v = e.src
         ),
-        labels AS (SELECT v AS doc_id, min(m) AS cluster_id FROM walk GROUP BY v)
+        labels AS (SELECT v AS {out_id}, min(m) AS cluster_id FROM walk GROUP BY v)
     """
+
+
+def _clusters_labels_sql() -> str:
+    return _labels_ctes_sql(_minhash_oracle(), "doc_a", "doc_b", "doc_id")
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
@@ -886,6 +907,29 @@ DEDUP_APPLY_ORACLE = f"""
     SELECT doc_id, md5(text) AS text_fp
     FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+"""
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup to corpus-out: the embedding-cosine pair set
+    resolved to duplicate clusters + keepers via the same min-label
+    propagation as the MinHash family. This closes the embedding
+    branch of the dedup pipeline at the same pair->cluster->keeper
+    shape (cluster_id = smallest vec_id in the component = keeper).
+    At 100 TB the pair input comes from the LSH-bucketed sibling
+    (operators/similarity.py), not the brute-force baseline; the
+    propagation cost is O(edges) per round either way and never
+    shuffles the vectors themselves."""
+    pairs = q_dedup_embedding_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    return _min_label_components(pairs, "vec_a", "vec_b", "vec_id")
+
+
+DEDUP_EMBEDDING_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    {_labels_ctes_sql(DEDUP_EMBEDDING_ORACLE, "vec_a", "vec_b", "vec_id")},
+    sized AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+    SELECT l.vec_id, l.cluster_id, l.vec_id = l.cluster_id AS is_keeper, s.n_members
+    FROM labels l JOIN sized s USING (cluster_id)
 """
 
 
@@ -923,4 +967,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_ORACLE,
                   ("dedup", "llm"),
                   "Emit the deduplicated corpus: drop non-keeper cluster members."),
+        QuerySpec("dedup_embedding_clusters", q_dedup_embedding_clusters,
+                  DEDUP_EMBEDDING_CLUSTERS_ORACLE,
+                  ("dedup", "llm", "embedding", "graph"),
+                  "Semantic dedup clusters + keepers over the cosine pair set."),
     ]
