@@ -873,8 +873,116 @@ EVENT_TRANSITIONS_ORACLE = """
 """
 
 
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass over events
+    produces ALL rollup resolutions (hour, day, per-type total, grand
+    total) via the ROLLUP hierarchy on (event_type, day, hour). Spark
+    computes every level from one partial-aggregate shuffle — the
+    map-side combine emits each input row into the 4 grouping sets,
+    so the finest level dominates cost and the coarser levels are
+    nearly free; at 100 TB this replaces 4 separate scans with 1.
+    Sums accumulate in DECIMAL (exact, associative) so every level
+    hash-matches regardless of accumulation order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        "value",
+    )
+    res = (
+        F.when(F.grouping("h") == 0, "hour")
+        .when(F.grouping("d") == 0, "day")
+        .when(F.grouping("event_type") == 0, "type")
+        .otherwise("total")
+    )
+    return ev.rollup("event_type", "d", "h").agg(
+        res.alias("resolution"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ROLLUP_HYPERTABLE_ORACLE = """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+           CASE WHEN GROUPING(CAST(date_trunc('hour', ts) AS TIMESTAMP)) = 0 THEN 'hour'
+                WHEN GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP)) = 0 THEN 'day'
+                WHEN GROUPING(event_type) = 0 THEN 'type'
+                ELSE 'total' END AS resolution,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, d, h)
+"""
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type statistics: clip values to the in-group
+    [p05, p95] band, then aggregate the clipped column. Two passes
+    over one shuffle partitioning: exact percentiles per type, then a
+    broadcast join of the 5-row bound table back onto events. The
+    clipped mean divides an exact DECIMAL sum by the count, so the
+    only doubles compared cross-engine are deterministic (identical
+    interpolated percentiles, identical division inputs)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("p05"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("p05"), 4).alias("p05"),
+        F.round(F.first("p95"), 4).alias("p95"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / F.count("*"), 4
+        ).alias("mean_winsorized"),
+        F.round(F.min("w"), 4).alias("min_w"),
+        F.round(F.max("w"), 4).alias("max_w"),
+    )
+
+
+WINSORIZE_ORACLE = f"""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS p05,
+               quantile_cont(value, {WINSOR_HI}) AS p95
+        FROM events GROUP BY 1
+    ),
+    clipped AS (
+        SELECT e.event_type, p05, p95,
+               least(greatest(value, p05), p95) AS w
+        FROM events e JOIN bounds USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(any_value(p05), 4) AS p05,
+           round(any_value(p95), 4) AS p95,
+           round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+               AS mean_winsorized,
+           round(min(w), 4) AS min_w,
+           round(max(w), 4) AS max_w
+    FROM clipped
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("rollup_hypertable", q_rollup_hypertable, ROLLUP_HYPERTABLE_ORACLE,
+                  ("analytics", "timeseries", "rollup"),
+                  "Multi-resolution continuous aggregate in one ROLLUP pass."),
+        QuerySpec("winsorize", q_winsorize, WINSORIZE_ORACLE,
+                  ("analytics", "quality", "robust"),
+                  "Per-type [p05,p95] clipping with exact-decimal clipped means."),
         QuerySpec("rfm_segments", q_rfm_segments, RFM_ORACLE,
                   ("analytics", "segmentation", "window"),
                   "RFM quartile segmentation with deterministic ntiles."),

@@ -260,6 +260,47 @@ COMPACT_CHUNKS_ORACLE = f"""
 """
 
 
+CHUNK_KEYS = 1500    # orderkeys per simulated storage chunk
+PRUNE_BOUND = "1995-06-01"
+
+
+def q_chunk_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning evidence: partition lineitem into fixed
+    key-range chunks (the DFS 15 MB-chunk analog keyed by l_orderkey
+    range), compute each chunk's min/max l_shipdate footer stats, and
+    evaluate the pinned predicate `l_shipdate >= {PRUNE_BOUND}` purely
+    against the zone map — `pruned` marks chunks a scan would skip
+    without reading a row. Because orderkeys and shipdates are both
+    time-correlated in TPC-H, the zone maps are tight and most
+    out-of-range chunks prune; this is the file-skipping math a
+    lakehouse runs on parquet footers, materialized as a query so the
+    driver hash-verifies it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr(f"l_orderkey div {CHUNK_KEYS}").alias("chunk_id"), "l_shipdate"
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .withColumn("pruned", F.col("max_ship") < F.lit(PRUNE_BOUND).cast("date"))
+    )
+
+
+CHUNK_PRUNE_ORACLE = f"""
+    SELECT l_orderkey // {CHUNK_KEYS} AS chunk_id,
+           count(*) AS n_rows,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           max(l_shipdate) < DATE '{PRUNE_BOUND}' AS pruned
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(),
@@ -271,4 +312,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("compact_chunks", q_compact_chunks, COMPACT_CHUNKS_ORACLE,
                   ("layout", "scale", "storage"),
                   "Small-chunk compaction with file-count and value conservation."),
+        QuerySpec("chunk_prune_stats", q_chunk_prune_stats, CHUNK_PRUNE_ORACLE,
+                  ("layout", "scale", "storage"),
+                  "Per-chunk zone maps + predicate pruning decisions (file skipping)."),
     ]

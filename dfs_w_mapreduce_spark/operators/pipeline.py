@@ -501,6 +501,86 @@ def _e2e_oracle() -> str:
     """
 
 
+# temperature-scaled mixing: alpha=0.5 (weights ~ n^alpha), target
+# corpus fraction 0.5 — the multilingual-LM sampling scheme where
+# small sources are upsampled relative to their natural share
+TEMP_TARGET_FRAC = 0.5
+TEMP_MOD = 1_000_000
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: per-source sampling rates
+    DERIVED from the data (weight ~ sqrt(n_source), normalized), not
+    fixed like mix_sample_by_source. Rates follow from two tiny
+    aggregates (per-source counts, one global total) broadcast back
+    onto the corpus; the document scan is touched once and the kept
+    set is a deterministic hash sample, so the mix is reproducible
+    across runs and engines. All weight arithmetic is DECIMAL-summed
+    or identical-double division — no accumulation-order hazard."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "w", F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(18,6)")
+    )
+    tot = w.agg(F.sum("w").alias("tw"), F.sum("n_docs").alias("td"))
+    weight = F.round(F.col("w").cast("double") / F.col("tw").cast("double"), 6)
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            weight.alias("weight"),
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    weight * F.col("td") * TEMP_TARGET_FRAC / F.col("n_docs"), 6
+                ),
+            ).alias("keep_rate"),
+        )
+    )
+    thresh = F.floor(F.col("keep_rate") * TEMP_MOD).cast("long")
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(_h31_spark(F.col("doc_id").cast("string")) % TEMP_MOD < thresh)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "keep_rate",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def _mix_temperature_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        w AS (SELECT source, n_docs,
+                     CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS w
+              FROM counts),
+        tot AS (SELECT sum(w) AS tw, sum(n_docs) AS td FROM w),
+        rates AS (
+            SELECT source, n_docs,
+                   round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+                   least(1.0, round(round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                                    * td * {TEMP_TARGET_FRAC} / n_docs, 6)) AS keep_rate
+            FROM w CROSS JOIN tot
+        ),
+        kept AS (
+            SELECT d.source, count(*) AS n_kept
+            FROM documents d JOIN rates r USING (source)
+            WHERE {h} % {TEMP_MOD} < CAST(floor(keep_rate * {TEMP_MOD}) AS BIGINT)
+            GROUP BY 1
+        )
+        SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.weight, r.keep_rate,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        FROM rates r LEFT JOIN kept USING (source)
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
@@ -509,6 +589,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("decontaminate", q_decontaminate, _decontaminate_oracle(),
                   ("pipeline", "llm"),
                   "Benchmark-ngram decontamination via inverted-index anti-join."),
+        QuerySpec("mix_temperature", q_mix_temperature, _mix_temperature_oracle(),
+                  ("pipeline", "llm", "sampling"),
+                  "Temperature-scaled (alpha=0.5) source mixing with derived rates."),
         QuerySpec("sample_stratified", q_sample_stratified, _stratified_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact K-per-source stratified sample via hash-rank window."),

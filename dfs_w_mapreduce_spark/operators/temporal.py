@@ -220,6 +220,149 @@ ASOF_FORWARD_ORACLE = f"""
 """
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each order, the event closest in time in
+    EITHER direction (ties go backward). Completes the as-of family
+    (backward / forward / nearest) with one pass: both directional
+    windows run over the same unioned frame — one shuffle on the user
+    key, two in-partition sorts, no second join. Gaps compare in exact
+    integer microseconds (`unix_micros`), never float seconds."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % USER_MOD).alias("u"), "ts", "event_id"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % USER_MOD).alias("u"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    ev_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    unioned = ev.select(
+        "u", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("ev_id"), ev_us.alias("ev_us"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        orders.select(
+            "u", "ts", F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("ev_id"),
+            F.lit(None).cast("long").alias("ev_us"), "o_orderkey",
+        )
+    )
+    # Same tie rules as the directional queries: backward resolves
+    # equal-ts to max event_id, forward to min.
+    wb = (
+        W.partitionBy("u")
+        .orderBy("ts", "side", "ev_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("u")
+        .orderBy(F.desc("ts"), "side", F.desc("ev_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    resolved = (
+        unioned.withColumn("back_id", F.last("ev_id", ignorenulls=True).over(wb))
+        .withColumn("back_us", F.last("ev_us", ignorenulls=True).over(wb))
+        .withColumn("fwd_id", F.last("ev_id", ignorenulls=True).over(wf))
+        .withColumn("fwd_us", F.last("ev_us", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    o_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_back, gap_fwd = o_us - F.col("back_us"), F.col("fwd_us") - o_us
+    pick_back = F.col("fwd_id").isNull() | (
+        F.col("back_id").isNotNull() & (gap_back <= gap_fwd)
+    )
+    return resolved.select(
+        "o_orderkey",
+        F.col("u").alias("user_id"),
+        F.when(pick_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias("event_id"),
+        F.when(F.col("back_id").isNull() & F.col("fwd_id").isNull(), "none")
+        .when(pick_back, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )
+
+
+ASOF_NEAREST_ORACLE = f"""
+    WITH o AS (SELECT o_orderkey, o_custkey % {USER_MOD} AS u, o_orderdate AS ts
+               FROM orders),
+    eb AS (SELECT user_id % {USER_MOD} AS u, ts, max(event_id) AS event_id
+           FROM events GROUP BY 1, 2),
+    ef AS (SELECT user_id % {USER_MOD} AS u, ts, min(event_id) AS event_id
+           FROM events GROUP BY 1, 2),
+    b AS (SELECT o.o_orderkey, o.u, e.event_id AS back_id, epoch_us(e.ts) AS back_us,
+                 epoch_us(CAST(o.ts AS TIMESTAMP)) AS o_us
+          FROM o ASOF LEFT JOIN eb e ON o.u = e.u AND o.ts >= e.ts),
+    f AS (SELECT o.o_orderkey, e.event_id AS fwd_id, epoch_us(e.ts) AS fwd_us
+          FROM o ASOF LEFT JOIN ef e ON o.u = e.u AND o.ts <= e.ts)
+    SELECT b.o_orderkey, b.u AS user_id,
+           CASE WHEN fwd_id IS NULL THEN back_id
+                WHEN back_id IS NOT NULL AND o_us - back_us <= fwd_us - o_us THEN back_id
+                ELSE fwd_id END AS event_id,
+           CASE WHEN back_id IS NULL AND fwd_id IS NULL THEN 'none'
+                WHEN fwd_id IS NULL THEN 'backward'
+                WHEN back_id IS NOT NULL AND o_us - back_us <= fwd_us - o_us THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM b JOIN f USING (o_orderkey)
+"""
+
+
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per event_type hourly revenue on a dense
+    hourly spine, missing buckets filled by last-observation-carried-
+    forward (the hypertable `locf()` idiom). The spine is generated,
+    not scanned (types x hours cross join of two tiny frames); the
+    only data shuffle is the per-(type,hour) partial aggregate, and
+    the LOCF window sorts each type's spine once. Hourly sums
+    accumulate in DECIMAL so the carried value is engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        "value",
+    )
+    sums = ev.groupBy("event_type", "h").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("hour_sum")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(hours)
+    joined = spine.join(sums, ["event_type", "h"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("hour_sum").isNull().alias("is_gap"),
+    )
+
+
+GAP_FILL_LOCF_ORACLE = """
+    WITH e AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value
+               FROM events),
+    sums AS (SELECT event_type, h,
+                    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_sum
+             FROM e GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM e),
+    spine AS (SELECT event_type, h FROM types CROSS JOIN hours)
+    SELECT s.event_type, s.h,
+           last_value(hour_sum IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+           hour_sum IS NULL AS is_gap
+    FROM spine s LEFT JOIN sums USING (event_type, h)
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("asof_join", q_asof_join, ASOF_JOIN_ORACLE, ("temporal", "join"),
@@ -232,4 +375,10 @@ def specs() -> list[QuerySpec]:
                   "Forward as-of join (earliest event at-or-after), mirrored idiom."),
         QuerySpec("range_join", q_range_join, RANGE_JOIN_ORACLE, ("temporal", "join"),
                   "Banded range join: clicks within 5 min before each error."),
+        QuerySpec("asof_join_nearest", q_asof_join_nearest, ASOF_NEAREST_ORACLE,
+                  ("temporal", "join"),
+                  "Nearest-in-time as-of join (both directions, exact-microsecond gaps)."),
+        QuerySpec("gap_fill_locf", q_gap_fill_locf, GAP_FILL_LOCF_ORACLE,
+                  ("temporal", "timeseries"),
+                  "Dense hourly spine + LOCF gap fill per event type."),
     ]
