@@ -910,23 +910,71 @@ DEDUP_APPLY_ORACLE = f"""
 """
 
 
+def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the 100 TB path):
+    hyperplane-bucket every vector once (deterministic planes shared
+    with operators/similarity.py), generate candidate pairs only
+    WITHIN a bucket, verify candidates with the exact cosine. The
+    shuffle carries each (bucket, vector) once and the pair space
+    shrinks by ~n_buckets vs the brute-force baseline, at the cost of
+    missing cross-bucket pairs — recall vs q_dedup_embedding_pairs is
+    asserted in tests."""
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        _bucket_spark,
+        _dot,
+        _vecs,
+    )
+
+    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+def _embedding_lsh_pairs_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.similarity import _VECS_SQL, _bucket_sql
+
+    return f"""
+        WITH v0 AS ({_VECS_SQL}),
+        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {COSINE_T}
+    """
+
+
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup to corpus-out: the embedding-cosine pair set
-    resolved to duplicate clusters + keepers via the same min-label
-    propagation as the MinHash family. This closes the embedding
-    branch of the dedup pipeline at the same pair->cluster->keeper
-    shape (cluster_id = smallest vec_id in the component = keeper).
-    At 100 TB the pair input comes from the LSH-bucketed sibling
-    (operators/similarity.py), not the brute-force baseline; the
-    propagation cost is O(edges) per round either way and never
-    shuffles the vectors themselves."""
-    pairs = q_dedup_embedding_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    """Semantic dedup to corpus-out: the LSH-bucketed embedding pair
+    set resolved to duplicate clusters + keepers via the same
+    min-label propagation as the MinHash family — the same
+    pair->cluster->keeper shape (cluster_id = smallest vec_id in the
+    component = keeper). The pair input is the bucketed scale path,
+    not the O(n^2) baseline, so end to end this is the pipeline a
+    100 TB semantic dedup actually runs; propagation cost is
+    O(edges) per round and never shuffles the vectors themselves."""
+    pairs = q_dedup_embedding_pairs_lsh(spark, sf_dir).select("vec_a", "vec_b")
     return _min_label_components(pairs, "vec_a", "vec_b", "vec_id")
 
 
-DEDUP_EMBEDDING_CLUSTERS_ORACLE = f"""
+def _dedup_embedding_clusters_oracle() -> str:
+    return f"""
     WITH RECURSIVE
-    {_labels_ctes_sql(DEDUP_EMBEDDING_ORACLE, "vec_a", "vec_b", "vec_id")},
+    {_labels_ctes_sql(_embedding_lsh_pairs_oracle(), "vec_a", "vec_b", "vec_id")},
     sized AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
     SELECT l.vec_id, l.cluster_id, l.vec_id = l.cluster_id AS is_keeper, s.n_members
     FROM labels l JOIN sized s USING (cluster_id)
@@ -967,8 +1015,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_ORACLE,
                   ("dedup", "llm"),
                   "Emit the deduplicated corpus: drop non-keeper cluster members."),
+        QuerySpec("dedup_embedding_pairs_lsh", q_dedup_embedding_pairs_lsh,
+                  _embedding_lsh_pairs_oracle(),
+                  ("dedup", "llm", "embedding", "lsh"),
+                  "Hyperplane-bucketed cosine pairs + exact verify (scale path)."),
         QuerySpec("dedup_embedding_clusters", q_dedup_embedding_clusters,
-                  DEDUP_EMBEDDING_CLUSTERS_ORACLE,
+                  _dedup_embedding_clusters_oracle(),
                   ("dedup", "llm", "embedding", "graph"),
-                  "Semantic dedup clusters + keepers over the cosine pair set."),
+                  "Semantic dedup clusters + keepers over the LSH-bucketed pair set."),
     ]

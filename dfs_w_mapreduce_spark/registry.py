@@ -66,7 +66,8 @@ DRIVER_FRONT: tuple[str, ...] = (
     # new in round 2
     "dedup_clusters", "dedup_apply",
     # new in round 3 (this round) — never had a chance at a driver row
-    "dedup_embedding_clusters", "asof_join_nearest", "gap_fill_locf",
+    "dedup_embedding_pairs_lsh", "dedup_embedding_clusters",
+    "asof_join_nearest", "gap_fill_locf",
     "rollup_hypertable", "winsorize", "mix_temperature", "chunk_prune_stats",
     # new in round 3, ordered by driver-environment risk: the 50-row
     # snapshot window cuts somewhere below, so the queries most likely

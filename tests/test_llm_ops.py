@@ -30,6 +30,25 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.7, f"recall {recall}: {len(lsh)}/{len(exact)}"
 
 
+def test_embedding_lsh_pairs_recall_vs_exact(spark, sf_dir):
+    """The hyperplane-bucketed cosine pair set must be a strict subset
+    of the brute-force pair set (the verify step computes the exact
+    cosine, so no false positives are possible) with usable recall:
+    cos>=0.35 pairs span small angles, so same-bucket probability
+    under 4 hyperplanes stays high for the planted near-dups."""
+    exact = {
+        (r.vec_a, r.vec_b) for r in D.q_dedup_embedding_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in D.q_dedup_embedding_pairs_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, f"LSH produced non-near-dup pairs: {lsh - exact}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.1, f"recall {recall}: {len(lsh)}/{len(exact)}"
+
+
 def test_knn_lsh_subset_of_bucket_and_sane(spark, sf_dir):
     """Bucketed ANN results must be true neighbors (cosine computed
     exactly) and each query returns at most k rows."""
