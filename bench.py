@@ -75,6 +75,14 @@ HEADLINE = [
     "sink_orc_roundtrip",
     "udaf_grouped_agg",
     "pipeline_end_to_end",
+    # round-3 batch 2: temporal/rollup/curation additions + the
+    # LSH-bucketed semantic-dedup scale path
+    "asof_join_nearest",
+    "gap_fill_locf",
+    "rollup_hypertable",
+    "mix_temperature",
+    "chunk_prune_stats",
+    "dedup_embedding_pairs_lsh",
 ]
 
 

@@ -975,8 +975,61 @@ WINSORIZE_ORACLE = f"""
 """
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the most recent NON-purchase event strictly before it
+    in the same user's stream. One window over one shuffle on
+    user_id — the frame ends at 1 PRECEDING so a purchase can never
+    attribute to itself, and the (ts, event_id) ordering makes
+    same-timestamp resolution deterministic. Purchases with no prior
+    touch credit to 'none'. Revenue sums accumulate in DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ATTRIBUTION_ORACLE = """
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, 'none') AS channel,
+           count(*) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("attribution_last_touch", q_attribution_last_touch,
+                  ATTRIBUTION_ORACLE,
+                  ("analytics", "events", "window"),
+                  "Last-touch revenue attribution via bounded-frame window."),
         QuerySpec("rollup_hypertable", q_rollup_hypertable, ROLLUP_HYPERTABLE_ORACLE,
                   ("analytics", "timeseries", "rollup"),
                   "Multi-resolution continuous aggregate in one ROLLUP pass."),

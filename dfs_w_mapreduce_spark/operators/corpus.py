@@ -433,6 +433,74 @@ TEXT_PERPLEXITY_ORACLE = """
 """
 
 
+_BG_SEP = "\u001f"  # unit separator — cannot occur in whitespace-split tokens
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy per document: mean bigram NLL under
+    the corpus's own add-one-smoothed bigram model,
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 as prefix) + V). The context-
+    aware upgrade of q_text_perplexity — repetitive boilerplate scores
+    LOW (its bigrams are corpus-frequent) while token-salad noise
+    scores HIGH even when its unigrams are common. Bigram occurrences
+    come from the same zip_with slice idiom as the shingle builders
+    (linear per document); counts join back on the bigram string, the
+    prefix-count and vocab frames broadcast. Same exact-decimal
+    term-sum discipline as kl_divergence."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens_col(F.lower(F.col("text")))
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, n1),
+        F.slice(w, 2, n1),
+        lambda x, y: F.concat_ws(_BG_SEP, x, y),
+    )
+    occ = d.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", "bg", F.substring_index("bg", _BG_SEP, 1).alias("w1")
+    )
+    c12 = occ.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = d.select(F.explode(w).alias("token")).agg(
+        F.count_distinct("token").alias("v")
+    )
+    term = F.round(
+        -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 10
+    ).cast("decimal(28,10)")
+    return (
+        occ.join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(term).cast("double") / F.count("*"), 6).alias("mean_nll"),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i] || chr(31) || w[i + 1] AS bg
+        FROM docs, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT token) AS v
+              FROM (SELECT unnest(w) AS token FROM docs))
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)), 10)
+                                AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+               AS mean_nll
+    FROM occ JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY doc_id
+"""
+
+
 # Triangle counting: degree-ordered edge orientation (each edge points
 # low-degree -> high-degree) bounds the wedge join to O(m^1.5) rows —
 # the standard distributed-triangle trick; a naive wedge join on a
@@ -585,6 +653,11 @@ def specs() -> list[QuerySpec]:
             "heavy_hitters", q_heavy_hitters, HEAVY_HITTERS_ORACLE,
             ("sketch", "llm", "pandas"),
             "Misra-Gries frequent tokens: sketch candidates + exact recount.",
+        ),
+        QuerySpec(
+            "text_bigram_lm", q_text_bigram_lm, TEXT_BIGRAM_LM_ORACLE,
+            ("text", "llm", "lm"),
+            "Add-one bigram-LM mean NLL per document (decimal-exact term sums).",
         ),
         QuerySpec(
             "rrf_fusion", q_rrf_fusion, _rrf_oracle(),

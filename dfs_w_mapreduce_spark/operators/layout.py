@@ -33,7 +33,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dfs_w_mapreduce_spark.catalog import load_table
@@ -260,6 +260,72 @@ COMPACT_CHUNKS_ORACLE = f"""
 """
 
 
+ENC_CHUNK = 1024  # rows per simulated encoding page (RLE run scope)
+
+
+def q_columnar_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-design statistics for columnar storage: per column,
+    the dictionary cardinality and the RLE run structure (runs counted
+    within fixed key-range pages, exactly how parquet scopes its
+    encodings to pages). A run starts where a value differs from its
+    predecessor in key order — counted with a lag window PARTITIONED
+    by page, so no global sort / single-partition window exists at any
+    scale. avg_run_len >> 1 says RLE wins; low n_distinct says
+    dictionary wins. o_orderkey is unique, so the in-page ordering is
+    total and both engines count identical runs."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"o_orderkey div {ENC_CHUNK}").alias("pg"),
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+    )
+    w = W.partitionBy("pg").orderBy("o_orderkey")
+    outs = []
+    for col in ("o_orderstatus", "o_orderpriority"):
+        runs = o.select(
+            "pg",
+            (
+                F.lag(col).over(w).isNull()
+                | (F.lag(col).over(w) != F.col(col))
+            ).cast("long").alias("is_run_start"),
+            F.col(col).alias("val"),
+        )
+        outs.append(
+            runs.groupBy(F.lit(col).alias("col_name")).agg(
+                F.count("*").alias("n_rows"),
+                F.count_distinct("val").alias("n_distinct"),
+                F.sum("is_run_start").alias("n_runs"),
+                F.round(F.count("*") / F.sum("is_run_start"), 4).alias("avg_run_len"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _encoding_stats_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS col_name,
+               count(*) AS n_rows,
+               count(DISTINCT {col}) AS n_distinct,
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> {col} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs,
+               round(count(*) * 1.0 /
+                     sum(CASE WHEN prev IS NULL OR prev <> {col} THEN 1 ELSE 0 END), 4)
+                   AS avg_run_len
+        FROM (
+            SELECT {col},
+                   lag({col}) OVER (PARTITION BY o_orderkey // {ENC_CHUNK}
+                                    ORDER BY o_orderkey) AS prev
+            FROM orders
+        )
+        GROUP BY 1
+    """
+
+
+COLUMNAR_ENCODING_ORACLE = (
+    _encoding_stats_sql("o_orderstatus")
+    + " UNION ALL "
+    + _encoding_stats_sql("o_orderpriority")
+)
+
+
 CHUNK_KEYS = 1500    # orderkeys per simulated storage chunk
 PRUNE_BOUND = "1995-06-01"
 
@@ -315,4 +381,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("chunk_prune_stats", q_chunk_prune_stats, CHUNK_PRUNE_ORACLE,
                   ("layout", "scale", "storage"),
                   "Per-chunk zone maps + predicate pruning decisions (file skipping)."),
+        QuerySpec("columnar_encoding_stats", q_columnar_encoding_stats,
+                  COLUMNAR_ENCODING_ORACLE,
+                  ("layout", "storage"),
+                  "Dictionary cardinality + page-scoped RLE run statistics."),
     ]
