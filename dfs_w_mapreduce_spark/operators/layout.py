@@ -260,6 +260,65 @@ COMPACT_CHUNKS_ORACLE = f"""
 """
 
 
+DPP_TYPES = ("click", "purchase")
+
+
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning evidence: write events PARTITIONED BY
+    event_type (the layout every time-series lake uses), then join the
+    partitioned fact against a selective dim — Spark injects the dim's
+    join keys into the fact scan's PartitionFilters at runtime
+    (`dynamicpruningexpression`), so only the 2 matching partitions
+    are read out of 5. Like join_bucketed's pinned exchange count, the
+    observed plan property rides in the result: the oracle pins
+    `dpp_active` to TRUE, making the pruning itself hash-verified. At
+    100 TB this is the difference between scanning 40% and 100% of a
+    partitioned fact when the partition predicate only exists in a
+    dim table."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_dpp_")
+    try:
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(f"{tmp}/ev")
+        fact = spark.read.parquet(f"{tmp}/ev")
+        all_types = [r.event_type for r in fact.select("event_type").distinct().collect()]
+        dim = spark.createDataFrame(
+            [(t,) for t in sorted(all_types)], "event_type string"
+        ).filter(F.col("event_type").isin(*DPP_TYPES))
+        joined = (
+            fact.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        dpp = "dynamicpruningexpression" in (
+            joined._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        rows = [
+            (r.event_type, r.n_events, r.sum_value, dpp) for r in joined.collect()
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, n_events bigint, sum_value double, dpp_active boolean"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+JOIN_DPP_ORACLE = f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+           TRUE AS dpp_active
+    FROM events
+    WHERE event_type IN {DPP_TYPES}
+    GROUP BY 1
+"""
+
+
 ENC_CHUNK = 1024  # rows per simulated encoding page (RLE run scope)
 
 
@@ -385,4 +444,7 @@ def specs() -> list[QuerySpec]:
                   COLUMNAR_ENCODING_ORACLE,
                   ("layout", "storage"),
                   "Dictionary cardinality + page-scoped RLE run statistics."),
+        QuerySpec("join_dpp", q_join_dpp, JOIN_DPP_ORACLE,
+                  ("layout", "scale", "join"),
+                  "Dynamic partition pruning on a partitioned fact; dpp_active pinned TRUE."),
     ]

@@ -461,12 +461,18 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
 
+    # Take the PQ_K smallest seed ids with a distributed top-K
+    # (TakeOrderedAndProject) FIRST, so the unpartitioned ranking
+    # window only ever sees PQ_K rows — the previous formulation ran
+    # row_number over every seed candidate in a single partition
+    # (corpus/PQ_SEED_MOD rows at scale).
     seed_w = W.orderBy("vec_id")
     seeds = (
         v.filter(F.col("vec_id") % PQ_SEED_MOD == 0)
-        .select("vec_id", F.row_number().over(seed_w).alias("rn"))
-        .filter(F.col("rn") <= PQ_K)
-        .select("vec_id", (F.col("rn") - 1).alias("code_id"))
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id", (F.row_number().over(seed_w) - 1).alias("code_id"))
     )
     codebook = (
         sub.join(F.broadcast(seeds), "vec_id")

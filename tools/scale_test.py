@@ -90,6 +90,18 @@ QUERIES = [
     "tokenize_encode",
     "bloom_probe_join",
     "stream_session_dynamic",
+    # round-3 batch 2/3 operators
+    "asof_join_nearest",
+    "gap_fill_locf",
+    "rollup_hypertable",
+    "winsorize",
+    "mix_temperature",
+    "chunk_prune_stats",
+    "dedup_embedding_pairs_lsh",
+    "dedup_embedding_clusters",
+    "text_bigram_lm",
+    "attribution_last_touch",
+    "columnar_encoding_stats",
 ]
 
 
