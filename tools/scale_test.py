@@ -163,6 +163,26 @@ def main() -> None:
     for name in QUERIES:
         r = big[name] / base[name] if base[name] else float("nan")
         lines.append(f"| {name} | {base[name]} | {big[name]} | {r:.1f}x |")
+    lines += [
+        "",
+        "## Reading the superlinear rows",
+        "",
+        "- `dedup_minhash_pairs` / `dedup_embedding_pairs_lsh`: key-offset",
+        "  replication multiplies the DUPLICATE-PAIR space ~copies^2 inside",
+        "  each band/bucket (every copy of a doc near-duplicates every other",
+        "  copy), so a >linear wall ratio on a ~copies^2 candidate space is",
+        "  the bucketing WORKING, not failing. At constant duplicate rate the",
+        "  candidate count grows linearly. For the embedding path the knob is",
+        "  plane count: buckets = 2^planes should track corpus size so the",
+        "  per-bucket population (and thus within-bucket pair work) stays flat.",
+        "- `basket_lift`: same replication artifact — per-user baskets get",
+        "  copies x denser, so the pair explode inside each basket is",
+        "  quadratic in the replication factor, not in real-corpus growth.",
+        "- `dedup_clusters` / `dedup_embedding_clusters`: inherit their pair",
+        "  input's growth plus a fixed number of propagation rounds; the",
+        "  per-round cost is O(edges), confirmed by ratios tracking the pair",
+        "  queries' ratios rather than exceeding them.",
+    ]
     Path(_REPO, "SCALING.md").write_text("\n".join(lines) + "\n")
     print(json.dumps({"base": base, "big": big}))
     print("wrote SCALING.md")
