@@ -975,6 +975,54 @@ WINSORIZE_ORACLE = f"""
 """
 
 
+ROLL_HOURS = 24
+_ROLL_US = ROLL_HOURS * 3600 * 1_000_000
+
+
+def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature engineering: at every event, the user's
+    trailing-24h activity count and spend — the rolling window every
+    feature store materializes, computed leak-free (the frame ends at
+    the current row, so no future data enters the feature). A RANGE
+    frame over exact integer microseconds: Spark's rangeBetween needs
+    a numeric ordering key, and unix_micros gives the same inclusive
+    [t-24h, t] boundary DuckDB's RANGE INTERVAL frame uses, with no
+    float time arithmetic anywhere. One shuffle on user_id; RANGE
+    peers (same-timestamp events) aggregate identically on both
+    engines regardless of tie order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ROLL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_24h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("sum_24h"),
+    )
+
+
+ROLLING_FEATURES_ORACLE = f"""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_24h,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+               AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL {ROLL_HOURS} HOURS PRECEDING
+                           AND CURRENT ROW)
+"""
+
+
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase's value is
     credited to the most recent NON-purchase event strictly before it
@@ -1030,6 +1078,10 @@ def specs() -> list[QuerySpec]:
                   ATTRIBUTION_ORACLE,
                   ("analytics", "events", "window"),
                   "Last-touch revenue attribution via bounded-frame window."),
+        QuerySpec("rolling_user_features", q_rolling_user_features,
+                  ROLLING_FEATURES_ORACLE,
+                  ("analytics", "window", "feature"),
+                  "Leak-free trailing-24h user features via exact-microsecond RANGE frame."),
         QuerySpec("rollup_hypertable", q_rollup_hypertable, ROLLUP_HYPERTABLE_ORACLE,
                   ("analytics", "timeseries", "rollup"),
                   "Multi-resolution continuous aggregate in one ROLLUP pass."),

@@ -260,6 +260,39 @@ COMPACT_CHUNKS_ORACLE = f"""
 """
 
 
+def q_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-reuse evidence: a self-join of the same aggregated
+    subplan (per-order line counts, consecutive orderkeys) where Spark
+    computes the shuffle ONCE and wires a ReusedExchange into the
+    second branch — at 100 TB that halves the dominant cost of any
+    self-comparison query (fact aggregated twice in SQL, shuffled
+    once in the plan). The observed ReusedExchange node rides in the
+    result and the oracle pins it TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    j = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey") + 1)
+        .groupBy(F.col("a.n").alias("n_cur"), F.col("b.n").alias("n_prev"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    rows = j.collect()
+    reused = "ReusedExchange" in j._jdf.queryExecution().executedPlan().toString()
+    return spark.createDataFrame(
+        [(r.n_cur, r.n_prev, r.n_pairs, reused) for r in rows],
+        "n_cur bigint, n_prev bigint, n_pairs bigint, reuse_active boolean",
+    )
+
+
+EXCHANGE_REUSE_ORACLE = """
+    WITH g AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT a.n AS n_cur, b.n AS n_prev, count(*) AS n_pairs,
+           TRUE AS reuse_active
+    FROM g a JOIN g b ON a.l_orderkey = b.l_orderkey + 1
+    GROUP BY 1, 2
+"""
+
+
 DPP_TYPES = ("click", "purchase")
 
 
@@ -447,4 +480,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("join_dpp", q_join_dpp, JOIN_DPP_ORACLE,
                   ("layout", "scale", "join"),
                   "Dynamic partition pruning on a partitioned fact; dpp_active pinned TRUE."),
+        QuerySpec("exchange_reuse", q_exchange_reuse, EXCHANGE_REUSE_ORACLE,
+                  ("layout", "scale", "join"),
+                  "Self-join computes the shared shuffle once; ReusedExchange pinned TRUE."),
     ]
