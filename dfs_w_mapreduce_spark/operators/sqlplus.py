@@ -61,6 +61,62 @@ RECURSIVE_CTE_DUCK = _RECURSIVE_CTE_TEMPLATE.format(
 )
 
 
+# Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL preserve
+# multiplicity (min / truncated difference of per-value counts) — the
+# set-op surface DISTINCT-based set_ops cannot express.
+SET_OPS_ALL_SQL = """
+    SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+        SELECT o_custkey % 100 AS k FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey % 100 FROM orders WHERE o_orderstatus = 'F') t
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'except_all', k, count(*) FROM (
+        SELECT o_custkey % 100 AS k FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey % 100 FROM orders WHERE o_orderstatus = 'F') t
+    GROUP BY 1, 2
+"""
+
+# Null-safe equality join: NULL keys MATCH each other under
+# IS NOT DISTINCT FROM (an equi-join Spark plans as a hash join on the
+# null-safe comparator, not a cartesian).
+JOIN_NULL_SAFE_SQL = """
+    WITH a AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderkey % 100 END AS k,
+                      count(*) AS n FROM orders GROUP BY 1),
+         b AS (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                           ELSE o_orderkey % 100 END AS k,
+                      count(*) AS n FROM orders GROUP BY 1)
+    SELECT a.k AS k, a.n AS n_a, b.n AS n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+# SQL-standard FILTER clause: per-aggregate predicates in one pass
+# (one scan + one hash aggregate instead of N filtered subqueries).
+AGG_FILTER_SQL = """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                      FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS rev_f
+    FROM orders GROUP BY 1
+"""
+
+
+def _shared_sql(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+q_set_ops_all = _shared_sql(SET_OPS_ALL_SQL)
+q_join_null_safe = _shared_sql(JOIN_NULL_SAFE_SQL)
+q_agg_filter = _shared_sql(AGG_FILTER_SQL)
+
+
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL (ORDER BY/LIMIT) — identical SQL text runs
     as the DuckDB oracle."""
@@ -86,5 +142,20 @@ def specs() -> list[QuerySpec]:
             "recursive_cte", q_recursive_cte, RECURSIVE_CTE_DUCK,
             ("relational", "sql", "recursive"),
             "Native WITH RECURSIVE bounded tree walk + per-depth rollup.",
+        ),
+        QuerySpec(
+            "set_ops_all", q_set_ops_all, SET_OPS_ALL_SQL,
+            ("relational", "sql", "setops"),
+            "INTERSECT ALL / EXCEPT ALL bag semantics (same SQL both engines).",
+        ),
+        QuerySpec(
+            "join_null_safe", q_join_null_safe, JOIN_NULL_SAFE_SQL,
+            ("relational", "sql", "join"),
+            "IS NOT DISTINCT FROM equi-join with matching NULL keys.",
+        ),
+        QuerySpec(
+            "agg_filter", q_agg_filter, AGG_FILTER_SQL,
+            ("relational", "sql", "agg"),
+            "FILTER-clause aggregates: per-aggregate predicates in one pass.",
         ),
     ]
