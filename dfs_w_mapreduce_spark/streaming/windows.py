@@ -227,6 +227,60 @@ STREAM_SESSION_DYNAMIC_ORACLE = f"""
 """
 
 
+LATENESS_BANDS_S = (0, 1, 10, 60)  # watermark-delay candidates (seconds)
+
+
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing diagnostic: treating event_id as arrival order
+    within each user's stream, an event's lateness is how far its
+    event time lags the stream's running-max event time at arrival —
+    exactly the quantity a watermark delay must exceed to avoid
+    dropping it. Reports, per event_type, how many events a watermark
+    of 0/1/10/60 seconds would drop. All arithmetic is exact integer
+    microseconds over a per-user window (one shuffle, no global
+    ordering anywhere)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = ev.withColumn("late_us", F.max("us").over(w) - F.col("us"))
+    aggs = [F.count("*").alias("n_events")] + [
+        F.sum((F.col("late_us") > b * 1_000_000).cast("long")).alias(
+            f"dropped_wm_{b}s"
+        )
+        for b in LATENESS_BANDS_S
+    ]
+    return late.groupBy("event_type").agg(*aggs)
+
+
+def _watermark_lateness_oracle() -> str:
+    drops = ",\n           ".join(
+        f"CAST(sum(CASE WHEN late_us > {b * 1_000_000} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS dropped_wm_{b}s"
+        for b in LATENESS_BANDS_S
+    )
+    return f"""
+        WITH late AS (
+            SELECT event_type,
+                   max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - epoch_us(ts) AS late_us
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_events,
+           {drops}
+        FROM late
+        GROUP BY 1
+    """
+
+
 def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filling: hourly event counts per event_type with missing
     hours filled as zero. The spine (full hour range x types) comes
@@ -708,6 +762,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_sliding", q_stream_sliding, STREAM_SLIDING_ORACLE,
                   ("streaming", "window"),
                   "10-min/5-min sliding window agg."),
+        QuerySpec("watermark_lateness", q_watermark_lateness,
+                  _watermark_lateness_oracle(),
+                  ("streaming", "watermark", "diagnostic"),
+                  "Events dropped per candidate watermark delay (exact-microsecond lateness)."),
         QuerySpec("stream_session", q_stream_session, STREAM_SESSION_ORACLE,
                   ("streaming", "window", "session"),
                   "Native session_window sessionization (10-min gap)."),
