@@ -310,10 +310,12 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim table."""
     tmp = tempfile.mkdtemp(prefix="spark_graft_dpp_")
     try:
-        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
-            "event_type"
-        ).parquet(f"{tmp}/ev")
-        fact = spark.read.parquet(f"{tmp}/ev")
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{tmp}/ev")
+        # explicit schema: an EMPTY events table writes no partition
+        # dirs, and schema inference on a fileless partitioned dataset
+        # fails (UNABLE_TO_INFER_SCHEMA)
+        fact = spark.read.schema(ev.schema).parquet(f"{tmp}/ev")
         all_types = [r.event_type for r in fact.select("event_type").distinct().collect()]
         dim = spark.createDataFrame(
             [(t,) for t in sorted(all_types)], "event_type string"
