@@ -83,6 +83,12 @@ HEADLINE = [
     "mix_temperature",
     "chunk_prune_stats",
     "dedup_embedding_pairs_lsh",
+    "text_bigram_lm",
+    "attribution_last_touch",
+    "rolling_user_features",
+    "watermark_lateness",
+    "join_dpp",
+    "exchange_reuse",
 ]
 
 
