@@ -162,3 +162,54 @@ def test_basket_lift_partial_aggregation(spark, sf_dir):
     plan = formatted_plan(AN.q_basket_lift(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_hypertable_single_pass(spark, sf_dir):
+    """All rollup resolutions from ONE scan: an Expand feeding a
+    partial+final HashAggregate pair around exactly one Exchange."""
+    from dfs_w_mapreduce_spark.operators import analytics as AN
+    from dfs_w_mapreduce_spark.plans.explain import exchange_count
+
+    df = AN.q_rollup_hypertable(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan[:1500]
+    assert exchange_count(df) == 1, plan[:1500]
+
+
+def test_rolling_user_features_one_shuffle(spark, sf_dir):
+    """The RANGE-frame window computes both features over a single
+    user_id shuffle; the scan reads only the needed columns."""
+    from dfs_w_mapreduce_spark.operators import analytics as AN
+    from dfs_w_mapreduce_spark.plans.explain import exchange_count
+
+    df = AN.q_rolling_user_features(spark, sf_dir)
+    assert exchange_count(df) == 1
+    read = set(scan_read_schema(df))
+    assert "props" not in read and "event_type" not in read, read
+
+
+def test_gap_fill_spine_is_broadcast_not_shuffled(spark, sf_dir):
+    """The generated hours spine and the distinct-types frame are tiny
+    and must join by broadcast; no CartesianProduct of data frames."""
+    from dfs_w_mapreduce_spark.operators import temporal as T
+
+    plan = formatted_plan(T.q_gap_fill_locf(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_mix_temperature_broadcasts_rates(spark, sf_dir):
+    """The 5-row rate table broadcasts onto the corpus scan — the
+    corpus is never shuffled to meet it."""
+    from dfs_w_mapreduce_spark.operators import pipeline as P
+
+    plan = formatted_plan(P.q_mix_temperature(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_embedding_lsh_pairs_join_on_bucket(spark, sf_dir):
+    """The pair join is keyed on the LSH bucket (an equi-join), never
+    a cartesian over the vectors."""
+    from dfs_w_mapreduce_spark.operators import dedup as D
+
+    plan = formatted_plan(D.q_dedup_embedding_pairs_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
