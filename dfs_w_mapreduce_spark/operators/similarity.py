@@ -687,6 +687,55 @@ def _knn_filtered_oracle() -> str:
     """
 
 
+KNN_GRAPH_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction: top-3 in-bucket neighbors for EVERY
+    vector (not just a query block) — the build step of graph-based
+    ANN indexes and the edge input to semantic clustering. Same
+    bucketed shape as knn_lsh_bucketed generalized to all-vectors-as-
+    queries: the pair space is sum over buckets of n_b^2, not n^2, and
+    the per-query top-k resolves in a WindowGroupLimit (rank pushdown,
+    no full sort of the candidate stream). At 100 TB you shard further
+    by running per-bucket applyInPandas BLAS blocks; the join/topk
+    shape here is the distributed skeleton that approach plugs into."""
+    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_GRAPH_K
+    )
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+        WITH v0 AS ({_VECS_SQL}),
+        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
+        SELECT vec_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC,
+                                b.vec_id) AS rk
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        ) WHERE rk <= {KNN_GRAPH_K}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("embedding_pool", q_embedding_pool, EMBEDDING_POOL_ORACLE,
@@ -698,6 +747,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(),
                   ("similarity", "llm", "recall"),
                   "Recall@K of LSH/IVF/PQ tiers vs exact brute force."),
+        QuerySpec("knn_graph", q_knn_graph, _knn_graph_oracle(),
+                  ("similarity", "llm", "graph"),
+                  "Bucketed kNN-graph build: top-3 in-bucket neighbors for every vector."),
         QuerySpec("embedding_quantize", q_embedding_quantize, EMBEDDING_QUANTIZE_ORACLE,
                   ("embedding", "llm", "compression"),
                   "int8 scalar quantization with reconstruction-error report."),

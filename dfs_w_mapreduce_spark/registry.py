@@ -71,7 +71,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "rollup_hypertable", "winsorize", "mix_temperature", "chunk_prune_stats",
     "text_bigram_lm", "attribution_last_touch", "columnar_encoding_stats",
     "join_dpp", "rolling_user_features", "exchange_reuse",
-    "set_ops_all", "join_null_safe", "agg_filter", "watermark_lateness",
+    "set_ops_all", "join_null_safe", "agg_filter", "watermark_lateness", "knn_graph",
     # new in round 3, ordered by driver-environment risk: the 50-row
     # snapshot window cuts somewhere below, so the queries most likely
     # to behave differently under the driver's session (live streaming
