@@ -433,7 +433,8 @@ TEXT_PERPLEXITY_ORACLE = """
 """
 
 
-_BG_SEP = "\u001f"  # unit separator — cannot occur in whitespace-split tokens
+_BG_SEP = "\u001f"  # unit separator; both engines build bg identically,
+# so even a token containing it collides the same way on both sides
 
 
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,14 +451,23 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = tokens_col(F.lower(F.col("text")))
     n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    # carry w1 as its own struct field straight from the token array —
+    # deriving it by re-splitting the joined bigram string would break
+    # if a token ever contained the separator (U+001F is NOT \\s, so
+    # tokenization would keep it)
     pairs = F.zip_with(
         F.slice(w, 1, n1),
         F.slice(w, 2, n1),
-        lambda x, y: F.concat_ws(_BG_SEP, x, y),
+        lambda x, y: F.struct(
+            x.alias("w1"), F.concat_ws(_BG_SEP, x, y).alias("bg")
+        ),
     )
-    occ = d.select("doc_id", F.explode(pairs).alias("bg")).select(
-        "doc_id", "bg", F.substring_index("bg", _BG_SEP, 1).alias("w1")
+    occ = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1")
     )
+    # c12 is one row per DISTINCT bigram — corpus-sized, so it must
+    # SHUFFLE-join back onto the occurrences; only the prefix counts
+    # (vocabulary-sized) and the vocab scalar broadcast
     c12 = occ.groupBy("bg").agg(F.count("*").alias("c12"))
     c1 = occ.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = d.select(F.explode(w).alias("token")).agg(
@@ -467,7 +477,7 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 10
     ).cast("decimal(28,10)")
     return (
-        occ.join(F.broadcast(c12), "bg")
+        occ.join(c12, "bg")
         .join(F.broadcast(c1), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")

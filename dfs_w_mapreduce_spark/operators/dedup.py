@@ -918,29 +918,13 @@ def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries each (bucket, vector) once and the pair space
     shrinks by ~n_buckets vs the brute-force baseline, at the cost of
     missing cross-bucket pairs — recall vs q_dedup_embedding_pairs is
-    asserted in tests."""
-    from dfs_w_mapreduce_spark.operators.similarity import (
-        _bucket_spark,
-        _dot,
-        _vecs,
-    )
+    asserted in tests. Candidate generation is the LSH family's shared
+    bucket_pair_scores frame (operators/similarity.py)."""
+    from dfs_w_mapreduce_spark.operators.similarity import bucket_pair_scores
 
-    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
-    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        bucket_pair_scores(spark, sf_dir, digits=4, ordered=True)
+        .select("vec_a", "vec_b", "cosine")
         .filter(F.col("cosine") >= COSINE_T)
     )
 

@@ -268,20 +268,29 @@ def q_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-comparison query (fact aggregated twice in SQL, shuffled
     once in the plan). The observed ReusedExchange node rides in the
     result and the oracle pins it TRUE."""
-    li = load_table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
-    a, b = g.alias("a"), g.alias("b")
-    j = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey") + 1)
-        .groupBy(F.col("a.n").alias("n_cur"), F.col("b.n").alias("n_prev"))
-        .agg(F.count("*").alias("n_pairs"))
-    )
-    rows = j.collect()
-    reused = "ReusedExchange" in j._jdf.queryExecution().executedPlan().toString()
-    return spark.createDataFrame(
-        [(r.n_cur, r.n_prev, r.n_pairs, reused) for r in rows],
-        "n_cur bigint, n_prev bigint, n_pairs bigint, reuse_active boolean",
-    )
+    # Pin the conf the pinned-TRUE oracle depends on (driver session
+    # may differ); restore after.
+    old_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+        li = load_table(spark, sf_dir, "lineitem")
+        g = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+        a, b = g.alias("a"), g.alias("b")
+        j = (
+            a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey") + 1)
+            .groupBy(F.col("a.n").alias("n_cur"), F.col("b.n").alias("n_prev"))
+            .agg(F.count("*").alias("n_pairs"))
+        )
+        rows = j.collect()
+        reused = (
+            "ReusedExchange" in j._jdf.queryExecution().executedPlan().toString()
+        )
+        return spark.createDataFrame(
+            [(r.n_cur, r.n_prev, r.n_pairs, reused) for r in rows],
+            "n_cur bigint, n_prev bigint, n_pairs bigint, reuse_active boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old_reuse)
 
 
 EXCHANGE_REUSE_ORACLE = """
@@ -309,7 +318,15 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned fact when the partition predicate only exists in a
     dim table."""
     tmp = tempfile.mkdtemp(prefix="spark_graft_dpp_")
+    # The driver owns its session: pin the confs the pinned-TRUE
+    # oracle depends on inside the query path (and restore after) —
+    # a session with DPP disabled or broadcast turned off would
+    # otherwise flip dpp_active and hash-mismatch.
+    old_dpp = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         ev = load_table(spark, sf_dir, "events")
         ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{tmp}/ev")
         # explicit schema: an EMPTY events table writes no partition
@@ -340,6 +357,10 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, "event_type string, n_events bigint, sum_value double, dpp_active boolean"
         )
     finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", old_dpp
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -199,26 +199,48 @@ def _bucket_sql(v: str) -> str:
     return " + ".join(parts)
 
 
+def bucket_pair_scores(
+    spark: SparkSession, sf_dir: str, digits: int, ordered: bool
+) -> DataFrame:
+    """Scored within-bucket vector pairs — the shared candidate
+    frame of the whole LSH family (knn_lsh_bucketed, knn_graph, and
+    dedup's embedding pair path). `ordered=True` keeps each unordered
+    pair once (a < b, the dedup shape); `ordered=False` keeps both
+    directions (a != b, the per-query search shape). One shuffle on
+    the bucket id; any change to the plane constants or the cosine
+    rounding propagates to every consumer from here."""
+    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    ids = (
+        F.col("a.vec_id") < F.col("b.vec_id")
+        if ordered
+        else F.col("a.vec_id") != F.col("b.vec_id")
+    )
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), digits
+    )
+    return a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & ids).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("a.bucket").alias("bucket"),
+        F.col("b.vec_id").alias("vec_b"),
+        cos.alias("cosine"),
+    )
+
+
 def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH — each query searches only its own
     bucket (top-5 by cosine within bucket). Deterministic planes make
     the result exactly oracle-checkable; recall vs brute force is
-    asserted separately in tests."""
-    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
-    q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = v.alias("c")
-    cos = F.round(
-        _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 6
-    )
-    scored = q.join(
-        c,
-        (F.col("q.bucket") == F.col("c.bucket"))
-        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    asserted separately in tests. The query-block filter sits on the
+    shared pair frame; Catalyst pushes it below the bucket join, so
+    only the 20 query rows build join candidates."""
+    scored = bucket_pair_scores(spark, sf_dir, digits=6, ordered=False).filter(
+        F.col("vec_a") < N_QUERIES
     ).select(
-        F.col("q.vec_id").alias("query_id"),
-        F.col("q.bucket").alias("bucket"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        cos.alias("cosine"),
+        F.col("vec_a").alias("query_id"),
+        "bucket",
+        F.col("vec_b").alias("neighbor_id"),
+        "cosine",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
@@ -700,19 +722,10 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     no full sort of the candidate stream). At 100 TB you shard further
     by running per-bucket applyInPandas BLAS blocks; the join/topk
     shape here is the distributed skeleton that approach plugs into."""
-    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-    )
-    scored = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        cos.alias("cosine"),
+    scored = bucket_pair_scores(spark, sf_dir, digits=6, ordered=False).select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cosine",
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(

@@ -65,18 +65,21 @@ DRIVER_FRONT: tuple[str, ...] = (
     "approx_distinct", "approx_percentiles",
     # new in round 2
     "dedup_clusters", "dedup_apply",
-    # new in round 3 (this round) — never had a chance at a driver row
+    # new in round 3 (this round). The 50-row driver window cuts at
+    # the 47 entries above + ~3 of these — conscious triage: the
+    # never-verified backlog and the red-row re-verifications outrank
+    # brand-new queries (all of which are mimic-green at sf0.01 AND
+    # sf0.1); the remainder of this block queues for the next rounds
+    # in priority order.
     "dedup_embedding_pairs_lsh", "dedup_embedding_clusters",
     "asof_join_nearest", "gap_fill_locf",
     "rollup_hypertable", "winsorize", "mix_temperature", "chunk_prune_stats",
     "text_bigram_lm", "attribution_last_touch", "columnar_encoding_stats",
     "join_dpp", "rolling_user_features", "exchange_reuse",
     "set_ops_all", "join_null_safe", "agg_filter", "watermark_lateness", "knn_graph",
-    # new in round 3, ordered by driver-environment risk: the 50-row
-    # snapshot window cuts somewhere below, so the queries most likely
-    # to behave differently under the driver's session (live streaming
-    # with temp checkpoints, temp-dir sink roundtrips) come first and
-    # the pure-expression text ops can wait a round for their row.
+    # round-2 backlog, ordered by driver-environment risk (live
+    # streaming with temp checkpoints, temp-dir sink roundtrips first;
+    # pure-expression ops last).
     "mr_map_positional", "multimodal_decode",
     "stream_dedup_live",
     "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",

@@ -22,13 +22,13 @@ from dfs_w_mapreduce_spark.operators.temporal import (
     q_asof_join,
     q_asof_join_forward,
     q_asof_join_nearest,
+    q_gap_fill_locf,
 )
 from dfs_w_mapreduce_spark.catalog import load_table
 from dfs_w_mapreduce_spark.streaming.windows import (
     LATENESS_BANDS_S,
     q_watermark_lateness,
 )
-from dfs_w_mapreduce_spark.operators.temporal import q_gap_fill_locf
 
 
 def test_rollup_levels_conserve(spark, sf_dir):
