@@ -356,6 +356,155 @@ VALUE_HISTOGRAM_ORACLE = f"""
 """
 
 
+FIXED_BINS = 8
+
+
+def q_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event_type — the complement of the
+    equi-depth `value_histogram`: bin = floor((v - lo) * k / span),
+    computed with the global per-type min/max broadcast back onto the
+    scan. Bin assignment is integer floor over identically-computed
+    doubles, so edges land identically on both engines; the top edge
+    folds into the last bin (least)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * FIXED_BINS
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(FIXED_BINS - 1),
+        ).cast("int"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
+
+
+HISTOGRAM_FIXED_ORACLE = f"""
+    WITH bounds AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(least(floor((value - lo) * {FIXED_BINS} / (hi - lo)),
+                      {FIXED_BINS - 1}) AS INT) AS bin,
+           count(*) AS n,
+           round(min(value), 4) AS bin_min,
+           round(max(value), 4) AS bin_max
+    FROM events e JOIN bounds USING (event_type)
+    GROUP BY 1, 2
+"""
+
+
+BOOT_B = 20   # bootstrap replicates
+BOOT_M = 100  # draws per replicate (subsample bootstrap)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence band for the per-type mean value with
+    DETERMINISTIC resampling: draw (replicate b, draw j) picks the row
+    ranked h31(type:b:j) mod n — a hash-indexed sample both engines
+    reproduce exactly, replacing RNG state with a pure function (the
+    same trick as sample_hash). Ranks come from one per-type window;
+    the tiny draw table (types x B x M rows) broadcasts onto it, so
+    the corpus shuffles once. Replicate means use exact decimal sums;
+    the band is min/median/max over B identically-computed doubles."""
+    from dfs_w_mapreduce_spark.operators.dedup import _h31_spark
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w))
+    draws = (
+        counts.select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "b",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_M - 1))).alias("j"),
+        )
+        .select(
+            "event_type",
+            "b",
+            (
+                _h31_spark(
+                    F.concat_ws(":", F.col("event_type"), F.col("b"), F.col("j"))
+                )
+                % F.col("n")
+                + 1
+            ).cast("int").alias("r"),
+        )
+    )
+    reps = (
+        ranked.join(F.broadcast(draws), ["event_type", "r"])
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("boot_mean")
+        )
+    )
+    return reps.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_replicates"),
+        F.round(F.min("boot_mean"), 4).alias("boot_lo"),
+        F.round(F.expr("percentile(boot_mean, 0.5)"), 4).alias("boot_median"),
+        F.round(F.max("boot_mean"), 4).alias("boot_hi"),
+    )
+
+
+def _bootstrap_ci_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import _h31_sql
+
+    h = _h31_sql("event_type || ':' || b || ':' || j")
+    return f"""
+        WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS r
+            FROM events
+        ),
+        draws AS (
+            SELECT event_type,
+                   CAST(b AS BIGINT) AS b,
+                   CAST({h} % n + 1 AS INT) AS r
+            FROM counts,
+                 LATERAL (SELECT unnest(range(0, {BOOT_B})) AS b),
+                 LATERAL (SELECT unnest(range(0, {BOOT_M})) AS j)
+        ),
+        reps AS (
+            SELECT d.event_type, d.b,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 6) AS boot_mean
+            FROM ranked JOIN draws d USING (event_type, r)
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(count(*) AS INT) AS n_replicates,
+               round(min(boot_mean), 4) AS boot_lo,
+               round(quantile_cont(boot_mean, 0.5), 4) AS boot_median,
+               round(max(boot_mean), 4) AS boot_hi
+        FROM reps
+        GROUP BY 1
+    """
+
+
 def q_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive hierarchy resolution by POINTER JUMPING: each node's
     parent pointer doubles per round (parent -> grandparent -> ...),
@@ -1133,6 +1282,13 @@ def specs() -> list[QuerySpec]:
         QuerySpec("value_histogram", q_value_histogram, VALUE_HISTOGRAM_ORACLE,
                   ("analytics", "histogram"),
                   "Equi-depth ntile histogram per event_type."),
+        QuerySpec("histogram_fixed_width", q_histogram_fixed_width,
+                  HISTOGRAM_FIXED_ORACLE,
+                  ("analytics", "histogram"),
+                  "Fixed-width 8-bin histogram (broadcast bounds, integer bin edges)."),
+        QuerySpec("bootstrap_ci", q_bootstrap_ci, _bootstrap_ci_oracle(),
+                  ("analytics", "statistics", "sampling"),
+                  "Deterministic hash-draw bootstrap band for the per-type mean."),
         QuerySpec("hierarchy_closure", q_hierarchy_closure, HIERARCHY_ORACLE,
                   ("analytics", "graph", "recursive"),
                   "Pointer-jumping transitive closure (root + depth per node)."),

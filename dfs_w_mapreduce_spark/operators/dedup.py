@@ -965,6 +965,49 @@ def _dedup_embedding_clusters_oracle() -> str:
 """
 
 
+def q_dedup_apply_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-out for the semantic branch: drop every non-keeper
+    member of the embedding clusters and emit the surviving vectors
+    (id + an order-sensitive fingerprint of the quantized vector, so
+    the registry row hashes the retained content without carrying the
+    float array). Mirrors q_dedup_apply on the text branch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    drop = (
+        q_dedup_embedding_clusters(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("vec_id")
+    )
+    # integer quantization before stringifying: double->string rendering
+    # differs between engines ('1.0E-4' vs '0.0001'), integer text never
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 10000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    return e.join(drop, "vec_id", "left_anti").select(
+        "vec_id", "label", fp.alias("vec_fp")
+    )
+
+
+def _dedup_apply_embedding_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_labels_ctes_sql(_embedding_lsh_pairs_oracle(), "vec_a", "vec_b", "vec_id")}
+    SELECT vec_id, label,
+           md5(array_to_string(list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)),
+               ',')) AS vec_fp
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_ORACLE, ("dedup", "llm"),
@@ -1007,4 +1050,8 @@ def specs() -> list[QuerySpec]:
                   _dedup_embedding_clusters_oracle(),
                   ("dedup", "llm", "embedding", "graph"),
                   "Semantic dedup clusters + keepers over the LSH-bucketed pair set."),
+        QuerySpec("dedup_apply_embedding", q_dedup_apply_embedding,
+                  _dedup_apply_embedding_oracle(),
+                  ("dedup", "llm", "embedding"),
+                  "Emit the semantically deduplicated vector corpus (keepers only)."),
     ]

@@ -77,6 +77,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "text_bigram_lm", "attribution_last_touch", "columnar_encoding_stats",
     "join_dpp", "rolling_user_features", "exchange_reuse",
     "set_ops_all", "join_null_safe", "agg_filter", "watermark_lateness", "knn_graph",
+    "histogram_fixed_width", "bootstrap_ci", "dedup_apply_embedding",
     # round-2 backlog, ordered by driver-environment risk (live
     # streaming with temp checkpoints, temp-dir sink roundtrips first;
     # pure-expression ops last).
