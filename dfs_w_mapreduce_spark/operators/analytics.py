@@ -404,6 +404,179 @@ HISTOGRAM_FIXED_ORACLE = f"""
 """
 
 
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day. Windowed COUNT(DISTINCT)
+    doesn't exist in either engine; the scalable idiom is first-seen
+    reduction: each user contributes 1 on their first-activity day,
+    and the cumulative sum of those firsts IS the running distinct
+    count. The only window runs over the per-day aggregate (~days
+    rows), never the event stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    daily = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.join(firsts, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )
+
+
+CUMULATIVE_DISTINCT_ORACLE = """
+    WITH act AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (
+        SELECT day, count(*) AS new_users FROM (
+            SELECT user_id, min(day) AS day FROM act GROUP BY 1
+        ) GROUP BY 1
+    ),
+    daily AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1)
+    SELECT d.day, d.dau,
+           coalesce(f.new_users, 0) AS new_users,
+           sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM daily d LEFT JOIN firsts f USING (day)
+"""
+
+
+PATH_N = 10  # top sequences reported
+
+
+def q_path_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the most frequent 3-step event-type
+    paths across user streams (lead-window bigram of each event with
+    its two successors, counted globally, top-10). One shuffle on
+    user_id for the windows, one hash-agg for the counts, and a
+    TakeOrderedAndProject for the top-K — no sort of the full path
+    stream."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    paths = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n"))
+    return counted.orderBy(F.desc("n"), "path").limit(PATH_N)
+
+
+PATH_3GRAMS_ORACLE = f"""
+    SELECT path, n FROM (
+        SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        FROM (
+            SELECT event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        )
+        WHERE t3 IS NOT NULL
+        GROUP BY 1
+    )
+    ORDER BY n DESC, path
+    LIMIT {PATH_N}
+"""
+
+
+def q_pit_training_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly: each label row (an
+    order, keyed to user o_custkey % 50) picks up the user's rolling
+    24h activity features AS OF the label timestamp — never a later
+    value (no feature leakage). Composition of the engine's own
+    operators: the RANGE-frame rolling features at event times, then
+    the union + last_value(ignorenulls) as-of idiom to snap each label
+    to the latest feature row at-or-before it. Two windows, both
+    partitioned on the user key; no global ordering."""
+    from dfs_w_mapreduce_spark.operators.temporal import USER_MOD
+
+    feats = q_rolling_user_features(spark, sf_dir).select(
+        (F.col("user_id") % USER_MOD).alias("u"),
+        F.col("event_id"),
+        "n_24h",
+        "sum_24h",
+    )
+    ev_ts = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    feats = feats.join(ev_ts, "event_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % USER_MOD).alias("u"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        "o_orderkey",
+    )
+    unioned = feats.select(
+        "u", "us", F.lit(0).alias("side"), "event_id", "n_24h", "sum_24h",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    ).unionByName(
+        orders.select(
+            "u", "us", F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("n_24h"),
+            F.lit(None).cast("double").alias("sum_24h"),
+            "o_orderkey",
+        )
+    )
+    w = (
+        W.partitionBy("u")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    snapped = (
+        unioned.withColumn("f_n24h", F.last("n_24h", ignorenulls=True).over(w))
+        .withColumn("f_sum24h", F.last("sum_24h", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return snapped.select(
+        "o_orderkey",
+        F.col("u").alias("user_id"),
+        F.col("f_n24h").alias("n_24h"),
+        F.col("f_sum24h").alias("sum_24h"),
+    )
+
+
+def _pit_training_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.temporal import USER_MOD
+
+    return f"""
+        WITH feats AS (
+            SELECT user_id % {USER_MOD} AS u, event_id, epoch_us(ts) AS us,
+                   count(*) OVER w AS n_24h,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+                       AS sum_24h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        ),
+        -- ties on (u, us): the Spark window's event_id ordering keeps
+        -- the LARGEST event_id last, so the as-of pick is the max id
+        f AS (
+            SELECT u, us, n_24h, sum_24h,
+                   row_number() OVER (PARTITION BY u, us
+                                      ORDER BY event_id DESC) AS rn
+            FROM feats
+        ),
+        f1 AS (SELECT u, us, n_24h, sum_24h FROM f WHERE rn = 1),
+        o AS (SELECT o_orderkey, o_custkey % {USER_MOD} AS u,
+                     epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us
+              FROM orders)
+        SELECT o.o_orderkey, o.u AS user_id, f1.n_24h, f1.sum_24h
+        FROM o ASOF LEFT JOIN f1 ON o.u = f1.u AND o.us >= f1.us
+    """
+
+
 BOOT_B = 20   # bootstrap replicates
 BOOT_M = 100  # draws per replicate (subsample bootstrap)
 
@@ -1289,6 +1462,16 @@ def specs() -> list[QuerySpec]:
         QuerySpec("bootstrap_ci", q_bootstrap_ci, _bootstrap_ci_oracle(),
                   ("analytics", "statistics", "sampling"),
                   "Deterministic hash-draw bootstrap band for the per-type mean."),
+        QuerySpec("cumulative_distinct_users", q_cumulative_distinct_users,
+                  CUMULATIVE_DISTINCT_ORACLE,
+                  ("analytics", "window", "distinct"),
+                  "Running distinct users via first-seen reduction (no windowed DISTINCT)."),
+        QuerySpec("path_3grams", q_path_3grams, PATH_3GRAMS_ORACLE,
+                  ("analytics", "sequence"),
+                  "Top-10 3-step event-type paths (lead windows + top-k)."),
+        QuerySpec("pit_training_join", q_pit_training_join, _pit_training_oracle(),
+                  ("analytics", "feature", "temporal"),
+                  "Point-in-time-correct label/feature join (no leakage)."),
         QuerySpec("hierarchy_closure", q_hierarchy_closure, HIERARCHY_ORACLE,
                   ("analytics", "graph", "recursive"),
                   "Pointer-jumping transitive closure (root + depth per node)."),

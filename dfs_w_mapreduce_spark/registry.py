@@ -78,6 +78,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "join_dpp", "rolling_user_features", "exchange_reuse",
     "set_ops_all", "join_null_safe", "agg_filter", "watermark_lateness", "knn_graph",
     "histogram_fixed_width", "bootstrap_ci", "dedup_apply_embedding",
+    "cumulative_distinct_users", "path_3grams", "pit_training_join",
     # round-2 backlog, ordered by driver-environment risk (live
     # streaming with temp checkpoints, temp-dir sink roundtrips first;
     # pure-expression ops last).
