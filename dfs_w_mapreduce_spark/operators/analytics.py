@@ -577,6 +577,66 @@ def _pit_training_oracle() -> str:
     """
 
 
+def q_grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS in one aggregation pass: regress value on
+    hour-of-day per event_type from closed-form sufficient statistics,
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). x is a small integer
+    (hour), so Sx/Sxx are exact BIGINTs; y-carrying sums accumulate in
+    DECIMAL — every input to the final float division is
+    engine-exact, so slope/intercept round identically. This is the
+    map-side-combinable formulation of grouped regression (no second
+    pass, no per-group collect), the shape that scales to millions of
+    groups."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+    ydec = F.col("y").cast("decimal(18,4)")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(ydec).alias("sy"),
+        F.sum(F.col("x") * ydec).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+GROUPED_LINEAR_FIT_ORACLE = """
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x) AS sx,
+               sum(x * x) AS sxx,
+               sum(y) AS sy,
+               sum(x * y) AS sxy
+        FROM (SELECT event_type,
+                     CAST(date_part('hour', ts) AS BIGINT) AS x,
+                     CAST(value AS DECIMAL(18,4)) AS y
+              FROM events)
+        GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6) AS intercept
+    FROM s
+"""
+
+
 BOOT_B = 20   # bootstrap replicates
 BOOT_M = 100  # draws per replicate (subsample bootstrap)
 
@@ -1472,6 +1532,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("pit_training_join", q_pit_training_join, _pit_training_oracle(),
                   ("analytics", "feature", "temporal"),
                   "Point-in-time-correct label/feature join (no leakage)."),
+        QuerySpec("grouped_linear_fit", q_grouped_linear_fit,
+                  GROUPED_LINEAR_FIT_ORACLE,
+                  ("analytics", "statistics", "ml"),
+                  "Per-group OLS from exact sufficient statistics (one pass)."),
         QuerySpec("hierarchy_closure", q_hierarchy_closure, HIERARCHY_ORACLE,
                   ("analytics", "graph", "recursive"),
                   "Pointer-jumping transitive closure (root + depth per node)."),

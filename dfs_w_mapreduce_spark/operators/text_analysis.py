@@ -285,6 +285,117 @@ TEXT_TFIDF_ORACLE = f"""
 """
 
 
+TFIDF_COS_T = 0.5
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity: cosine over TF-IDF weights
+    via the inverted-index join — the SPARSE complement of the dense
+    embedding path in operators/similarity.py. Zero-weight terms
+    (df = N => idf = 0) are dropped BEFORE the term join: lossless for
+    the cosine (they contribute nothing to dot products or norms) and
+    it is exactly the hot-term pruning that keeps the inverted-index
+    fan-out bounded at scale — the ubiquitous terms ARE the zero-idf
+    ones. Per-term products and per-doc squared norms round to 8
+    decimals and sum in DECIMAL, so engine accumulation order cannot
+    move the final rounded cosine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.count()
+    w = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("w"),
+    ).filter(F.col("w") > 0)
+    wsq = F.round(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(wsq).cast("double")).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    prod = F.round(F.col("a.w") * F.col("b.w"), 8).cast("decimal(28,8)")
+    num = (
+        a.join(b, (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(prod).cast("double").alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    pairs = (
+        num.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("num") / (F.col("nrm_a") * F.col("nrm_b")), 4).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= TFIDF_COS_T)
+    )
+    # compact per-document summary: the tiny-vocab fixture makes most
+    # doc pairs cosine-similar, so the raw pair set is O(n^2) rows —
+    # the registry row aggregates it (full pair computation still runs
+    # and is hash-verified through these counts/extrema)
+    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("n_similar"),
+        F.max("cosine").alias("max_cosine"),
+        F.min("cosine").alias("min_cosine"),
+    )
+
+
+TFIDF_COSINE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 6) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE round(tf * ln(n_docs * 1.0 / df), 6) > 0
+    ),
+    norms AS (
+        SELECT doc_id,
+               sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(28,8))) AS DOUBLE))
+                   AS nrm
+        FROM w GROUP BY 1
+    ),
+    num AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(CAST(round(a.w * b.w, 8) AS DECIMAL(28,8))) AS DOUBLE)
+                   AS num
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a AS doc_id, count(*) AS n_similar,
+           max(cosine) AS max_cosine, min(cosine) AS min_cosine
+    FROM (
+        SELECT doc_a, doc_b,
+               round(num / (na.nrm * nb.nrm), 4) AS cosine
+        FROM num
+        JOIN norms na ON num.doc_a = na.doc_id
+        JOIN norms nb ON num.doc_b = nb.doc_id
+        WHERE round(num / (na.nrm * nb.nrm), 4) >= {TFIDF_COS_T}
+    )
+    GROUP BY 1
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filters (the Gopher/C4-style battery): fraction of
     the document covered by its most-common token and most-common word
@@ -712,6 +823,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_tfidf", q_text_tfidf, TEXT_TFIDF_ORACLE,
                   ("text", "llm", "retrieval"),
                   "TF-IDF top-3 terms per document (inverted-index build)."),
+        QuerySpec("tfidf_cosine_pairs", q_tfidf_cosine_pairs, TFIDF_COSINE_ORACLE,
+                  ("text", "llm", "similarity"),
+                  "Sparse TF-IDF cosine pairs via inverted index (lossless zero-idf pruning)."),
         QuerySpec("text_repetition", q_text_repetition, TEXT_REPETITION_ORACLE,
                   ("text", "llm", "quality"),
                   "Gopher-style repetition filters: top unigram/bigram fractions."),
