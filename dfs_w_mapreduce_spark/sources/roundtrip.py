@@ -126,6 +126,46 @@ SINK_PARTITIONED_ORACLE = f"""
 """
 
 
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse partial-rewrite
+    primitive: write orders partitioned by status, then overwrite ONLY
+    the 'F' partition with adjusted rows (prices doubled). Under
+    partitionOverwriteMode=dynamic the second write replaces just the
+    partitions it produces; every other partition's files are
+    untouched (no read-modify-write of the whole table — at 100 TB
+    that is the difference between rewriting 1/5th and 5/5ths). The
+    read-back rollup hash-proves both sides: 'F' rows doubled, all
+    other partitions byte-stable."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_dynover_"), "orders_part")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        modified = src.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        modified.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.schema(src.schema).parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _money("o_totalprice").alias("total"),
+    )
+
+
+SINK_PARTITION_OVERWRITE_ORACLE = f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           {_MONEY_SQL.format(col="CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END")} AS total
+    FROM orders
+    GROUP BY 1
+"""
+
+
 def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> ORC -> read back -> per-flag rollup. ORC is Spark's
     second native columnar format (predicate pushdown + striping like
@@ -337,6 +377,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_ORACLE,
                   ("source", "sink", "partitioning"),
                   "Hive-partitioned parquet write, partition-pruned read-back."),
+        QuerySpec("sink_partition_overwrite", q_sink_partition_overwrite,
+                  SINK_PARTITION_OVERWRITE_ORACLE,
+                  ("sink", "storage", "scale"),
+                  "Dynamic partition overwrite: rewrite one partition, others byte-stable."),
         QuerySpec("sink_xml_roundtrip", q_sink_xml_roundtrip, SINK_XML_ORACLE,
                   ("source", "sink", "xml"),
                   "documents through native XML write+read, checksum rollup."),
