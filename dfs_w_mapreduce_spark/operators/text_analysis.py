@@ -294,11 +294,15 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding path in operators/similarity.py. Zero-weight terms
     (df = N => idf = 0) are dropped BEFORE the term join: lossless for
     the cosine (they contribute nothing to dot products or norms) and
-    it is exactly the hot-term pruning that keeps the inverted-index
-    fan-out bounded at scale — the ubiquitous terms ARE the zero-idf
-    ones. Per-term products and per-doc squared norms round to 8
-    decimals and sum in DECIMAL, so engine accumulation order cannot
-    move the final rounded cosine."""
+    it prunes exactly the hottest terms (ubiquitous => idf 0). Honest
+    scale note: the term join costs sum(df^2) over surviving terms —
+    on real Zipf vocabularies the standard production additions are a
+    df cap and prefix filtering, and the WHOLE-document near-dup
+    problem at 100 TB belongs to the MinHash family (operators/
+    dedup.py); this operator is the sparse-cosine JOIN primitive those
+    pipelines compose. Per-term products and per-doc squared norms
+    round to 8 decimals and sum in DECIMAL, so engine accumulation
+    order cannot move the final rounded cosine."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")

@@ -102,6 +102,19 @@ QUERIES = [
     "text_bigram_lm",
     "attribution_last_touch",
     "columnar_encoding_stats",
+    "rolling_user_features",
+    "watermark_lateness",
+    "pit_training_join",
+    # tfidf_cosine_pairs / knn_graph are excluded: the tiny fixture
+    # vocabulary makes every document share terms (resp. crowds the 16
+    # LSH buckets), so key-offset replication grows their pair space
+    # ~copies^2 — a fixture artifact, not a plan property (same class
+    # as the basket_lift note below); their sf0.1 cost is in bench.
+    "grouped_linear_fit",
+    "bootstrap_ci",
+    "path_3grams",
+    "cumulative_distinct_users",
+    "histogram_fixed_width",
 ]
 
 
