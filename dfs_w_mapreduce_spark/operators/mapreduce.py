@@ -209,6 +209,41 @@ def _q_mr_wordcount_generic(spark, sf_dir: str) -> DataFrame:
     )
 
 
+MR_CHAIN_MIN_CNT = 50
+
+
+def _q_mr_job_chain(spark, sf_dir: str) -> DataFrame:
+    """Chained MapReduce jobs through stored intermediate results —
+    the reference's end-to-end loop (compute -> result stored back to
+    the DFS -> next compute reads it, reference dfs/client/client.go
+    job flow): job #1 (WordCount) materializes to parquet, job #2 is a
+    separate map/filter over the STORED output (frequent words +
+    share-of-corpus). The handoff is a real write+read, not plan
+    composition, so the chain exercises the store-results contract,
+    and job #2's scan benefits from the same pushdown any fresh table
+    gets."""
+    import os
+    import tempfile
+
+    from dfs_w_mapreduce_spark.sources.readers import text_lines
+    from dfs_w_mapreduce_spark.jobs.wordcount import wordcount
+
+    counts = wordcount(text_lines(spark, sf_dir))
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_mr_chain_"), "wc")
+    counts.write.mode("overwrite").parquet(out)
+    stored = spark.read.schema(counts.schema).parquet(out)
+    total = stored.agg(F.sum("cnt").alias("n_total"))
+    return (
+        stored.filter(F.col("cnt") >= MR_CHAIN_MIN_CNT)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
 def _q_kv_group_values(spark, sf_dir: str) -> DataFrame:
     """keyListOfValuesPair materialization over the skewed kv fixture.
 
@@ -498,6 +533,27 @@ def specs():
             """,
             tags=("mapreduce", "generic"),
             doc="Generic tier-1 map/reduce API reproducing reference job #1.",
+        ),
+        QuerySpec(
+            name="mr_job_chain",
+            fn=_q_mr_job_chain,
+            oracle=f"""
+                WITH wc AS (
+                    SELECT word, count(*) AS cnt
+                    FROM (SELECT unnest(string_split_regex(value, '\\s+')) AS word
+                          FROM ({TEXT_LINES_SQL}))
+                    WHERE word <> ''
+                    GROUP BY word
+                ),
+                tot AS (SELECT sum(cnt) AS n_total FROM wc)
+                SELECT word, CAST(cnt AS BIGINT) AS cnt,
+                       round(cnt * 1.0 / n_total, 6) AS share
+                FROM wc CROSS JOIN tot
+                WHERE cnt >= {MR_CHAIN_MIN_CNT}
+            """,
+            tags=("mapreduce", "chain", "storage"),
+            doc="Two chained jobs through a stored intermediate "
+                "(compute -> store -> next compute).",
         ),
         QuerySpec(
             name="kv_group_values",
