@@ -965,6 +965,74 @@ def _dedup_embedding_clusters_oracle() -> str:
 """
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster MAINTENANCE: when a new batch arrives, each
+    new document attaches to the smallest existing cluster among its
+    verified base matches (from the delta-vs-base band join) — the
+    base component labels are the persisted state this query models
+    reusing, and the work is proportional to the DELTA, never a
+    full-graph recompute. Unmatched new docs become their own
+    singleton clusters; resolving NEW-NEW duplicates inside one batch
+    is deliberately deferred to the next full-graph run (the standard
+    streaming-dedup trade — intra-batch dups are a tiny fraction and
+    the deferral window is one ingest cycle)."""
+    base_pairs = q_dedup_minhash_pairs(spark, sf_dir).filter(
+        (F.col("doc_a") % DELTA_MOD < DELTA_CUT)
+        & (F.col("doc_b") % DELTA_MOD < DELTA_CUT)
+    ).select("doc_a", "doc_b")
+    base_labels = _min_label_components(base_pairs, "doc_a", "doc_b", "doc_id")
+    matches = q_dedup_incremental(spark, sf_dir).select(
+        F.col("doc_id").alias("new_id"), F.col("dup_of").alias("base_id")
+    )
+    attach = (
+        matches.join(
+            base_labels.select(F.col("doc_id").alias("base_id"), "cluster_id"),
+            "base_id",
+            "left",
+        )
+        .select(
+            "new_id",
+            F.coalesce("cluster_id", F.col("base_id")).alias("cand"),
+        )
+        .groupBy("new_id")
+        .agg(F.min("cand").alias("cluster_id"))
+    )
+    delta = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DELTA_MOD >= DELTA_CUT
+    ).select("doc_id")
+    joined = delta.join(attach, delta.doc_id == attach.new_id, "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        F.col("cluster_id").isNotNull().alias("attached"),
+    )
+
+
+def _clusters_incremental_oracle() -> str:
+    base_pairs = f"""
+        SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+        WHERE doc_a % {DELTA_MOD} < {DELTA_CUT}
+          AND doc_b % {DELTA_MOD} < {DELTA_CUT}
+    """
+    return f"""
+    WITH RECURSIVE
+    {_labels_ctes_sql(base_pairs, "doc_a", "doc_b", "doc_id")},
+    inc AS ({_incremental_oracle()}),
+    attach AS (
+        SELECT inc.doc_id AS new_id,
+               min(coalesce(l.cluster_id, inc.dup_of)) AS cluster_id
+        FROM inc LEFT JOIN labels l ON inc.dup_of = l.doc_id
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.cluster_id, d.doc_id) AS cluster_id,
+           a.cluster_id IS NOT NULL AS attached
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {DELTA_MOD} >= {DELTA_CUT}) d
+    LEFT JOIN attach a ON d.doc_id = a.new_id
+"""
+
+
 def q_dedup_apply_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-out for the semantic branch: drop every non-keeper
     member of the embedding clusters and emit the surviving vectors
@@ -1054,4 +1122,8 @@ def specs() -> list[QuerySpec]:
                   _dedup_apply_embedding_oracle(),
                   ("dedup", "llm", "embedding"),
                   "Emit the semantically deduplicated vector corpus (keepers only)."),
+        QuerySpec("dedup_clusters_incremental", q_dedup_clusters_incremental,
+                  _clusters_incremental_oracle(),
+                  ("dedup", "llm", "incremental", "graph"),
+                  "Attach a new batch to persisted base clusters at delta cost."),
     ]
