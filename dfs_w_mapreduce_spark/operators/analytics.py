@@ -637,6 +637,82 @@ GROUPED_LINEAR_FIT_ORACLE = """
 """
 
 
+TT_A, TT_B = "click", "view"
+
+
+def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (does 'click' value differ from
+    'view'?) computed entirely from one aggregation pass of exact
+    sufficient statistics: per-group n, sum and sum-of-squares
+    accumulate in DECIMAL (the squares rounded to 8 decimals first),
+    so mean/variance/t/df derive from identical doubles on both
+    engines — the A/B-testing shape that runs on billions of rows
+    without a second pass or any sampling. Completes the statistical
+    battery next to chisq_independence and bootstrap_ci."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TT_A, TT_B)
+    )
+    sq = F.round(F.col("value") * F.col("value"), 8).cast("decimal(28,8)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        F.sum(sq).cast("double").alias("ss"),
+    )
+    a = g.filter(F.col("event_type") == TT_A).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = g.filter(F.col("event_type") == TT_B).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(b)
+    m_a, m_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
+    v_a = (F.col("ss_a") - F.col("n_a") * m_a * m_a) / (F.col("n_a") - 1)
+    v_b = (F.col("ss_b") - F.col("n_b") * m_b * m_b) / (F.col("n_b") - 1)
+    se2_a, se2_b = v_a / F.col("n_a"), v_b / F.col("n_b")
+    t = (m_a - m_b) / F.sqrt(se2_a + se2_b)
+    df = (
+        (se2_a + se2_b) * (se2_a + se2_b)
+        / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(m_a, 4).alias("mean_a"),
+        F.round(m_b, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    )
+
+
+AB_TTEST_ORACLE = f"""
+    WITH g AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(sum(CAST(round(value * value, 8) AS DECIMAL(28,8))) AS DOUBLE) AS ss
+        FROM events WHERE event_type IN ('{TT_A}', '{TT_B}')
+        GROUP BY 1
+    ),
+    a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM g WHERE event_type = '{TT_A}'),
+    b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM g WHERE event_type = '{TT_B}'),
+    d AS (
+        SELECT n_a, n_b,
+               s_a / n_a AS m_a, s_b / n_b AS m_b,
+               ((ss_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)) / n_a AS se2_a,
+               ((ss_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)) / n_b AS se2_b
+        FROM a CROSS JOIN b
+    )
+    SELECT n_a, n_b,
+           round(m_a, 4) AS mean_a,
+           round(m_b, 4) AS mean_b,
+           round((m_a - m_b) / sqrt(se2_a + se2_b), 4) AS t_stat,
+           round((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)), 2)
+               AS welch_df
+    FROM d
+"""
+
+
 BOOT_B = 20   # bootstrap replicates
 BOOT_M = 100  # draws per replicate (subsample bootstrap)
 
@@ -1536,6 +1612,9 @@ def specs() -> list[QuerySpec]:
                   GROUPED_LINEAR_FIT_ORACLE,
                   ("analytics", "statistics", "ml"),
                   "Per-group OLS from exact sufficient statistics (one pass)."),
+        QuerySpec("ab_test_ttest", q_ab_test_ttest, AB_TTEST_ORACLE,
+                  ("analytics", "statistics"),
+                  "Welch two-sample t-test from one pass of exact sufficient stats."),
         QuerySpec("hierarchy_closure", q_hierarchy_closure, HIERARCHY_ORACLE,
                   ("analytics", "graph", "recursive"),
                   "Pointer-jumping transitive closure (root + depth per node)."),

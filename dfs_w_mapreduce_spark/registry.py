@@ -80,7 +80,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "histogram_fixed_width", "bootstrap_ci", "dedup_apply_embedding",
     "cumulative_distinct_users", "path_3grams", "pit_training_join",
     "grouped_linear_fit", "tfidf_cosine_pairs", "sink_partition_overwrite",
-    "mr_job_chain", "dedup_clusters_incremental",
+    "mr_job_chain", "dedup_clusters_incremental", "ab_test_ttest",
     # round-2 backlog, ordered by driver-environment risk (live
     # streaming with temp checkpoints, temp-dir sink roundtrips first;
     # pure-expression ops last).
