@@ -89,6 +89,12 @@ HEADLINE = [
     "watermark_lateness",
     "join_dpp",
     "exchange_reuse",
+    "pit_training_join",
+    "mr_job_chain",
+    "dedup_clusters_incremental",
+    "ab_test_ttest",
+    "grouped_linear_fit",
+    "bootstrap_ci",
 ]
 
 
