@@ -365,21 +365,28 @@ def q_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed with the global per-type min/max broadcast back onto the
     scan. Bin assignment is integer floor over identically-computed
     doubles, so edges land identically on both engines; the top edge
-    folds into the last bin (least)."""
+    folds into the last bin (least). A degenerate group (hi = lo,
+    e.g. a single-row or constant-valued event_type) is assigned
+    bin 0 explicitly on BOTH engines — ANSI mode makes the raw
+    division abort with DIVIDE_BY_ZERO otherwise."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     bounds = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
     binned = ev.join(F.broadcast(bounds), "event_type").withColumn(
         "bin",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("lo"))
-                * FIXED_BINS
-                / (F.col("hi") - F.col("lo"))
-            ),
-            F.lit(FIXED_BINS - 1),
-        ).cast("int"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    * FIXED_BINS
+                    / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(FIXED_BINS - 1),
+            )
+        )
+        .cast("int"),
     )
     return binned.groupBy("event_type", "bin").agg(
         F.count("*").alias("n"),
@@ -394,8 +401,9 @@ HISTOGRAM_FIXED_ORACLE = f"""
         FROM events GROUP BY 1
     )
     SELECT e.event_type,
-           CAST(least(floor((value - lo) * {FIXED_BINS} / (hi - lo)),
-                      {FIXED_BINS - 1}) AS INT) AS bin,
+           CAST(CASE WHEN hi = lo THEN 0
+                     ELSE least(floor((value - lo) * {FIXED_BINS} / (hi - lo)),
+                                {FIXED_BINS - 1}) END AS INT) AS bin,
            count(*) AS n,
            round(min(value), 4) AS bin_min,
            round(max(value), 4) AS bin_max
@@ -602,7 +610,10 @@ def q_grouped_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
+    # zero x-variance group (all rows share one hour) => NULL slope and
+    # intercept; try_divide matches DuckDB's NULL-on-zero-divisor, where
+    # ANSI plain division would abort the whole query
+    slope = F.try_divide(num, den)
     intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
     return agg.select(
         "event_type",
@@ -665,14 +676,19 @@ def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
     )
     j = a.crossJoin(b)
+    # degenerate shapes -> NULL stats, not DIVIDE_BY_ZERO: a 1-row group
+    # (n-1 = 0) or two constant-valued groups (se2_a + se2_b = 0).
+    # try_divide == DuckDB's NULL-on-zero-divisor, so the oracle agrees
+    # without any CASE on its side.
     m_a, m_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
-    v_a = (F.col("ss_a") - F.col("n_a") * m_a * m_a) / (F.col("n_a") - 1)
-    v_b = (F.col("ss_b") - F.col("n_b") * m_b * m_b) / (F.col("n_b") - 1)
+    v_a = F.try_divide(F.col("ss_a") - F.col("n_a") * m_a * m_a, F.col("n_a") - 1)
+    v_b = F.try_divide(F.col("ss_b") - F.col("n_b") * m_b * m_b, F.col("n_b") - 1)
     se2_a, se2_b = v_a / F.col("n_a"), v_b / F.col("n_b")
-    t = (m_a - m_b) / F.sqrt(se2_a + se2_b)
-    df = (
-        (se2_a + se2_b) * (se2_a + se2_b)
-        / (se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1))
+    t = F.try_divide(m_a - m_b, F.sqrt(se2_a + se2_b))
+    df = F.try_divide(
+        (se2_a + se2_b) * (se2_a + se2_b),
+        F.try_divide(se2_a * se2_a, F.col("n_a") - 1)
+        + F.try_divide(se2_b * se2_b, F.col("n_b") - 1),
     )
     return j.select(
         "n_a",
@@ -1016,9 +1032,16 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining over orders: support /
     confidence / lift for part pairs co-purchased in the same order
     (min-support pruned, top-N by lift). All three metrics are ratios
-    of exact integer counts — deterministic on both engines. The pair
-    space is bounded by the same per-order self-join as the
-    co-purchase graph; min-support pruning happens before ranking."""
+    of exact integer counts — deterministic on both engines.
+
+    Scale shape (a-priori): pair support <= item support, so any item
+    with n_p < min-support cannot appear in a surviving pair — the
+    semi-join prunes those items BEFORE the per-order self-join,
+    shrinking the pair space exactly (monotonicity => the unpruned
+    oracle is unchanged). The top-N then goes through
+    orderBy().limit() — Spark's TakeOrderedAndProject, a per-partition
+    heap + driver merge of N rows, never a single-partition global
+    sort; rank is re-derived by a window over the <=N surviving rows."""
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = po.select("l_orderkey").distinct().agg(
@@ -1027,7 +1050,13 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = po.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count("*").alias("n_p")
     )
-    a, b = po.alias("a"), po.alias("b")
+    # a-priori item prune (no broadcast hint: frequent-item cardinality
+    # tracks the part dimension at scale; AQE picks the strategy)
+    freq_keys = item.filter(F.col("n_p") >= BASKET_MIN_SUPPORT).select(
+        F.col("p").alias("l_partkey")
+    )
+    pof = po.join(freq_keys, "l_partkey", "left_semi")
+    a, b = pof.alias("a"), pof.alias("b")
     pair = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
@@ -1044,8 +1073,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("lift6"), "pa", "pb")
     return (
-        pair.join(F.broadcast(ia), "pa")
-        .join(F.broadcast(ib), "pb")
+        pair.join(ia, "pa")
+        .join(ib, "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa", "pb", "n_ab",
@@ -1053,8 +1082,9 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 4).alias("lift"),
             F.round(lift, 6).alias("lift6"),
         )
+        .orderBy(F.desc("lift6"), "pa", "pb")
+        .limit(BASKET_TOP)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= BASKET_TOP)
         .select("pa", "pb", "n_ab", "confidence", "lift", F.col("rk").cast("int").alias("rk"))
     )
 

@@ -335,9 +335,12 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    # no broadcast hint on the norms: they are corpus-cardinality (one
+    # row per doc), so forcing a broadcast is an OOM risk at scale —
+    # the pair frame is already shuffled on doc ids; let AQE pick
     pairs = (
-        num.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

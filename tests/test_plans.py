@@ -162,6 +162,11 @@ def test_basket_lift_partial_aggregation(spark, sf_dir):
     plan = formatted_plan(AN.q_basket_lift(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4, plan[:1500]
     assert "CartesianProduct" not in plan
+    # top-N goes through the per-partition heap, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # a-priori item prune: the pair self-join input is semi-joined
+    # against frequent items before pairing
+    assert "LeftSemi" in plan, plan[:2000]
 
 
 def test_rollup_hypertable_single_pass(spark, sf_dir):
