@@ -912,34 +912,24 @@ DEDUP_APPLY_ORACLE = f"""
 
 def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed (the 100 TB path):
-    hyperplane-bucket every vector once (deterministic planes shared
-    with operators/similarity.py), generate candidate pairs only
-    WITHIN a bucket, verify candidates with the exact cosine. The
-    shuffle carries each (bucket, vector) once and the pair space
-    shrinks by ~n_buckets vs the brute-force baseline, at the cost of
-    missing cross-bucket pairs — recall vs q_dedup_embedding_pairs is
-    asserted in tests. Candidate generation is the LSH family's shared
-    bucket_pair_scores frame (operators/similarity.py)."""
-    from dfs_w_mapreduce_spark.operators.similarity import bucket_pair_scores
+    hyperplane-bucket every vector (deterministic planes shared with
+    operators/similarity.py), generate candidate pairs only WITHIN a
+    bucket, verify candidates with the exact cosine. Bucket width is
+    corpus-ADAPTIVE (np planes tracks log2(n/target-population), so
+    pair generation stays ~linear in n instead of O(n^2/2^planes)),
+    and recall at the narrower buckets is held up by a 2-band
+    OR-construction — union of two independent plane groups' candidate
+    sets. Recall vs q_dedup_embedding_pairs is asserted in tests at
+    both the fixture width and a scaled-up plane count."""
+    from dfs_w_mapreduce_spark.operators.similarity import banded_pair_scores
 
-    return (
-        bucket_pair_scores(spark, sf_dir, digits=4, ordered=True)
-        .select("vec_a", "vec_b", "cosine")
-        .filter(F.col("cosine") >= COSINE_T)
-    )
+    return banded_pair_scores(spark, sf_dir, digits=4, threshold=COSINE_T)
 
 
 def _embedding_lsh_pairs_oracle() -> str:
-    from dfs_w_mapreduce_spark.operators.similarity import _VECS_SQL, _bucket_sql
+    from dfs_w_mapreduce_spark.operators.similarity import banded_pairs_sql
 
-    return f"""
-        WITH v0 AS ({_VECS_SQL}),
-        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {COSINE_T}
-    """
+    return banded_pairs_sql(digits=4, threshold=COSINE_T)
 
 
 def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,10 +28,34 @@ from dfs_w_mapreduce_spark.registry import QuerySpec
 
 TOP_K = 5
 N_QUERIES = 20  # query set = vec_id < 20
-N_PLANES = 4  # 2^4 = 16 buckets
 
-# Deterministic integer hyperplanes: hp_k[d] = ((a_k*(d+1) + b_k) % 97) - 48
-PLANE_AB = [(37, 11), (59, 29), (73, 47), (89, 5)]
+# --- adaptive LSH granularity -------------------------------------------
+# The active plane count (=> bucket count 2^np) is derived IN-QUERY from
+# the corpus size: np = smallest p in [MIN_PLANES, MAX_PLANES] with
+# n <= TARGET_BUCKET_POP * 2^p, i.e. expected bucket population tracks
+# TARGET_BUCKET_POP as the corpus grows. Within-bucket pair generation
+# is O(sum b_i^2) ~= O(n * TARGET_BUCKET_POP) — linear in n — where a
+# fixed bucket count would be O(n^2 / 2^planes), quadratic at 100x.
+# The cascade is pure integer comparisons, so Spark and DuckDB derive
+# the identical np from the identical count — no float log2 edge cases.
+MIN_PLANES = 4    # 16 buckets — the small-fixture floor (<= 2048 vectors)
+MAX_PLANES = 12   # 4096 buckets
+TARGET_BUCKET_POP = 128
+
+# Deterministic integer hyperplanes: hp_k[d] = ((a_k*(d+1) + b_k) % 97) - 48.
+# Two independent bands (plane groups) support OR-construction for the
+# dedup pair path: a pair is a candidate if it collides in ANY band,
+# which holds recall up as np grows (P_hit = 1 - (1 - s^np)^bands).
+# Band 0's first MIN_PLANES planes are the original 4, so small-fixture
+# buckets are bit-identical to the fixed-width era.
+PLANE_BANDS = [
+    [(37, 11), (59, 29), (73, 47), (89, 5), (17, 53), (23, 71),
+     (41, 13), (7, 61), (53, 19), (67, 3), (79, 31), (11, 43)],
+    [(13, 7), (19, 23), (29, 41), (31, 59), (43, 17), (47, 67),
+     (61, 37), (71, 2), (83, 29), (3, 83), (5, 73), (2, 89)],
+]
+N_BANDS = len(PLANE_BANDS)
+PLANE_AB = PLANE_BANDS[0][:MIN_PLANES]  # legacy alias (docs/tests)
 
 
 def _dot(x: Column, y: Column) -> Column:
@@ -171,10 +195,29 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
 
 
-def _bucket_spark(v: Column) -> Column:
-    """LSH bucket id: bit k = sign of dot(v, hyperplane_k)."""
+def _n_planes_col(n: Column) -> Column:
+    """Smallest p in [MIN_PLANES, MAX_PLANES] with n <= TARGET * 2^p."""
+    expr = F.lit(MAX_PLANES)
+    for p in range(MAX_PLANES - 1, MIN_PLANES - 1, -1):
+        expr = F.when(n <= TARGET_BUCKET_POP * (2**p), F.lit(p)).otherwise(expr)
+    return expr
+
+
+def _n_planes_sql(n: str) -> str:
+    whens = " ".join(
+        f"WHEN {n} <= {TARGET_BUCKET_POP * 2**p} THEN {p}"
+        for p in range(MIN_PLANES, MAX_PLANES)
+    )
+    return f"(CASE {whens} ELSE {MAX_PLANES} END)"
+
+
+def _bucket_spark(v: Column, np_col: Column, band: int = 0) -> Column:
+    """LSH bucket id: bit k = sign of dot(v, hyperplane_k) for the
+    band's planes, masked to the np_col low bits (the active planes).
+    The full MAX_PLANES signature always computes — per-row linear
+    work — and the data-dependent width is a pure modulo."""
     bucket = F.lit(0)
-    for k, (a, b) in enumerate(PLANE_AB):
+    for k, (a, b) in enumerate(PLANE_BANDS[band]):
         d = F.aggregate(
             F.zip_with(
                 v,
@@ -185,18 +228,32 @@ def _bucket_spark(v: Column) -> Column:
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(d > 0, F.lit(2**k)).otherwise(F.lit(0))
-    return bucket
+    # int on both engines (np <= 12 => bucket < 4096)
+    return (bucket % F.pow(F.lit(2), np_col).cast("int")).cast("int")
 
 
-def _bucket_sql(v: str) -> str:
+def _bucket_sql(v: str, np: str = "np", band: int = 0) -> str:
     parts = []
-    for k, (a, b) in enumerate(PLANE_AB):
+    for k, (a, b) in enumerate(PLANE_BANDS[band]):
         dot = (
             f"list_sum(list_transform(range(1, len({v}) + 1), "
             f"i -> {v}[i] * ((({a} * i + {b}) % 97) - 48)))"
         )
         parts.append(f"(CASE WHEN {dot} > 0 THEN {2**k} ELSE 0 END)")
-    return " + ".join(parts)
+    return f"(({' + '.join(parts)}) % (1 << {np}))"
+
+
+# one-row np relation, cross-joined onto the vectors on both engines
+_NP_SQL = f"(SELECT {_n_planes_sql('(SELECT count(*) FROM embeddings)')} AS np)"
+
+
+def _vecs_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors + the corpus-derived active plane count (1-row broadcast)."""
+    v = _vecs(spark, sf_dir)
+    cnt = v.agg(F.count("*").alias("n_vec"))
+    return v.crossJoin(F.broadcast(cnt)).withColumn(
+        "np", _n_planes_col(F.col("n_vec"))
+    )
 
 
 def bucket_pair_scores(
@@ -208,8 +265,11 @@ def bucket_pair_scores(
     pair once (a < b, the dedup shape); `ordered=False` keeps both
     directions (a != b, the per-query search shape). One shuffle on
     the bucket id; any change to the plane constants or the cosine
-    rounding propagates to every consumer from here."""
-    v = _vecs(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
+    rounding propagates to every consumer from here. Bucket width is
+    the corpus-adaptive band-0 signature (_vecs_np)."""
+    v = _vecs_np(spark, sf_dir).withColumn(
+        "bucket", _bucket_spark(F.col("v"), F.col("np"))
+    )
     a, b = v.alias("a"), v.alias("b")
     ids = (
         F.col("a.vec_id") < F.col("b.vec_id")
@@ -225,6 +285,70 @@ def bucket_pair_scores(
         F.col("b.vec_id").alias("vec_b"),
         cos.alias("cosine"),
     )
+
+
+def banded_pair_scores(
+    spark: SparkSession, sf_dir: str, digits: int, threshold: float
+) -> DataFrame:
+    """OR-construction candidate pairs: a pair qualifies if it collides
+    in ANY band's bucket — union of per-band within-bucket joins, then
+    distinct. As the adaptive np grows (smaller buckets, cheaper pair
+    generation), single-band recall decays like s^np; two independent
+    bands recover it to 1-(1-s^np)^2 at 2x the (linear) bucketing
+    cost. Each branch filters to the cosine threshold BEFORE the
+    distinct, so the dedup shuffle carries only surviving near-dups.
+    The cosine is deterministic (round to `digits`), so the distinct
+    over (vec_a, vec_b, cosine) never sees conflicting rows."""
+    out = None
+    for band in range(N_BANDS):
+        v = _vecs_np(spark, sf_dir).withColumn(
+            "bucket", _bucket_spark(F.col("v"), F.col("np"), band)
+        )
+        a, b = v.alias("a"), v.alias("b")
+        cos = F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+            digits,
+        )
+        part = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.distinct()
+
+
+def banded_pairs_sql(digits: int, threshold: float) -> str:
+    """DuckDB twin of banded_pair_scores (UNION = distinct union)."""
+    branches = []
+    for band in range(N_BANDS):
+        branches.append(f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), {digits}) AS cosine
+        FROM vb a JOIN vb b
+          ON a.b{band} = b.b{band} AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), {digits}) >= {threshold}
+        """)
+    bucket_cols = ", ".join(
+        f"{_bucket_sql('v', 'np', band)} AS b{band}" for band in range(N_BANDS)
+    )
+    # single-SELECT body (the UNION sits in a subquery) so the nested
+    # WITH composes cleanly inside outer recursive CTEs
+    return f"""
+        WITH v0 AS ({_VECS_SQL}),
+        vb AS (SELECT vec_id, v, nrm, {bucket_cols}
+               FROM v0 CROSS JOIN {_NP_SQL} npc)
+        SELECT vec_a, vec_b, cosine
+        FROM ({" UNION ".join(branches)}) u
+    """
 
 
 def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +373,8 @@ def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_lsh_oracle() -> str:
     return f"""
         WITH v0 AS ({_VECS_SQL}),
-        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
+        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket
+              FROM v0 CROSS JOIN {_NP_SQL} npc)
         SELECT query_id, bucket, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
             SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
                    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine,
@@ -736,7 +861,8 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_graph_oracle() -> str:
     return f"""
         WITH v0 AS ({_VECS_SQL}),
-        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket FROM v0)
+        v AS (SELECT vec_id, v, nrm, {_bucket_sql('v')} AS bucket
+              FROM v0 CROSS JOIN {_NP_SQL} npc)
         SELECT vec_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine,

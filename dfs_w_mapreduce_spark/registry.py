@@ -32,60 +32,33 @@ class QuerySpec:
     doc: str = ""
 
 
-# The round driver verifies the FIRST 50 registry entries per round
-# (CORRECTNESS_r01 and r02 each snapshot exactly the first 50 names in
-# registry iteration order; the other 41 queries never received a
-# driver row). Until the driver sweeps all queries, rotate coverage:
-# names listed here are emitted first — queries with no driver row
-# yet, then queries whose implementation changed since their last
-# green row (re-verification), then new queries appended as they are
-# added. Stable green queries fall to the back; their green rows are
-# in CORRECTNESS_r02.json and the local mimic re-checks all 91 every
-# round regardless of order.
+# The round driver verifies the FIRST 50 registry entries per round.
+# Rotation policy: (a) queries whose implementation changed since
+# their last green driver row come first (a stale green row must not
+# outlive the code it verified), then (b) brand-new queries from this
+# round, then (c) the never-driver-verified backlog in registry order
+# (116 names after r01-r03 banked 96 green rows). Stable green
+# queries fall to the back; the local mimic re-checks ALL queries at
+# sf0.01 and sf0.1 every round regardless of this order.
 DRIVER_FRONT: tuple[str, ...] = (
-    # never driver-verified (41, registry-relative order preserved)
-    "tpch_q18", "array_hof", "map_funcs", "agg_collect",
-    "asof_join", "asof_join_pandas", "range_join",
-    "dedup_exact", "dedup_fingerprint", "dedup_ngram_pairs",
-    "dedup_minhash_pairs", "dedup_simhash", "dedup_embedding_pairs",
-    "dedup_simhash_pairs", "dedup_edit_distance",
-    "embedding_stats", "knn_bruteforce", "knn_lsh_bucketed",
-    "knn_bruteforce_numpy", "knn_ivf",
-    "bloom_build", "sample_hash",
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_chunking", "text_tfidf",
-    "multimodal_manifest", "multimodal_features", "multimodal_frames",
-    "mix_sample_by_source", "decontaminate",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "sessionize_lag", "date_spine", "stream_json", "stream_json_typed",
-    "stream_tumbling_live",
-    # red in r02 — fixed this round, must re-verify
-    "window_running", "tpch_q7",
-    # no_oracle in r02 — oracle-ified this round, must re-verify
-    "approx_distinct", "approx_percentiles",
-    # new in round 2
-    "dedup_clusters", "dedup_apply",
-    # new in round 3 (this round). The 50-row driver window cuts at
-    # the 47 entries above + ~3 of these — conscious triage: the
-    # never-verified backlog and the red-row re-verifications outrank
-    # brand-new queries (all of which are mimic-green at sf0.01 AND
-    # sf0.1); the remainder of this block queues for the next rounds
-    # in priority order.
+    # (a) re-verify: implementation changed in round 4 (adaptive
+    # banded embedding-LSH rewired these; green rows are from the
+    # fixed-16-bucket era)
     "dedup_embedding_pairs_lsh", "dedup_embedding_clusters",
-    "asof_join_nearest", "gap_fill_locf",
-    "rollup_hypertable", "winsorize", "mix_temperature", "chunk_prune_stats",
-    "text_bigram_lm", "attribution_last_touch", "columnar_encoding_stats",
-    "join_dpp", "rolling_user_features", "exchange_reuse",
-    "set_ops_all", "join_null_safe", "agg_filter", "watermark_lateness", "knn_graph",
-    "histogram_fixed_width", "bootstrap_ci", "dedup_apply_embedding",
-    "cumulative_distinct_users", "path_3grams", "pit_training_join",
-    "grouped_linear_fit", "tfidf_cosine_pairs", "sink_partition_overwrite",
-    "mr_job_chain", "dedup_clusters_incremental", "ab_test_ttest",
-    # round-2 backlog, ordered by driver-environment risk (live
-    # streaming with temp checkpoints, temp-dir sink roundtrips first;
-    # pure-expression ops last).
-    "mr_map_positional", "multimodal_decode",
-    "stream_dedup_live",
+    "knn_lsh_bucketed",
+    # (b) new in round 4 — inserted here as they are added
+    # (c) never driver-verified, registry-relative order (the round-3
+    # block first, per VERDICT r3 item 3)
+    "gap_fill_locf", "rollup_hypertable", "winsorize", "mix_temperature",
+    "chunk_prune_stats", "text_bigram_lm", "attribution_last_touch",
+    "columnar_encoding_stats", "join_dpp", "rolling_user_features",
+    "exchange_reuse", "set_ops_all", "join_null_safe", "agg_filter",
+    "watermark_lateness", "knn_graph", "histogram_fixed_width",
+    "bootstrap_ci", "dedup_apply_embedding", "cumulative_distinct_users",
+    "path_3grams", "pit_training_join", "grouped_linear_fit",
+    "tfidf_cosine_pairs", "sink_partition_overwrite", "mr_job_chain",
+    "dedup_clusters_incremental", "ab_test_ttest",
+    "mr_map_positional", "multimodal_decode", "stream_dedup_live",
     "sink_csv_roundtrip", "sink_json_roundtrip", "sink_partitioned",
     "graph_pagerank", "funnel_stages", "cohort_retention",
     "text_repetition", "text_pii_redact",
@@ -96,6 +69,23 @@ DRIVER_FRONT: tuple[str, ...] = (
     "incremental_agg", "value_histogram", "dq_constraints",
     "sample_stratified", "stream_stateful_live", "safe_arithmetic",
     "hierarchy_closure", "cogroup_pandas",
+    "rfm_segments", "funnel_time_to_convert", "wow_change", "basket_lift",
+    "latency_bands", "skyline_pareto", "user_streaks", "event_transitions",
+    "anomaly_mad", "mr_map_arrow", "udaf_grouped_agg", "scd2_asof_lookup",
+    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "asof_join_forward", "dedup_incremental", "minhash_estimate",
+    "heavy_hitters", "rrf_fusion", "substring_winnow", "kl_divergence",
+    "text_perplexity", "chisq_independence", "graph_triangles",
+    "knn_filtered", "ann_recall", "knn_pq", "hll_union",
+    "bloom_probe_join", "lateral_topk", "recursive_cte",
+    "text_line_dedup", "bm25_search", "pack_sequences",
+    "split_train_val_test", "tokenize_encode", "contrastive_pairs",
+    "pipeline_end_to_end", "zorder_layout", "join_bucketed",
+    "compact_chunks", "sink_xml_roundtrip", "sink_orc_roundtrip",
+    "source_schema_evolution", "sink_chunked_roundtrip",
+    "stream_session_dynamic", "stream_sliding_live", "stream_session_live",
+    "stream_wmdedup_live", "stream_join_live",
 )
 
 

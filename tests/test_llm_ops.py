@@ -77,6 +77,76 @@ def test_knn_lsh_recall_measured(spark, sf_dir):
     assert ann, "bucketed ANN produced no rows"
 
 
+def test_embedding_lsh_adaptive_width_and_recall_at_scale(spark, sf_dir, tmp_path):
+    """The scale knob: on a 6x-replicated corpus (3000 vectors) the
+    in-query plane count widens from the 4-plane floor to 5 (32
+    buckets), the DuckDB oracle derives the identical width from the
+    identical count (full parity at the wider setting), every planted
+    cross-copy identical pair is still found (identical vectors share
+    all buckets in every band => banding recall 1.0 on them), and
+    overall recall vs the exact pair set stays usable on a sampled
+    sub-corpus."""
+    import duckdb as _duckdb
+
+    import os as _os
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    big = tmp_path / "bigsf"
+    big.mkdir()
+    copies = " UNION ALL ".join(
+        f"SELECT vec_id + {i * 100000} AS vec_id, embedding, label "
+        f"FROM read_parquet('{src}')"
+        for i in range(6)
+    )
+    con = _duckdb.connect()
+    con.execute(f"COPY ({copies}) TO '{big}/embeddings.parquet' (FORMAT PARQUET)")
+
+    # 1) adaptive width: 3000 vectors => np = 5 on the Spark side
+    vnp = S._vecs_np(spark, str(big)).select("np").limit(1).collect()
+    assert vnp[0].np == 5, vnp
+
+    # 2) full oracle parity at the wider width
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.q_dedup_embedding_pairs_lsh(spark, str(big)).collect()
+    }
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{big}/embeddings.parquet')"
+    )
+    want = {(a, b): c for a, b, c in con.sql(D._embedding_lsh_pairs_oracle()).fetchall()}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+    # 3) planted identical pairs (same source vector, different copies)
+    #    are always candidates: recall 1.0 on them
+    n_src = 6 * (6 - 1) // 2  # pairs per source vector
+    src_ids = {r[0] for r in con.sql(f"SELECT vec_id FROM read_parquet('{src}')").fetchall()}
+    planted = {
+        (s + i * 100000, s + j * 100000)
+        for s in src_ids
+        for i in range(6)
+        for j in range(i + 1, 6)
+    }
+    assert len(planted) == len(src_ids) * n_src
+    missing = planted - set(got)
+    assert not missing, f"{len(missing)} identical-copy pairs missed"
+
+    # 4) sampled overall recall vs exact (filters push below the join)
+    from pyspark.sql import functions as F
+
+    sub = lambda df: df.filter(  # noqa: E731
+        (F.col("vec_a") % 5 == 0) & (F.col("vec_b") % 5 == 0)
+    )
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sub(D.q_dedup_embedding_pairs(spark, str(big))).collect()
+    }
+    lsh_sub = {k for k in got if k[0] % 5 == 0 and k[1] % 5 == 0}
+    assert lsh_sub <= exact
+    recall = len(lsh_sub & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall}: {len(lsh_sub)}/{len(exact)}"
+
+
 def test_simhash_near_dups_have_close_hashes(spark, sf_dir):
     """Near-dup pairs (exact Jaccard >= 0.5) should sit within small
     simhash Hamming distance most of the time."""

@@ -105,11 +105,13 @@ QUERIES = [
     "rolling_user_features",
     "watermark_lateness",
     "pit_training_join",
-    # tfidf_cosine_pairs / knn_graph are excluded: the tiny fixture
-    # vocabulary makes every document share terms (resp. crowds the 16
-    # LSH buckets), so key-offset replication grows their pair space
-    # ~copies^2 — a fixture artifact, not a plan property (same class
-    # as the basket_lift note below); their sf0.1 cost is in bench.
+    # tfidf_cosine_pairs is excluded: the tiny fixture vocabulary makes
+    # every document share terms, so key-offset replication grows its
+    # pair space ~copies^2 — a fixture artifact, not a plan property
+    # (same class as the basket_lift note below); its sf0.1 cost is in
+    # bench. knn_graph rejoined the sweep once LSH bucket width became
+    # corpus-adaptive (buckets now track n instead of crowding 16).
+    "knn_graph",
     "grouped_linear_fit",
     "bootstrap_ci",
     "path_3grams",
