@@ -95,6 +95,19 @@ HEADLINE = [
     "ab_test_ttest",
     "grouped_linear_fit",
     "bootstrap_ci",
+    # round-4 additions: the remaining heavy operator families
+    # (VERDICT r3 item 8) + this round's new operators — r4 keys are a
+    # strict superset of r3's, so every family regression-tracks
+    "pack_sequences",
+    "scd2_build",
+    "hierarchy_closure",
+    "tfidf_cosine_pairs",
+    "dedup_embedding_clusters",
+    "basket_lift",
+    "knn_graph",
+    "knn_pq",
+    "mr_user_job",
+    "minhash_band_sweep",
 ]
 
 

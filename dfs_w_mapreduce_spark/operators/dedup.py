@@ -546,6 +546,130 @@ def _minhash_estimate_oracle() -> str:
     """
 
 
+SWEEP_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows) over 16 hashes
+
+
+def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-choice evidence: the SAME 16 minhashes re-banded three
+    ways (2x8 strict, 4x4 production, 8x2 loose), each config's
+    candidates verified with the exact Jaccard. Emits, per config:
+    candidate count, true-pair count (j >= 0.5), precision, and recall
+    relative to the union of true pairs any config finds — the
+    measured S-curve trade (P(candidate | j) = 1-(1-j^rows)^bands)
+    that justifies 4x4 at this threshold, as data instead of as a
+    constant. One shared signature pass; the per-config band joins
+    reuse it, so the sweep costs ~3 candidate joins, not 3 pipelines.
+    True recall vs the exact O(n^2) baseline is asserted in tests at
+    sf0.001 (the relative-recall denominator here keeps the registry
+    row linear-cost at any scale)."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
+    sig = sh.select(
+        "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
+    ).select("doc_id", *_minhash_cols())
+    bands = None
+    for nb, rpb in SWEEP_CONFIGS:
+        part = sig.select(
+            F.lit(f"{nb}x{rpb}").alias("cfg"),
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"mh{b * rpb + r}") for r in range(rpb)],
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("band", "sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    union = F.size("sa.sh") + F.size("sb.sh") - inter
+    ver = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "cfg", "doc_a", "doc_b",
+            (F.round(inter / union, 4) >= JACCARD_T).alias("is_true"),
+        )
+    )
+    n_union = (
+        ver.filter("is_true")
+        .select("doc_a", "doc_b")
+        .distinct()
+        .agg(F.count("*").alias("n_union"))
+    )
+    return (
+        ver.groupBy("cfg")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        )
+        .crossJoin(F.broadcast(n_union))
+        .select(
+            "cfg", "n_candidates", "n_true",
+            F.round(F.try_divide(F.col("n_true"), F.col("n_candidates")), 4).alias("precision"),
+            F.round(F.try_divide(F.col("n_true"), F.col("n_union")), 4).alias("recall_vs_union"),
+        )
+    )
+
+
+def _minhash_band_sweep_oracle() -> str:
+    band_rows = []
+    for nb, rpb in SWEEP_CONFIGS:
+        for b in range(nb):
+            sig_expr = " || ',' || ".join(
+                f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            )
+            band_rows.append(
+                f"SELECT '{nb}x{rpb}' AS cfg, doc_id, {b} AS band, {sig_expr} AS sig FROM sig"
+            )
+    jac = ("len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+           "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
+    return f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({" UNION ALL ".join(band_rows)}),
+        cand AS (
+            SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.cfg = b.cfg AND a.band = b.band AND a.sig = b.sig
+                 AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT cfg, doc_a, doc_b, round({jac}, 4) >= {JACCARD_T} AS is_true
+            FROM cand
+            JOIN shs sa ON doc_a = sa.doc_id
+            JOIN shs sb ON doc_b = sb.doc_id
+        ),
+        u AS (SELECT count(*) AS n_union FROM
+              (SELECT DISTINCT doc_a, doc_b FROM ver WHERE is_true))
+        SELECT cfg, count(*) AS n_candidates,
+               CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               round(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS precision,
+               round(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1.0 / any_value(n_union), 4) AS recall_vs_union
+        FROM ver CROSS JOIN u
+        GROUP BY cfg
+    """
+
+
 # ---------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 48  # fits signed int64 with headroom; 6 byte-bands
@@ -1094,6 +1218,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("minhash_estimate", q_minhash_estimate, _minhash_estimate_oracle(),
                   ("dedup", "llm", "lsh", "approx"),
                   "MinHash Jaccard estimate vs exact, per candidate pair."),
+        QuerySpec("minhash_band_sweep", q_minhash_band_sweep, _minhash_band_sweep_oracle(),
+                  ("dedup", "llm", "lsh", "calibration"),
+                  "2x8/4x4/8x2 banding sweep: candidates, precision, relative recall."),
         QuerySpec("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                   ("dedup", "llm", "graph"),
                   "Connected components over near-dup pairs: min-label propagation vs recursive-CTE oracle."),

@@ -175,6 +175,43 @@ class Job:
         )
 
 
+def load_user_job(path: str):
+    """Load a user-supplied job module (``map_fn``/``reduce_fn``) from
+    an arbitrary file path — the reference's user job binary
+    (client.go:806-811 submits it, node.go:205-239 execs it) as a
+    Python module.
+
+    The module lives at a user path, NOT on any importable package
+    path, so executors could never re-import it by name: register it
+    for pickle-BY-VALUE with Spark's vendored cloudpickle (the
+    standalone cloudpickle package is invisible to Spark's serializer
+    — see sources/chunked_source.py for the same rule)."""
+    import importlib.util
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    from pyspark import cloudpickle
+
+    p = _Path(path)
+    mod_name = f"_spark_graft_user_job_{p.stem}"
+    spec = importlib.util.spec_from_file_location(mod_name, p)
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules[mod_name] = mod  # register_pickle_by_value requires it
+    spec.loader.exec_module(mod)
+    for fn in ("map_fn", "reduce_fn"):
+        if not callable(getattr(mod, fn, None)):
+            raise ValueError(f"user job {path} must define {fn}()")
+    cloudpickle.register_pickle_by_value(mod)
+    return mod
+
+
+def run_user_job(spark, job_path: str, lines: DataFrame) -> DataFrame:
+    """compute(<user job .py>, <stored lines>) -> key/value DataFrame:
+    the full reference compute contract with user code."""
+    mod = load_user_job(job_path)
+    return Job(mod.map_fn, mod.reduce_fn).run(spark, lines)
+
+
 # ---------------------------------------------------------- last resort
 
 
@@ -207,6 +244,22 @@ def _q_mr_wordcount_generic(spark, sf_dir: str) -> DataFrame:
     return map_reduce(lines, pairs, F.count("*").alias("cnt")).withColumnRenamed(
         "key", "word"
     )
+
+
+def _q_mr_user_job(spark, sf_dir: str) -> DataFrame:
+    """Arbitrary-user-code fidelity: the reference's compute ships ANY
+    job binary over a stored file (client.go:806-811, node.go:239);
+    here a user .py exposing map_fn/reduce_fn is loaded FROM ITS FILE
+    PATH through the same loader tools/run_job.py uses, shipped to
+    executors by value, and run through the generic Job tier over the
+    stored line corpus. The oracle recomputes the job's semantics
+    (initial-letter frequency) in SQL."""
+    from pathlib import Path
+
+    from dfs_w_mapreduce_spark.sources.readers import text_lines
+
+    path = Path(__file__).resolve().parent.parent / "jobs" / "user_initial_letters.py"
+    return run_user_job(spark, str(path), text_lines(spark, sf_dir))
 
 
 MR_CHAIN_MIN_CNT = 50
@@ -554,6 +607,22 @@ def specs():
             tags=("mapreduce", "chain", "storage"),
             doc="Two chained jobs through a stored intermediate "
                 "(compute -> store -> next compute).",
+        ),
+        QuerySpec(
+            name="mr_user_job",
+            fn=_q_mr_user_job,
+            oracle=f"""
+                SELECT key, CAST(count(*) AS VARCHAR) AS value
+                FROM (SELECT lower(tok[1]) AS key
+                      FROM (SELECT unnest(string_split_regex(value, '\\s+')) AS tok
+                            FROM ({TEXT_LINES_SQL}))
+                      WHERE tok <> '')
+                WHERE key BETWEEN 'a' AND 'z'
+                GROUP BY key
+            """,
+            tags=("mapreduce", "user-job", "generic"),
+            doc="User-supplied .py job (map_fn/reduce_fn) loaded from a file "
+                "path and run through the generic Job tier.",
         ),
         QuerySpec(
             name="kv_group_values",

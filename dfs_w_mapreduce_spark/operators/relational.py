@@ -96,7 +96,16 @@ def _dec_revenue():
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: scan-heavy groupBy with 8 aggregates.
     Catalyst plans partial+final HashAggregate; the shipdate filter is
-    pushed to the parquet scan (PushedFilters)."""
+    pushed to the parquet scan (PushedFilters).
+
+    Bench note (r2->r3 regression, adjudicated r4): the money sums run
+    in DECIMAL, measured 3.3x the double-sum plan at sf0.1 (0.41s ->
+    1.33s isolated min-of-3). Accepted deliberately: double sums
+    hash-diverge across engines under reduction-order differences (the
+    r02 red-row class), and integer-cents-in-long/double overflows at
+    ~1e9-row groups — 128-bit decimal is the only accumulator that is
+    both order-exact and 100 TB-safe. The plan itself is unchanged
+    (pushed filter, partial+final agg, one exchange)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec_revenue()  # exact decimal(17,4)
     return (

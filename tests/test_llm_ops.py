@@ -77,6 +77,29 @@ def test_knn_lsh_recall_measured(spark, sf_dir):
     assert ann, "bucketed ANN produced no rows"
 
 
+def test_minhash_band_sweep_true_recall(spark, sf_dir):
+    """The banding sweep against the exact O(n^2) ground truth: since
+    an (8,2) band is a sub-slice of a (4,4) band which sub-slices
+    (2,8), the candidate sets are provably nested — candidates(2x8)
+    <= candidates(4x4) <= candidates(8x2) — and true recall is
+    monotone along the sweep. The production 4x4 setting must clear
+    the same >=0.7 recall bar as the pair query itself."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in D.q_dedup_ngram_pairs(spark, sf_dir).collect()
+    }
+    rows = {r.cfg: r for r in D.q_minhash_band_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {"2x8", "4x4", "8x2"}
+    assert (
+        rows["2x8"].n_candidates
+        <= rows["4x4"].n_candidates
+        <= rows["8x2"].n_candidates
+    )
+    assert rows["2x8"].n_true <= rows["4x4"].n_true <= rows["8x2"].n_true
+    if exact:
+        recall_44 = rows["4x4"].n_true / len(exact)
+        assert recall_44 >= 0.7, f"4x4 true recall {recall_44}"
+
+
 def test_embedding_lsh_adaptive_width_and_recall_at_scale(spark, sf_dir, tmp_path):
     """The scale knob: on a 6x-replicated corpus (3000 vectors) the
     in-query plane count widens from the 4-plane floor to 5 (32
