@@ -27,7 +27,7 @@ against them).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dfs_w_mapreduce_spark.catalog import load_table
@@ -1034,6 +1034,65 @@ DEDUP_APPLY_ORACLE = f"""
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based dedup resolution: keep the HIGHEST-QUALITY member
+    of each near-dup cluster, not the smallest id — the policy a real
+    corpus dedup ships (min-id keeps whichever copy was crawled first;
+    quality-keeper keeps the cleanest). Composes the MinHash cluster
+    labels with the text_quality score: keeper = max quality,
+    tie-break min doc_id; singleton documents (no near-dup) form their
+    own cluster and keep themselves. One row per cluster with the
+    keeper and member count.
+
+    Scale shape: labels live only for pair-member docs (the left join
+    defaults the rest to singleton clusters — no corpus-sized label
+    state), the quality score is a projection on the scan, and the
+    per-cluster argmax is a window over cluster_id — clusters are
+    near-dup sized (tiny), so no skew hazard."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_quality
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    lab = d.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    q = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    m = lab.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    counts = lab.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(counts, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("quality").alias("keeper_quality"),
+            "n_members",
+        )
+    )
+
+
+def _keep_best_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.text_analysis import QUALITY_COL_SQL
+
+    return f"""
+        WITH RECURSIVE
+        {_clusters_labels_sql()},
+        q AS ({QUALITY_COL_SQL}),
+        lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+        m AS (SELECT lab.cluster_id, lab.doc_id, q.quality,
+                     row_number() OVER (PARTITION BY lab.cluster_id
+                                        ORDER BY q.quality DESC, lab.doc_id) AS rk
+              FROM lab JOIN q USING (doc_id)),
+        c AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
+        SELECT m.cluster_id, m.doc_id AS keeper_id,
+               m.quality AS keeper_quality, c.n_members
+        FROM m JOIN c USING (cluster_id) WHERE rk = 1
+    """
+
+
 def q_dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed (the 100 TB path):
     hyperplane-bucket every vector (deterministic planes shared with
@@ -1224,6 +1283,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                   ("dedup", "llm", "graph"),
                   "Connected components over near-dup pairs: min-label propagation vs recursive-CTE oracle."),
+        QuerySpec("dedup_keep_best", q_dedup_keep_best, _keep_best_oracle(),
+                  ("dedup", "llm", "policy"),
+                  "Quality-keeper dedup resolution: best-quality member kept per cluster."),
         QuerySpec("dedup_apply", q_dedup_apply, DEDUP_APPLY_ORACLE,
                   ("dedup", "llm"),
                   "Emit the deduplicated corpus: drop non-keeper cluster members."),

@@ -121,6 +121,25 @@ TEXT_QUALITY_ORACLE = f"""
 """
 
 
+# doc_id -> quality only, for composition into other oracles (the
+# dedup keep-best policy joins this against cluster labels)
+QUALITY_COL_SQL = f"""
+    SELECT doc_id,
+           round((CASE WHEN n_words >= 5 AND mean_wl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                 * (1 - least(1.0, n_punct / greatest(n_chars, 1.0) * 4)), 4) AS quality
+    FROM (
+        SELECT *,
+               CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words
+                    ELSE 0.0 END AS mean_wl
+        FROM (SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     len({_TQ_TOKS}) AS n_words,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+              FROM documents)
+    )
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: score each language by distinct marker
     hits, argmax with fixed priority order (en>de>fr>es>zh) on ties,

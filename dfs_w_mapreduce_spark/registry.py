@@ -47,7 +47,8 @@ DRIVER_FRONT: tuple[str, ...] = (
     "dedup_embedding_pairs_lsh", "dedup_embedding_clusters",
     "knn_lsh_bucketed",
     # (b) new in round 4 — inserted here as they are added
-    "mr_user_job", "minhash_band_sweep",
+    "mr_user_job", "minhash_band_sweep", "dedup_keep_best",
+    "stream_upsert_live",
     # (c) never driver-verified, registry-relative order (the round-3
     # block first, per VERDICT r3 item 3)
     "gap_fill_locf", "rollup_hypertable", "winsorize", "mix_temperature",

@@ -634,6 +634,91 @@ STREAM_FILE_SINK_ORACLE = """
 """
 
 
+def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental UPSERT executed live — the streaming
+    materialized-view maintenance pattern: the event stream replays as
+    4 micro-batches (maxFilesPerTrigger=1 over a 4-file copy), and
+    each batch MERGEs its per-type partial aggregates into a durable
+    parquet target (full-outer combine on the key; counts add, sums
+    add in DECIMAL so batch order can never move the result). Without
+    Delta in the image the merge is emulated with versioned target
+    dirs (read v_k, combine, write v_k+1 — the read-then-overwrite
+    hazard Delta's MERGE INTO solves natively; state here is
+    key-cardinality, not corpus). The final target must equal the
+    one-shot batch aggregate — that equivalence IS the oracle, and
+    n_batches pins that the run really was incremental (4 merges, not
+    one)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="graft_stream_upsert_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    version = {"v": 0}
+
+    def upsert(batch_df, batch_id):
+        delta = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("v_sum"),
+        )
+        v = version["v"]
+        if v > 0:
+            cur = spark.read.parquet(f"{base}/target_v{v}")
+            merged = (
+                cur.withColumnsRenamed({"n": "n0", "v_sum": "s0"})
+                .join(delta, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (F.coalesce("n0", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
+                    (
+                        F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,4)"))
+                        + F.coalesce(F.col("v_sum"), F.lit(0).cast("decimal(18,4)"))
+                    ).cast("decimal(28,4)").alias("v_sum"),
+                )
+            )
+        else:
+            merged = delta.select(
+                "event_type", "n", F.col("v_sum").cast("decimal(28,4)").alias("v_sum")
+            )
+        merged.write.mode("overwrite").parquet(f"{base}/target_v{v + 1}")
+        version["v"] = v + 1
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    final = spark.read.parquet(f"{base}/target_v{version['v']}").select(
+        "event_type",
+        "n",
+        F.round(F.col("v_sum").cast("double"), 4).alias("total_value"),
+        F.lit(version["v"]).alias("n_batches"),
+    )
+    # materialize before dropping the scratch dirs (lazy plans would
+    # otherwise read a deleted path at collect time)
+    final = final.localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+STREAM_UPSERT_LIVE_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value,
+           CAST(4 AS INT) AS n_batches
+    FROM events GROUP BY 1
+"""
+
+
 def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator executed live: per-user running counts
     through applyInPandasWithState (the arbitrary-stateful-reduce
@@ -817,4 +902,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_join_live", q_stream_join_live, STREAM_JOIN_LIVE_ORACLE,
                   ("streaming", "live", "join"),
                   "Live watermarked stream-stream interval join, oracle-verified."),
+        QuerySpec("stream_upsert_live", q_stream_upsert_live,
+                  STREAM_UPSERT_LIVE_ORACLE, ("streaming", "live", "sink", "upsert"),
+                  "Live foreachBatch incremental upsert over 4 micro-batches."),
     ]
