@@ -1050,12 +1050,16 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = po.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count("*").alias("n_p")
     )
-    # a-priori item prune (no broadcast hint: frequent-item cardinality
-    # tracks the part dimension at scale; AQE picks the strategy)
+    # a-priori item prune. The frequent-item frame is part-cardinality
+    # (one row per distinct part), so broadcast is size-GATED on the
+    # part table: hinted while the dimension is broadcast-sized,
+    # degraded to AQE's choice at 100 TB (catalog.gated_broadcast).
+    from dfs_w_mapreduce_spark.catalog import gated_broadcast
+
     freq_keys = item.filter(F.col("n_p") >= BASKET_MIN_SUPPORT).select(
         F.col("p").alias("l_partkey")
     )
-    pof = po.join(freq_keys, "l_partkey", "left_semi")
+    pof = po.join(gated_broadcast(freq_keys, sf_dir, "part"), "l_partkey", "left_semi")
     a, b = pof.alias("a"), pof.alias("b")
     pair = (
         a.join(b, "l_orderkey")
@@ -1073,8 +1077,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("lift6"), "pa", "pb")
     return (
-        pair.join(ia, "pa")
-        .join(ib, "pb")
+        pair.join(gated_broadcast(ia, sf_dir, "part"), "pa")
+        .join(gated_broadcast(ib, sf_dir, "part"), "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa", "pb", "n_ab",

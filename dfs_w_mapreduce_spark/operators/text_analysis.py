@@ -354,12 +354,15 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
-    # no broadcast hint on the norms: they are corpus-cardinality (one
-    # row per doc), so forcing a broadcast is an OOM risk at scale —
-    # the pair frame is already shuffled on doc ids; let AQE pick
+    # The norms are corpus-cardinality (one row per doc), so an
+    # unconditional broadcast hint is an OOM risk at scale; gate it on
+    # the documents table size instead — hinted while broadcast-sized,
+    # AQE's choice beyond (the pair frame is already shuffled on ids).
+    from dfs_w_mapreduce_spark.catalog import gated_broadcast
+
     pairs = (
-        num.join(na, "doc_a")
-        .join(nb, "doc_b")
+        num.join(gated_broadcast(na, sf_dir, "documents"), "doc_a")
+        .join(gated_broadcast(nb, sf_dir, "documents"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -218,6 +218,31 @@ def test_bmp_roundtrip_row_alignment_and_malformed():
         M.decode_bmp(b"\x00\x00junk")
 
 
+def test_png_roundtrip_all_filters_crc_and_malformed():
+    """The PNG codec is real: builder rotates scanline filter types
+    (y % 5), so a height-5+ image exercises None/Sub/Up/Average/Paeth
+    reconstruction; the decoded pixel-byte sum must equal the direct
+    arithmetic sum. Corrupting one IDAT byte must fail the CRC walk;
+    truncated/foreign inputs must be rejected."""
+    w, h, doc_id = 11, 9, 12345
+    got = M.decode_png(M.build_png(w, h, doc_id))
+    expect = sum(
+        (doc_id + x) % 256 + (doc_id + y) % 256 + (x + y) % 256
+        for x in range(w)
+        for y in range(h)
+    )
+    assert got == {
+        "width": w, "height": h, "bit_depth": 8, "color_type": 2,
+        "raw_len": h * (1 + 3 * w), "pixel_sum": expect,
+    }
+    corrupted = bytearray(M.build_png(8, 8, 42))
+    corrupted[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(corrupted))
+    with pytest.raises(ValueError, match="PNG"):
+        M.decode_png(b"GIF89a not a png")
+
+
 def test_manifest_metadata_projection_prunes_payload(spark, sf_dir):
     """The metadata-only query must not materialize payload bytes from
     more columns than needed: scan reads only doc_id + text (payload
