@@ -97,7 +97,12 @@ HEADLINE = [
     "bootstrap_ci",
     # round-4 additions: the remaining heavy operator families
     # (VERDICT r3 item 8) + this round's new operators — r4 keys are a
-    # strict superset of r3's, so every family regression-tracks
+    # strict superset of r3's, so every family regression-tracks.
+    # tfidf_cosine_pairs note: the fixture corpus has only 31 distinct
+    # terms (30 in >75% of docs), so the term join fans out to ~375M
+    # pairs at sf0.1 — a corpus artifact, but one that exposed two real
+    # plan bugs now fixed (AQE coalescing the pre-fan-out shuffle to a
+    # single task; decimal(28,8) pair accumulation): 382s -> 29s.
     "pack_sequences",
     "scd2_build",
     "hierarchy_closure",

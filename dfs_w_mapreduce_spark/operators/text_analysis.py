@@ -321,7 +321,22 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.py); this operator is the sparse-cosine JOIN primitive those
     pipelines compose. Per-term products and per-doc squared norms
     round to 8 decimals and sum in DECIMAL, so engine accumulation
-    order cannot move the final rounded cosine."""
+    order cannot move the final rounded cosine.
+
+    Hot-pair accumulation cost (measured at sf0.1, where the fixture's
+    31-term vocabulary makes ~every doc pair collide): the per-pair
+    numerator aggregate carries ~n^2/2 groups, and accumulating them
+    as decimal(28,8) made the hash aggregate spill-bound (8 min for a
+    ~375M-row fan-out). The products are rounded to 8 decimals first,
+    so they are EXACT as 1e8-scaled integers — summed as plain longs
+    (a pair's sum stays far below 2^53/1e8 per shared term, and long
+    overflow at 100 TB would need ~1e10 shared terms per pair, beyond
+    any vocabulary), then rescaled once per group. Same determinism
+    guarantee as the decimal path at a fraction of the aggregate
+    cost; the oracle mirrors the identical scaled-integer sum. Term
+    salting was tried and measured a net loss: the pair join
+    broadcasts the weight frame, so parallelism is probe-side-bound
+    and salting only multiplied the broadcast."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
@@ -342,15 +357,46 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(wsq).cast("double")).alias("nrm")
     )
-    a, b = w.alias("a"), w.alias("b")
-    prod = F.round(F.col("a.w") * F.col("b.w"), 8).cast("decimal(28,8)")
+    # The weight frame is tiny relative to the pair fan-out it feeds
+    # (sum(df^2) rows out of a linear input), and AQE coalesces the
+    # small pre-join shuffle to ONE partition because it sizes the
+    # exchange BEFORE the join explosion — measured: the entire 375M-
+    # row fan-out ran in a single task (5+ min) at sf0.1. An EXPLICIT
+    # round-robin repartition of the probe side is exempt from AQE
+    # coalescing and spreads the fan-out across the cluster; its cost
+    # is one linear shuffle of the weight frame, always dominated by
+    # the quadratic join it parallelizes.
+    # BOTH sides get the explicit exchange: Catalyst broadcasts one of
+    # them (build-side choice flips with plan shape), and the explicit
+    # round-robin on the surviving probe side is what defeats the
+    # coalesce-to-1.
+    par = spark.sparkContext.defaultParallelism * 2
+    a, b = w.repartition(par).alias("a"), w.repartition(par).alias("b")
+    # product rounded to 8 dp => exact as a 1e8-scaled long
+    prod8 = F.round(
+        F.round(F.col("a.w") * F.col("b.w"), 8) * 100000000, 0
+    ).cast("long")
+    # Aggregate the fan-out on PRE-CLUSTERED pairs: an explicit hash
+    # repartition on the group keys means the aggregate's required
+    # distribution is already satisfied, so each task builds ONE small
+    # hash map over its own slice of pairs — where a default
+    # partial+final plan had every join task building a multi-hundred-
+    # MB partial map over the raw fan-out (measured: concurrent
+    # partial maps OOM'd a default-heap session at sf0.1). The join
+    # tasks now stream straight into the sort-based shuffle writer,
+    # which spills serialized — bounded memory at any fan-out size.
+    pair_parts = spark.sparkContext.defaultParallelism * 8
     num = (
         a.join(b, (F.col("a.term") == F.col("b.term"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            prod8.alias("p8"),
         )
-        .agg(F.sum(prod).cast("double").alias("num"))
+        .repartition(pair_parts, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg((F.sum("p8").cast("double") / 100000000).alias("num"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
@@ -405,9 +451,10 @@ TFIDF_COSINE_ORACLE = f"""
         FROM w GROUP BY 1
     ),
     num AS (
+        -- 1e8-scaled-long accumulation, exactly mirroring the Spark side
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(sum(CAST(round(a.w * b.w, 8) AS DECIMAL(28,8))) AS DOUBLE)
-                   AS num
+               CAST(sum(CAST(round(round(a.w * b.w, 8) * 100000000, 0) AS BIGINT))
+                    AS DOUBLE) / 100000000 AS num
         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
