@@ -953,7 +953,7 @@ def _min_label_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(25):  # >= diameter; dedup components converge in ~3
+    for _ in range(25):  # O(log diameter) with pointer jumping below
         msgs = edges.join(labels, edges.src == F.col(out_id)).select(
             F.col("dst").alias(out_id), "label"
         )
@@ -961,6 +961,26 @@ def _min_label_components(
             labels.unionByName(msgs)
             .groupBy(out_id)
             .agg(F.min("label").alias("label"))
+        )
+        # Pointer jumping (path halving): replace each node's label by
+        # its LABEL'S label. Plain propagation advances the min one hop
+        # per round — O(diameter) rounds, and a chain-shaped component
+        # (observed: a 445-member embedding component with eccentricity
+        # 39 at sf0.1 under 2-band candidates) blows any fixed cap.
+        # Labels are always ids of same-component nodes (min over self
+        # + neighbors' labels), so the jump stays in-component and the
+        # combined step converges in O(log d) rounds — 25 covers
+        # diameters past 2^20. One extra small join per round, still
+        # O(edges) shuffle, no driver data.
+        lookup = labels.select(
+            F.col(out_id).alias("_lid"), F.col("label").alias("_llabel")
+        )
+        labels = (
+            labels.join(lookup, labels.label == F.col("_lid"), "left")
+            .select(
+                out_id,
+                F.least("label", F.coalesce("_llabel", "label")).alias("label"),
+            )
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]

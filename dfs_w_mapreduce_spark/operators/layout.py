@@ -302,6 +302,106 @@ EXCHANGE_REUSE_ORACLE = """
 """
 
 
+SKEW_KEYS = 97  # tail keys; 80% of rows pile onto key 0
+SKEW_FAN_TARGET = 2_000_000  # fan the fact to ~this many rows at any SF
+SKEW_FAN_CAP = 512
+
+
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join evidence: a deliberately skewed fact (80% of rows
+    forced onto one join key) sort-merge-joined to a generated dim,
+    with AQE's skew thresholds lowered so the demo triggers the real
+    runtime mechanism — the hot partition is split into advisory-sized
+    chunks and the dim side replicated to meet them (`skew=true` on
+    the SortMergeJoin). Broadcast is disabled for the demo (a
+    broadcast-able dim sidesteps skew entirely — that IS the
+    first-line fix; this query pins the mechanism you need when BOTH
+    sides are too big to broadcast at 100 TB). The observed plan bit
+    rides in the result; the oracle pins it TRUE.
+
+    The fact fans out to ~2M rows from ANY fixture scale (both engines
+    derive the identical factor from count(*)), because skew detection
+    reads compressed map-output sizes: a sub-MB hot partition never
+    crosses the threshold, and a single-mapper shuffle cannot be split
+    at all (map chunks are the split quantum) — hence the explicit
+    pre-shuffle repartition(16) too."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()  # plan-parameter scalar (like tfidf's n_docs)
+        fan = max(1, min(SKEW_FAN_CAP, -(-SKEW_FAN_TARGET // max(n_rows, 1))))
+        sk = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0)).otherwise(
+            F.col("l_orderkey") % SKEW_KEYS
+        )
+        fact = (
+            li.select(sk.alias("sk"), "l_quantity")
+            .repartition(16)
+            .withColumn("_f", F.explode(F.sequence(F.lit(1), F.lit(int(fan)))))
+            .drop("_f")
+        )
+        dim = spark.range(0, SKEW_KEYS).select(
+            F.col("id").alias("sk"), (F.col("id") % 5).alias("grp")
+        )
+        j = (
+            fact.join(dim, "sk")
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2
+                ).cast("double").alias("qty"),
+            )
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        skewed = "skew=true" in plan
+        return spark.createDataFrame(
+            [(r.grp, r.n, r.qty, skewed) for r in rows],
+            "grp bigint, n bigint, qty double, skew_split_active boolean",
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+JOIN_SKEW_AQE_ORACLE = f"""
+    WITH f AS (
+        SELECT GREATEST(1, LEAST({SKEW_FAN_CAP},
+               CAST(ceil({SKEW_FAN_TARGET}.0 / GREATEST(count(*), 1)) AS BIGINT)))
+            AS fan
+        FROM lineitem
+    ),
+    fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_orderkey % {SKEW_KEYS} END AS sk,
+               l_quantity
+        FROM lineitem
+    ),
+    dim AS (SELECT x AS sk, x % 5 AS grp
+            FROM (SELECT unnest(range(0, {SKEW_KEYS})) AS x))
+    SELECT grp, count(*) * fan AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))) * fan, 2) AS DOUBLE)
+               AS qty,
+           TRUE AS skew_split_active
+    FROM fact JOIN dim USING (sk) CROSS JOIN f
+    GROUP BY grp, fan
+"""
+
+
 DPP_TYPES = ("click", "purchase")
 
 
@@ -503,6 +603,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("join_dpp", q_join_dpp, JOIN_DPP_ORACLE,
                   ("layout", "scale", "join"),
                   "Dynamic partition pruning on a partitioned fact; dpp_active pinned TRUE."),
+        QuerySpec("join_skew_aqe", q_join_skew_aqe, JOIN_SKEW_AQE_ORACLE,
+                  ("layout", "optimizer", "evidence", "skew"),
+                  "AQE skew-join split observed on a forced-hot-key join, pinned TRUE."),
         QuerySpec("exchange_reuse", q_exchange_reuse, EXCHANGE_REUSE_ORACLE,
                   ("layout", "scale", "join"),
                   "Self-join computes the shared shuffle once; ReusedExchange pinned TRUE."),

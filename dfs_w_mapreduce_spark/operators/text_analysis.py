@@ -882,12 +882,77 @@ def _bm25_oracle() -> str:
     """
 
 
+QT_THRESHOLDS = [0.0, 0.25, 0.5, 0.75, 0.9]
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-dashboard keep-rate curve: documents and tokens
+    retained at each candidate quality threshold — the table a
+    filtering decision actually reads (set the cut where the token
+    loss is acceptable). ONE corpus scan: all thresholds evaluate as
+    conditional aggregates in a single global HashAggregate row, then
+    pivot long via stack — no per-threshold rescan, no explode
+    amplification. At 100 TB this is a single map-side-combinable
+    pass regardless of how many thresholds are swept."""
+    q = q_text_quality(spark, sf_dir).select("n_words", "quality")
+    aggs = [F.count("*").alias("n_docs"), F.sum("n_words").alias("n_tokens")]
+    for i, t in enumerate(QT_THRESHOLDS):
+        keep = F.col("quality") >= t
+        aggs.append(F.count(F.when(keep, 1)).alias(f"c{i}"))
+        aggs.append(F.sum(F.when(keep, F.col("n_words"))).alias(f"s{i}"))
+    one = q.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), c{i}, s{i}" for i, t in enumerate(QT_THRESHOLDS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(QT_THRESHOLDS)}, {stack_args}) "
+            "AS (threshold, docs_kept, tokens_kept)"
+        ),
+        "n_docs",
+        "n_tokens",
+    ).select(
+        "threshold",
+        "docs_kept",
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        F.round(F.try_divide(F.col("docs_kept"), F.col("n_docs")), 4).alias("docs_frac"),
+        F.round(
+            F.try_divide(F.coalesce("tokens_kept", F.lit(0)), F.col("n_tokens")), 4
+        ).alias("tokens_frac"),
+    )
+
+
+def _quality_sweep_oracle() -> str:
+    branches = []
+    for t in QT_THRESHOLDS:
+        branches.append(f"""
+        SELECT CAST({t} AS DOUBLE) AS threshold,
+               count(*) FILTER (quality >= {t}) AS docs_kept,
+               CAST(coalesce(sum(n_words) FILTER (quality >= {t}), 0) AS BIGINT)
+                   AS tokens_kept,
+               round(count(*) FILTER (quality >= {t}) * 1.0 / count(*), 4)
+                   AS docs_frac,
+               round(coalesce(sum(n_words) FILTER (quality >= {t}), 0) * 1.0
+                     / sum(n_words), 4) AS tokens_frac
+        FROM qn
+        """)
+    return f"""
+        WITH q AS ({QUALITY_COL_SQL}),
+        nw AS (SELECT doc_id, len({_TQ_TOKS}) AS n_words FROM documents),
+        qn AS (SELECT q.quality, nw.n_words FROM q JOIN nw USING (doc_id))
+        {" UNION ALL ".join(branches)}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
                   "Whitespace/BPE-ish/distinct token counts."),
         QuerySpec("text_quality", q_text_quality, TEXT_QUALITY_ORACLE, ("text", "llm"),
                   "Length/punct/digit/stopword quality battery + composite score."),
+        QuerySpec("quality_threshold_sweep", q_quality_threshold_sweep,
+                  _quality_sweep_oracle(), ("text", "llm", "curation"),
+                  "Docs/tokens keep-rate curve across quality thresholds, one scan."),
         QuerySpec("text_langid", q_text_langid, _langid_oracle(), ("text", "llm"),
                   "Marker-word language-ID heuristic with deterministic tie-break."),
         QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_ORACLE,
