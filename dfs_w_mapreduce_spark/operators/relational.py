@@ -1464,7 +1464,14 @@ SAFE_ARITHMETIC_ORACLE = """
 def specs() -> list[QuerySpec]:
     mk = QuerySpec
     return [
-        mk("tpch_q1", q_tpch_q1, TPCH_Q1_ORACLE, ("relational", "agg"), "TPC-H Q1 pricing summary."),
+        mk("tpch_q1", q_tpch_q1, TPCH_Q1_ORACLE, ("relational", "agg"),
+           "TPC-H Q1 pricing summary. Bench note: r2->r3 +45% is the "
+           "decimal(28,8) money-sum accumulator adopted for the r02 hash "
+           "fix (isolated min-of-5 at sf0.1: 1.06s vs 0.82s double-sum). "
+           "Accepted deliberately — double sums hash-diverge across "
+           "engines under reduction order and cents-in-long overflows at "
+           "100 TB group sizes for 4-dp products; the plan itself is "
+           "unchanged (pushed filter, partial+final agg, one exchange)."),
         mk("agg_stats", q_agg_stats, AGG_STATS_ORACLE, ("relational", "agg"), "min/max/avg/stddev/var battery."),
         mk("agg_distinct", q_agg_distinct, AGG_DISTINCT_ORACLE, ("relational", "agg"), "COUNT DISTINCT single+multi column."),
         mk("agg_rollup", q_agg_rollup, AGG_ROLLUP_ORACLE, ("relational", "agg"), "ROLLUP hierarchy totals."),
