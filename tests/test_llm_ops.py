@@ -125,8 +125,7 @@ def test_embedding_lsh_adaptive_width_and_recall_at_scale(spark, sf_dir, tmp_pat
     con.execute(f"COPY ({copies}) TO '{big}/embeddings.parquet' (FORMAT PARQUET)")
 
     # 1) adaptive width: 3000 vectors => np = 5 on the Spark side
-    vnp = S._vecs_np(spark, str(big)).select("np").limit(1).collect()
-    assert vnp[0].np == 5, vnp
+    assert S._corpus_planes(spark, str(big)) == 5
 
     # 2) full oracle parity at the wider width
     got = {
@@ -349,6 +348,22 @@ def test_dedup_clusters_are_components(spark, sf_dir):
         assert keeper == (doc == cid)
         assert n == members[cid]
         assert cid in labels and labels[cid][0] == cid  # keeper labels itself
+
+
+def test_min_label_components_long_chain(spark):
+    """A 400-node path graph (diameter 399) must fully converge: plain
+    one-hop propagation needs O(diameter) rounds and would blow the
+    25-round cap, so this pins the pointer-jumping (path-halving) step
+    that makes convergence O(log diameter). Regression for the
+    445-member eccentricity-39 embedding component seen at sf0.1."""
+    n = 400
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    out = D._min_label_components(pairs, "doc_a", "doc_b", "doc_id").collect()
+    assert len(out) == n
+    for r in out:
+        assert r.cluster_id == 0, (r.doc_id, r.cluster_id)
+        assert r.n_members == n
+        assert r.is_keeper == (r.doc_id == 0)
 
 
 def test_dedup_apply_drops_exactly_non_keepers(spark, sf_dir):
