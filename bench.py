@@ -113,6 +113,8 @@ HEADLINE = [
     "knn_pq",
     "mr_user_job",
     "minhash_band_sweep",
+    "dup_ngram_spans",
+    "cdc_merge_apply",
 ]
 
 

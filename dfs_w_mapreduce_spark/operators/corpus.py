@@ -334,6 +334,98 @@ SUBSTRING_WINNOW_ORACLE = f"""
 """
 
 
+SPAN_N = 8  # tokens per shingle: cross-doc 8-gram = duplicated content
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape
+    at token-shingle granularity): find every maximal run of
+    SPAN_N-token shingles that also occurs verbatim in another
+    document, reported as per-doc token spans — the table a
+    span-removal pass consumes (cut the span, keep the doc), which is
+    the surgical complement to whole-doc dedup.
+
+    Scale shape: one posexplode fan-out (~n_tokens rows/doc, the same
+    cost class as the corpus tokenizers), shingles carried as 60-bit
+    md5-derived longs (narrow shuffle; identical on both engines so
+    any collision is shared too), two-phase distinct-doc-count per
+    shingle, a shuffle back on doc_id, and a gaps-and-islands window
+    per doc (pos is unique per doc, so window order is total). No
+    pairwise doc join anywhere — cost is O(corpus tokens), not
+    O(pairs); duplicated-span mass is found corpus-wide even when it
+    spans hundreds of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    npos = F.size(toks) - (SPAN_N - 1)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(F.array())
+            ).alias("pos"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", F.col("pos"), SPAN_N), " ")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    dup = grams.join(hot, "h").select("doc_id", "pos", "n_docs")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + SPAN_N).cast("long").alias("span_tokens"),
+            F.count("*").alias("n_shingles"),
+            F.max("n_docs").alias("max_share"),
+        )
+        .drop("grp")
+    )
+
+
+DUP_NGRAM_SPANS_ORACLE = f"""
+    WITH grams AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(
+                   array_to_string(l[CAST(pos AS INT):CAST(pos AS INT) + {SPAN_N - 1}], ' ')
+               ), 1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, l, unnest(range(1, len(l) - {SPAN_N - 1} + 1)) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+            WHERE len(l) - {SPAN_N - 1} >= 1
+        )
+    ),
+    hot AS (
+        SELECT h, count(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+        SELECT g.doc_id, g.pos, hot.n_docs,
+               g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+        FROM grams g JOIN hot USING (h)
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) - min(pos) + {SPAN_N} AS span_tokens,
+           count(*) AS n_shingles, max(n_docs) AS max_share
+    FROM dup GROUP BY doc_id, grp
+"""
+
+
 def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift: KL(p_source || p_corpus) —
     the standard domain-mix diagnostic for training-data pipelines
@@ -678,6 +770,11 @@ def specs() -> list[QuerySpec]:
             "substring_winnow", q_substring_winnow, SUBSTRING_WINNOW_ORACLE,
             ("text", "llm", "dedup"),
             "Winnowing k-gram fingerprints -> substring-duplicate pairs.",
+        ),
+        QuerySpec(
+            "dup_ngram_spans", q_dup_ngram_spans, DUP_NGRAM_SPANS_ORACLE,
+            ("text", "llm", "dedup"),
+            "Maximal cross-doc duplicated token spans (Lee et al. exact-substring shape).",
         ),
         QuerySpec(
             "kl_divergence", q_kl_divergence, KL_DIVERGENCE_ORACLE,

@@ -1430,6 +1430,96 @@ SCD2_ORACLE = """
 """
 
 
+# 2024-01-16T00:00:00Z in epoch microseconds — both engines compare
+# raw integers, so NTZ/LTZ session-zone differences cannot bite.
+CDC_CUTOFF_US = 1_705_363_200 * 1_000_000
+
+
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: compact a
+    changelog onto a snapshot in one batch pass. Base state = latest
+    event per user before the cutoff; the changelog = events at/after
+    it, 'error' meaning DELETE and anything else UPSERT. Each side
+    reduces to latest-per-key first (row_number over (ts, event_id) —
+    a total order), so the merge join touches one row per key no
+    matter how long the log is; the full-outer join + CASE is exactly
+    the WHEN MATCHED / NOT MATCHED / MATCHED-AND-DELETE ladder of SQL
+    MERGE. At 100 TB both reductions are partial-aggregable shuffles
+    on user_id and the join is co-partitioned on the same key — one
+    exchange each side, reused by the join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    base = (
+        ev.filter(F.col("us") < CDC_CUTOFF_US)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("base_value"),
+            F.col("us").alias("base_us"),
+        )
+    )
+    ch = (
+        ev.filter(F.col("us") >= CDC_CUTOFF_US)
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "op",
+            F.col("value").alias("ch_value"),
+            F.col("us").alias("ch_us"),
+        )
+    )
+    m = base.join(ch, "user_id", "full_outer")
+    return m.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        "user_id",
+        F.coalesce("ch_value", "base_value").alias("value"),
+        F.coalesce("ch_us", "base_us").alias("last_us"),
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("base_us").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+
+
+CDC_MERGE_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        FROM events
+    ),
+    base AS (
+        SELECT user_id, value AS base_value, us AS base_us FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rk
+            FROM ev WHERE us < {CDC_CUTOFF_US}
+        ) WHERE rk = 1
+    ),
+    ch AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value AS ch_value, us AS ch_us FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rk
+            FROM ev WHERE us >= {CDC_CUTOFF_US}
+        ) WHERE rk = 1
+    )
+    SELECT user_id,
+           coalesce(ch_value, base_value) AS value,
+           coalesce(ch_us, base_us) AS last_us,
+           CASE WHEN op IS NULL THEN 'kept'
+                WHEN base_us IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM base FULL OUTER JOIN ch USING (user_id)
+    WHERE op IS NULL OR op <> 'D'
+"""
+
+
 def q_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-tolerant expression battery: try_cast on unparseable
     strings, try_divide by zero, try_to_timestamp on invalid dates —
@@ -1507,6 +1597,8 @@ def specs() -> list[QuerySpec]:
         mk("scalar_funcs2", q_scalar_funcs2, SCALAR_FUNCS2_ORACLE, ("relational", "scalar"), "Regex/trim/pad/translate/array/map battery."),
         mk("merge_upsert", q_merge_upsert, MERGE_UPSERT_ORACLE, ("relational", "cdc"), "CDC MERGE emulation via full-outer join + coalesce."),
         mk("scd2_build", q_scd2_build, SCD2_ORACLE, ("relational", "cdc", "window"), "SCD-type-2 intervals via gaps-and-islands."),
+        mk("cdc_merge_apply", q_cdc_merge_apply, CDC_MERGE_ORACLE, ("relational", "cdc", "join"),
+           "MERGE semantics: changelog compaction + full-outer upsert/delete apply."),
         mk("scd2_asof_lookup", q_scd2_asof_lookup, _scd2_asof_oracle(), ("relational", "cdc", "timetravel"), "Point-in-time AS OF read over the SCD2 dimension."),
         mk("safe_arithmetic", q_safe_arithmetic, SAFE_ARITHMETIC_ORACLE, ("relational", "scalar", "errors"), "try_cast/try_divide/try_to_timestamp dirty-data battery."),
         mk("approx_percentiles", q_approx_percentiles, APPROX_PERCENTILES_ORACLE, ("relational", "approx"), "GK approx percentiles: exact quantiles + in-query bounded-error verdict."),

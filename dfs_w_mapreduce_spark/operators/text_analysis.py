@@ -882,6 +882,43 @@ def _bm25_oracle() -> str:
     """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation table for the language-ID heuristic:
+    confusion cells (declared x predicted) with per-declared-language
+    recall — the quality gate you run before trusting a cheap
+    heuristic to route 100 TB of documents into per-language
+    pipelines. One aggregation over the prediction frame plus a
+    partition-local window for the recall denominator (cells per
+    language are tiny; the window never sees corpus-sized input)."""
+    from pyspark.sql import Window as W
+
+    p = q_text_langid(spark, sf_dir)
+    cell = p.groupBy("lang_declared", "lang_pred").agg(F.count("*").alias("n"))
+    wd = W.partitionBy("lang_declared")
+    return cell.select(
+        "lang_declared",
+        "lang_pred",
+        "n",
+        F.round(F.try_divide(F.col("n"), F.sum("n").over(wd)), 4).alias("recall_frac"),
+        (F.col("lang_declared") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+        WITH p AS ({_langid_oracle()}),
+        cell AS (
+            SELECT lang_declared, lang_pred, count(*) AS n
+            FROM p GROUP BY 1, 2
+        )
+        SELECT lang_declared, lang_pred, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY lang_declared), 4)
+                   AS recall_frac,
+               lang_declared = lang_pred AS is_correct
+        FROM cell
+    """
+
+
 QT_THRESHOLDS = [0.0, 0.25, 0.5, 0.75, 0.9]
 
 
@@ -955,6 +992,9 @@ def specs() -> list[QuerySpec]:
                   "Docs/tokens keep-rate curve across quality thresholds, one scan."),
         QuerySpec("text_langid", q_text_langid, _langid_oracle(), ("text", "llm"),
                   "Marker-word language-ID heuristic with deterministic tie-break."),
+        QuerySpec("langid_confusion", q_langid_confusion, _langid_confusion_oracle(),
+                  ("text", "llm", "quality"),
+                  "Language-ID confusion matrix with per-language recall."),
         QuerySpec("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_ORACLE,
                   ("text", "llm", "dedup"),
                   "md5 exact + sorted-token normalized fingerprints."),

@@ -681,3 +681,74 @@ def test_incremental_dedup_equals_cross_split_pairs(spark, sf_dir):
     assert inc == cross, (len(inc), len(cross))
     for new, base in inc:
         assert new % DELTA_MOD >= DELTA_CUT and base % DELTA_MOD < DELTA_CUT
+
+
+def test_dup_ngram_spans_invariants(spark, sf_dir):
+    """Spans are maximal (never adjacent within a doc), in-range, and
+    every span's shingles genuinely occur in >= 2 distinct docs (spot
+    re-verified on raw text for the longest span)."""
+    from dfs_w_mapreduce_spark.operators import corpus as C
+
+    spans = C.q_dup_ngram_spans(spark, sf_dir).collect()
+    assert spans
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in D.load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in spans:
+        assert r.span_tokens == (r.n_shingles - 1) + C.SPAN_N
+        assert r.max_share >= 2
+        toks = docs[r.doc_id]
+        assert 1 <= r.span_start
+        assert r.span_start - 1 + r.span_tokens <= len(toks)
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_tokens))
+    for doc_id, ss in by_doc.items():
+        ss.sort()
+        for (s1, t1), (s2, _) in zip(ss, ss[1:]):
+            # maximality: a gap of at least one non-duplicated shingle
+            # position separates consecutive spans
+            assert s1 + (t1 - C.SPAN_N) + 1 < s2, (doc_id, ss)
+    big = max(spans, key=lambda r: r.span_tokens)
+    gram = " ".join(
+        docs[big.doc_id][big.span_start - 1 : big.span_start - 1 + C.SPAN_N]
+    )
+    holders = {
+        d for d, toks in docs.items()
+        if gram in " ".join(toks)
+    }
+    assert len(holders) >= 2, (big, gram)
+
+
+def test_cdc_merge_apply_state_semantics(spark, sf_dir):
+    """The merged state equals a direct latest-event reduction over
+    the WHOLE log with delete semantics — compacting base + changelog
+    must lose nothing relative to replaying everything."""
+    from dfs_w_mapreduce_spark.operators import relational as R
+
+    got = {r.user_id: (r.value, r.last_us, r.action)
+           for r in R.q_cdc_merge_apply(spark, sf_dir).collect()}
+    ev = sorted(
+        (r.us, r.event_id, r.user_id, r.event_type, r.value)
+        for r in D.load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "user_id", "event_type", "value",
+                    "unix_micros(cast(ts as timestamp)) AS us")
+        .collect()
+    )
+    last_pre, last_post = {}, {}
+    for us, eid, uid, etype, val in ev:
+        if us < R.CDC_CUTOFF_US:
+            last_pre[uid] = (val, us)
+        else:
+            last_post[uid] = (val, us, "D" if etype == "error" else "U")
+    want = {}
+    for uid in set(last_pre) | set(last_post):
+        if uid in last_post:
+            val, us, op = last_post[uid]
+            if op == "D":
+                continue
+            want[uid] = (val, us, "updated" if uid in last_pre else "inserted")
+        else:
+            val, us = last_pre[uid]
+            want[uid] = (val, us, "kept")
+    assert got == want, (len(got), len(want))
