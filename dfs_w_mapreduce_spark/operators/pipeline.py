@@ -554,6 +554,130 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WF_BUDGET_NUM, WF_BUDGET_DEN = 6, 10  # budget = 60% of corpus tokens
+
+
+def q_mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT water-filling token-budget allocation across sources —
+    the data-mixing primitive behind "train on B tokens with
+    temperature-flattened source shares, never over-drawing a
+    source": alloc_i = min(cap_i, w_i * t) with the unique threshold
+    t making the allocations sum to the budget.
+
+    The classic O(m log m) closed form, distributed: sort sources by
+    saturation point r_i = cap_i / w_i; for each prefix the candidate
+    threshold t_k = (B - C_{k-1}) / (W_total - W_{k-1}) (prefix sums
+    by window), and monotonicity of f(t) = sum min(cap_i, w_i t)
+    makes exactly one candidate land in [r_{k-1}, r_k] (boundary ties
+    produce equal t, collapsed by min()). m = source count, so every
+    frame here is dimension-sized; the only corpus-scale work is the
+    per-source token-count aggregate. Caps/prefix sums stay in
+    long/decimal (order-exact); doubles appear only in per-row
+    divisions of identical operands on both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    caps = d.groupBy("source").agg(F.sum("n_toks").alias("cap"))
+    w = caps.withColumn(
+        "w", F.round(F.sqrt(F.col("cap")), 6).cast("decimal(18,6)")
+    ).withColumn("r", F.col("cap") / F.col("w").cast("double"))
+    tot = w.agg(
+        F.sum("cap").alias("total_cap"), F.sum("w").alias("total_w")
+    )
+    wt = w.crossJoin(F.broadcast(tot)).withColumn(
+        "budget", F.expr(f"(total_cap * {WF_BUDGET_NUM}) div {WF_BUDGET_DEN}")
+    )
+    from pyspark.sql import Window as W
+
+    ow = W.orderBy("r", "source")
+    pre = W.orderBy("r", "source").rowsBetween(W.unboundedPreceding, -1)
+    cand = (
+        wt.withColumn("c_prev", F.coalesce(F.sum("cap").over(pre), F.lit(0)))
+        .withColumn(
+            "w_prev",
+            F.coalesce(F.sum("w").over(pre), F.lit(0).cast("decimal(18,6)")),
+        )
+        .withColumn("r_prev", F.coalesce(F.lag("r").over(ow), F.lit(0.0)))
+        .withColumn(
+            "t_cand",
+            F.try_divide(
+                F.col("budget") - F.col("c_prev"),
+                (F.col("total_w") - F.col("w_prev")).cast("double"),
+            ),
+        )
+    )
+    t = cand.filter(
+        F.col("t_cand").isNotNull()
+        & (F.col("t_cand") >= F.col("r_prev"))
+        & (F.col("t_cand") <= F.col("r"))
+    ).agg(F.min("t_cand").alias("t"))
+    alloc = F.least(
+        F.col("cap").cast("double"),
+        F.round(F.col("w").cast("double") * F.coalesce(F.col("t"), F.col("r")), 2),
+    )
+    return (
+        wt.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "cap",
+            "budget",
+            alloc.alias("alloc_tokens"),
+            F.round(F.try_divide(alloc, F.col("cap")), 4).alias("keep_frac"),
+            (F.col("r") <= F.coalesce(F.col("t"), F.col("r"))).alias("saturated"),
+        )
+    )
+
+
+MIX_WATERFILL_ORACLE = f"""
+    WITH d AS (
+        SELECT source, len(string_split(text, ' ')) AS n_toks FROM documents
+    ),
+    caps AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS cap FROM d GROUP BY 1),
+    w AS (
+        SELECT source, cap,
+               CAST(round(sqrt(cap), 6) AS DECIMAL(18,6)) AS w,
+               cap / CAST(CAST(round(sqrt(cap), 6) AS DECIMAL(18,6)) AS DOUBLE) AS r
+        FROM caps
+    ),
+    tot AS (
+        SELECT CAST(sum(cap) AS BIGINT) AS total_cap,
+               CAST(sum(w) AS DECIMAL(28,6)) AS total_w
+        FROM w
+    ),
+    wt AS (
+        SELECT *, CAST((total_cap * {WF_BUDGET_NUM}) // {WF_BUDGET_DEN} AS BIGINT)
+                      AS budget
+        FROM w CROSS JOIN tot
+    ),
+    cand AS (
+        SELECT *,
+               CAST(coalesce(sum(cap) OVER pre, 0) AS BIGINT) AS c_prev,
+               CAST(coalesce(sum(w) OVER pre, 0) AS DECIMAL(28,6)) AS w_prev,
+               coalesce(lag(r) OVER ow, 0.0) AS r_prev
+        FROM wt
+        WINDOW ow AS (ORDER BY r, source),
+               pre AS (ORDER BY r, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    tsel AS (
+        SELECT min(t_cand) AS t FROM (
+            SELECT CASE WHEN CAST(total_w - w_prev AS DOUBLE) = 0 THEN NULL
+                        ELSE (budget - c_prev) / CAST(total_w - w_prev AS DOUBLE)
+                   END AS t_cand, r_prev, r
+            FROM cand
+        ) WHERE t_cand IS NOT NULL AND t_cand >= r_prev AND t_cand <= r
+    )
+    SELECT source, cap, budget,
+           least(CAST(cap AS DOUBLE),
+                 round(CAST(w AS DOUBLE) * coalesce(t, r), 2)) AS alloc_tokens,
+           round(least(CAST(cap AS DOUBLE),
+                       round(CAST(w AS DOUBLE) * coalesce(t, r), 2)) / cap, 4)
+               AS keep_frac,
+           r <= coalesce(t, r) AS saturated
+    FROM wt CROSS JOIN tsel
+"""
+
+
 def _mix_temperature_oracle() -> str:
     h = _h31_sql("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -592,6 +716,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("mix_temperature", q_mix_temperature, _mix_temperature_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Temperature-scaled (alpha=0.5) source mixing with derived rates."),
+        QuerySpec("mix_budget_waterfill", q_mix_budget_waterfill, MIX_WATERFILL_ORACLE,
+                  ("pipeline", "llm", "sampling"),
+                  "Exact water-filling token-budget allocation across sources."),
         QuerySpec("sample_stratified", q_sample_stratified, _stratified_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact K-per-source stratified sample via hash-rank window."),

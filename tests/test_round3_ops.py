@@ -145,3 +145,46 @@ def test_embedding_clusters_consistent_with_pairs(spark, sf_dir):
             assert r.vec_id == r.cluster_id
     for r in clusters.values():
         assert sizes[r.cluster_id] == r.n_members
+
+
+def test_waterfill_exact_budget_and_saturation(spark, tmp_path):
+    """On a skewed corpus the water-filling allocation must (a) sum to
+    the budget within rounding, (b) saturate small sources at their
+    full cap, and (c) give every unsaturated source alloc = w * t for
+    one shared threshold t."""
+    import duckdb
+
+    from dfs_w_mapreduce_spark.operators.pipeline import (
+        q_mix_budget_waterfill,
+    )
+
+    src = tmp_path / "skew"
+    src.mkdir()
+    # source sA: 2 docs of 5 tokens (tiny, should saturate);
+    # sB/sC: 40 docs of 100 tokens each
+    rows = []
+    for i in range(2):
+        rows.append((i, " ".join(["w"] * 5), "en", "sA"))
+    for j, s in enumerate(["sB", "sC"]):
+        for i in range(40):
+            rows.append((100 + j * 100 + i, " ".join(["w"] * 100), "en", s))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    con.execute(
+        f"COPY (SELECT doc_id, text, lang, source, len(text) AS n_chars FROM t) "
+        f"TO '{src}/documents.parquet' (FORMAT PARQUET)"
+    )
+    out = {r.source: r for r in q_mix_budget_waterfill(spark, str(src)).collect()}
+    assert set(out) == {"sA", "sB", "sC"}
+    budget = out["sA"].budget
+    total_alloc = sum(r.alloc_tokens for r in out.values())
+    assert abs(total_alloc - budget) < 0.1, (total_alloc, budget)
+    assert out["sA"].saturated and out["sA"].alloc_tokens == out["sA"].cap
+    assert not out["sB"].saturated and not out["sC"].saturated
+    # same threshold: alloc/w equal across unsaturated sources
+    import math
+
+    tb = out["sB"].alloc_tokens / math.sqrt(out["sB"].cap)
+    tc = out["sC"].alloc_tokens / math.sqrt(out["sC"].cap)
+    assert abs(tb - tc) < 1e-2, (tb, tc)
