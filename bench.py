@@ -115,6 +115,7 @@ HEADLINE = [
     "minhash_band_sweep",
     "dup_ngram_spans",
     "cdc_merge_apply",
+    "dedup_span_apply",
 ]
 
 

@@ -426,6 +426,139 @@ DUP_NGRAM_SPANS_ORACLE = f"""
 """
 
 
+def q_dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-removal pass over `dup_ngram_spans`' shingle table:
+    rebuild every document with cross-doc duplicated spans CUT,
+    keeping exactly one copy corpus-wide (the minimum doc_id holding
+    each duplicated shingle keeps its text; every other holder drops
+    the covered tokens). This is surgical dedup — Lee et al.'s
+    remove-the-substring policy — versus whole-doc dedup_apply.
+
+    Plan: re-derive the duplicated shingle starts (same O(corpus
+    tokens) fan-out as dup_ngram_spans, no pairwise join), attach each
+    shingle's corpus-wide min holder via the same two-phase aggregate,
+    expand foreign shingles (min holder != me) to their SPAN_N covered
+    positions (bounded by SPAN_N x corpus tokens), and anti-join the
+    token stream against the covered set; array_agg ordered by pos
+    rebuilds the text. Every shuffle is keyed on doc_id or the 60-bit
+    shingle hash — no skew beyond natural boilerplate hot shingles,
+    which arrive pre-aggregated (one row per (doc, pos))."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok_stream = d.select(
+        "doc_id",
+        F.posexplode(toks).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    npos = F.size(toks) - (SPAN_N - 1)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(F.array())
+            ).alias("pos"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", F.col("pos"), SPAN_N), " ")),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+    )
+    owners = (
+        grams.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    covered = (
+        grams.join(owners, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_stream.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).getField("tok"),
+                " ",
+            ).alias("new_text"),
+            F.count("*").alias("n_kept_tokens"),
+        )
+        .join(
+            d.select("doc_id", F.size(toks).alias("n_tokens")), "doc_id", "right"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept_tokens", F.lit(0)))
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
+DEDUP_SPAN_APPLY_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    tok_stream AS (
+        SELECT doc_id, pos, l[CAST(pos AS INT)] AS tok
+        FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM t)
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(
+                   array_to_string(l[CAST(pos AS INT):CAST(pos AS INT) + {SPAN_N - 1}], ' ')
+               ), 1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, l, unnest(range(1, len(l) - {SPAN_N - 1} + 1)) AS pos
+            FROM t WHERE len(l) - {SPAN_N - 1} >= 1
+        )
+    ),
+    owners AS (
+        SELECT h, min(doc_id) AS owner
+        FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, g.pos + off AS pos
+        FROM grams g JOIN owners USING (h)
+        CROSS JOIN (SELECT unnest(range(0, {SPAN_N})) AS off)
+        WHERE g.doc_id <> owner
+    ),
+    kept AS (
+        SELECT ts.doc_id, ts.pos, ts.tok
+        FROM tok_stream ts ANTI JOIN covered c
+          ON ts.doc_id = c.doc_id AND ts.pos = c.pos
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(tok ORDER BY pos), ' ') AS new_text,
+               count(*) AS n_kept_tokens
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(new_text, '') AS new_text,
+           CAST(coalesce(n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           CAST(len(l) - coalesce(n_kept_tokens, 0) AS BIGINT) AS n_removed_tokens
+    FROM t LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift: KL(p_source || p_corpus) —
     the standard domain-mix diagnostic for training-data pipelines
@@ -775,6 +908,11 @@ def specs() -> list[QuerySpec]:
             "dup_ngram_spans", q_dup_ngram_spans, DUP_NGRAM_SPANS_ORACLE,
             ("text", "llm", "dedup"),
             "Maximal cross-doc duplicated token spans (Lee et al. exact-substring shape).",
+        ),
+        QuerySpec(
+            "dedup_span_apply", q_dedup_span_apply, DEDUP_SPAN_APPLY_ORACLE,
+            ("text", "llm", "dedup"),
+            "Span-removal corpus rebuild: one copy kept corpus-wide, others cut.",
         ),
         QuerySpec(
             "kl_divergence", q_kl_divergence, KL_DIVERGENCE_ORACLE,

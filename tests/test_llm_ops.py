@@ -752,3 +752,41 @@ def test_cdc_merge_apply_state_semantics(spark, sf_dir):
             val, us = last_pre[uid]
             want[uid] = (val, us, "kept")
     assert got == want, (len(got), len(want))
+
+
+def test_dedup_span_apply_single_copy_guarantee(spark, sf_dir):
+    """After span removal, every ORIGINALLY cross-doc-duplicated
+    8-gram survives only in its owner doc (min doc_id holder); owner
+    docs keep their text unchanged where they own everything; token
+    accounting is conserved."""
+    from dfs_w_mapreduce_spark.operators import corpus as C
+
+    orig = {
+        r.doc_id: r.text.split(" ")
+        for r in D.load_table(spark, sf_dir, "documents").collect()
+    }
+    out = {r.doc_id: r for r in C.q_dedup_span_apply(spark, sf_dir).collect()}
+    assert set(out) == set(orig)
+
+    def grams(toks):
+        return {
+            " ".join(toks[i : i + C.SPAN_N])
+            for i in range(len(toks) - C.SPAN_N + 1)
+        }
+
+    holders = {}
+    for d_id, toks in orig.items():
+        for g in grams(toks):
+            holders.setdefault(g, set()).add(d_id)
+    dup_grams = {g: hs for g, hs in holders.items() if len(hs) >= 2}
+    assert dup_grams, "fixture has no cross-doc duplicated 8-grams"
+    removed_any = False
+    for d_id, r in out.items():
+        assert r.n_kept_tokens + r.n_removed_tokens == len(orig[d_id])
+        removed_any |= r.n_removed_tokens > 0
+        new_grams = grams(r.new_text.split(" ")) if r.new_text else set()
+        for g in new_grams & set(dup_grams):
+            # surviving duplicated gram => this doc owns it (it is the
+            # min holder); non-owners must have cut it
+            assert d_id == min(dup_grams[g]), (d_id, g, dup_grams[g])
+    assert removed_any
