@@ -103,6 +103,11 @@ HEADLINE = [
     # pairs at sf0.1 — a corpus artifact, but one that exposed two real
     # plan bugs now fixed (AQE coalescing the pre-fan-out shuffle to a
     # single task; decimal(28,8) pair accumulation): 382s -> 29s.
+    # multimodal_decode note: r3 -> r4 0.26s -> ~1.1s is the REAL PNG
+    # codec added in r4 (stdlib-zlib inflate + CRC + five-filter
+    # scanline reconstruction in the Arrow batch UDF) replacing the
+    # cheap BMP-only path — a feature's honest cost, not a plan
+    # regression; the work is embarrassingly parallel per file.
     "pack_sequences",
     "scd2_build",
     "hierarchy_closure",

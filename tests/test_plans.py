@@ -218,3 +218,39 @@ def test_embedding_lsh_pairs_join_on_bucket(spark, sf_dir):
 
     plan = formatted_plan(D.q_dedup_embedding_pairs_lsh(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_dup_ngram_spans_prunes_and_no_pair_join(spark, sf_dir):
+    """The span detector must read only (doc_id, text) and never form
+    a doc-pair join — its cost is O(corpus tokens) by construction."""
+    from dfs_w_mapreduce_spark.operators import corpus as C
+
+    df = C.q_dup_ngram_spans(spark, sf_dir)
+    read = set(scan_read_schema(df))
+    assert read == {"doc_id", "text"}, read
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_merge_both_sides_share_user_partitioning(spark, sf_dir):
+    """Latest-per-key reductions and the merge join are all keyed on
+    user_id — the full-outer join must be an equi-join (sort-merge or
+    hash), never nested-loop."""
+    from dfs_w_mapreduce_spark.operators import relational as RR
+
+    plan = formatted_plan(RR.q_cdc_merge_apply(spark, sf_dir))
+    assert "FullOuter" in plan.replace(" ", ""), plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waterfill_corpus_work_is_one_aggregate(spark, sf_dir):
+    """Only the per-source token-count aggregate touches the corpus:
+    the scan reads (source, text) alone, and every join after it is
+    dimension-sized (broadcast)."""
+    from dfs_w_mapreduce_spark.operators import pipeline as P
+
+    df = P.q_mix_budget_waterfill(spark, sf_dir)
+    read = set(scan_read_schema(df))
+    assert read == {"source", "text"}, read
