@@ -117,6 +117,17 @@ QUERIES = [
     "path_3grams",
     "cumulative_distinct_users",
     "histogram_fixed_width",
+    # round-4 operators (minhash_band_sweep is excluded for the same
+    # copies^2 replication artifact as dedup_minhash_pairs — it runs
+    # that candidate generation three times; join_skew_aqe fans to a
+    # constant ~2M rows at any SF so its ratio is definitionally ~1)
+    "dup_ngram_spans",
+    "dedup_span_apply",
+    "cdc_merge_apply",
+    "mix_budget_waterfill",
+    "quality_threshold_sweep",
+    "langid_confusion",
+    "dedup_keep_best",
 ]
 
 
@@ -205,6 +216,13 @@ def main() -> None:
         "  number of propagation rounds; the per-round cost is O(edges),",
         "  confirmed by ratios tracking the pair query's ratio rather than",
         "  exceeding it.",
+        "- `dup_ngram_spans` / `dedup_span_apply`: replication turns the",
+        "  ENTIRE corpus into cross-doc duplicates (every copy shares every",
+        "  8-gram with 9 others), so the duplicated-position stream jumps",
+        "  from a few percent of tokens to 100% of them — the extra wall is",
+        "  the duplicated-span MASS growing, not the algorithm: per-token",
+        "  cost is flat, there is still no pairwise doc join anywhere, and",
+        "  at a constant duplicate rate both scale with corpus tokens.",
     ]
     Path(_REPO, "SCALING.md").write_text("\n".join(lines) + "\n")
     print(json.dumps({"base": base, "big": big}))
