@@ -355,7 +355,15 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise doc join anywhere — cost is O(corpus tokens), not
     O(pairs); duplicated-span mass is found corpus-wide even when it
     spans hundreds of documents."""
-    d = load_table(spark, sf_dir, "documents")
+    from dfs_w_mapreduce_spark.catalog import fan_out
+
+    # the per-position slice+join+md5 pipeline is CPU-bound; spread
+    # the 1-3 fixture scan splits across cores first (no-op on a real
+    # many-split dataset — see fan_out). Project before fanning so the
+    # repartition exchange carries only (doc_id, text).
+    d = fan_out(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     npos = F.size(toks) - (SPAN_N - 1)
     grams = (
@@ -443,7 +451,11 @@ def q_dedup_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the text. Every shuffle is keyed on doc_id or the 60-bit
     shingle hash — no skew beyond natural boilerplate hot shingles,
     which arrive pre-aggregated (one row per (doc, pos))."""
-    d = load_table(spark, sf_dir, "documents")
+    from dfs_w_mapreduce_spark.catalog import fan_out
+
+    d = fan_out(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.split("text", " ")
     tok_stream = d.select(
         "doc_id",
