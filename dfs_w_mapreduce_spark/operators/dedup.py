@@ -81,14 +81,19 @@ _SHINGLES_SQL = """
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dfs_w_mapreduce_spark.catalog import fan_out
-
-    d = fan_out(spark, load_table(spark, sf_dir, "documents"))
+def _shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, sh) — shared by the batch path
+    and the live incremental-ingest stream (foreachBatch frames)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
     return d.select("doc_id", toks.alias("w")).select(
         "doc_id", _shingles_from_tokens(F.col("w")).alias("sh")
     )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dfs_w_mapreduce_spark.catalog import fan_out
+
+    return _shingles_of(fan_out(spark, load_table(spark, sf_dir, "documents")))
 
 
 _DOC_SHINGLES_SQL = f"""
@@ -339,6 +344,32 @@ def _minhash_oracle() -> str:
 
 DELTA_MOD = 10  # doc_id % DELTA_MOD >= DELTA_CUT -> "new batch"
 DELTA_CUT = 8
+
+
+def _bands_of(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, band, sig): the persisted-index rows
+    of the incremental dedup family (minhash signature split into
+    N_BANDS banded keys)."""
+    sig = sh.select(
+        "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
+    ).select("doc_id", *_minhash_cols())
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

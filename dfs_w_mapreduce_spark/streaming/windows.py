@@ -719,6 +719,112 @@ STREAM_UPSERT_LIVE_ORACLE = """
 """
 
 
+def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup detection executed LIVE: the delta corpus
+    arrives as a 3-micro-batch document stream, and each foreachBatch
+    band-joins the batch's MinHash signatures against a PERSISTED base
+    index (band signatures + shingle sets written once up front — the
+    durable dedup index a 100 TB ingest pipeline maintains), verifies
+    candidates with exact Jaccard, and APPENDS verdicts to a results
+    sink. Per-batch work is proportional to the batch (delta-bands x
+    base-bands band join, never a corpus self-join), which is the
+    whole point of the incremental shape — here actually exercised
+    through the streaming machinery rather than modeled in batch.
+
+    The union of per-batch verdicts must equal the one-shot batch
+    query `dedup_incremental` (same hash split) — that equivalence is
+    the oracle; n_batches pins that the run really was incremental."""
+    import shutil
+    import tempfile
+
+    from dfs_w_mapreduce_spark.operators.dedup import (
+        DELTA_CUT,
+        DELTA_MOD,
+        JACCARD_T,
+        _bands_of,
+        _shingles_of,
+    )
+
+    base_dir = tempfile.mkdtemp(prefix="graft_stream_incdedup_")
+    src, ckpt, idx, out = (f"{base_dir}/{x}" for x in ("src", "ckpt", "idx", "out"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_delta = F.col("doc_id") % DELTA_MOD >= DELTA_CUT
+
+    # 1) build + persist the base dedup index (shingles for the exact
+    # verify, banded signatures for candidate generation)
+    base_sh = _shingles_of(d.filter(~is_delta)).filter(F.size("sh") > 0)
+    base_sh.write.mode("overwrite").parquet(f"{idx}/shingles")
+    _bands_of(spark.read.parquet(f"{idx}/shingles")).withColumnRenamed(
+        "doc_id", "base_id"
+    ).write.mode("overwrite").parquet(f"{idx}/bands")
+
+    # 2) delta documents replay as 3 files -> 3 micro-batches
+    d.filter(is_delta).repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    n_batches = {"n": 0}
+    # seed the append sink with a typed empty frame so a zero-batch
+    # replay (empty corpus) still yields a readable, empty result
+    spark.createDataFrame(
+        [], "doc_id bigint, dup_of bigint, jaccard double"
+    ).write.mode("overwrite").parquet(out)
+
+    def attach(batch_df, batch_id):
+        sh_b = _shingles_of(batch_df).filter(F.size("sh") > 0)
+        cand = (
+            _bands_of(sh_b)
+            .withColumnRenamed("doc_id", "new_id")
+            .join(spark.read.parquet(f"{idx}/bands"), ["band", "sig"])
+            .select("new_id", "base_id")
+            .distinct()
+        )
+        sa = sh_b.alias("sa")
+        sb = spark.read.parquet(f"{idx}/shingles").alias("sb")
+        inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+        union = F.size("sa.sh") + F.size("sb.sh") - inter
+        (
+            cand.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+            .join(sb, F.col("base_id") == F.col("sb.doc_id"))
+            .select(
+                F.col("new_id").alias("doc_id"),
+                F.col("base_id").alias("dup_of"),
+                F.round(inter / union, 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .write.mode("append")
+            .parquet(out)
+        )
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(attach)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    final = spark.read.parquet(out).withColumn(
+        "n_batches", F.lit(n_batches["n"])
+    )
+    final = final.localCheckpoint()
+    shutil.rmtree(base_dir, ignore_errors=True)
+    return final
+
+
+def _stream_dedup_incremental_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import _incremental_oracle
+
+    return f"""
+        SELECT doc_id, dup_of, jaccard, CAST(3 AS INT) AS n_batches
+        FROM ({_incremental_oracle()})
+    """
+
+
 def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator executed live: per-user running counts
     through applyInPandasWithState (the arbitrary-stateful-reduce
@@ -905,4 +1011,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_upsert_live", q_stream_upsert_live,
                   STREAM_UPSERT_LIVE_ORACLE, ("streaming", "live", "sink", "upsert"),
                   "Live foreachBatch incremental upsert over 4 micro-batches."),
+        QuerySpec("stream_dedup_incremental_live", q_stream_dedup_incremental_live,
+                  _stream_dedup_incremental_oracle(),
+                  ("streaming", "live", "dedup", "llm"),
+                  "Live ingest-time near-dup: micro-batches band-join a persisted index."),
     ]
