@@ -27,6 +27,7 @@ driver collects after this function returns). Dirs are per-invocation
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -366,6 +367,91 @@ SINK_CHUNKED_ORACLE = """
 """
 
 
+def q_chunk_corruption_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's integrity loop, end to end: per-chunk checksums
+    recorded at put time (check_sum.go:14-29), verified on get
+    (client.go:606-615), a mismatch marking the replica corrupt and
+    the read falling back to a healthy replica (CorruptFileNotice ->
+    re-send from a good node, client.go:634-643 / controller.go:
+    628-641). Here: documents chunked by doc_id range, a checksum
+    manifest written, TWO replica stores written to disk with replica
+    A's chunk 0 deterministically bit-rotted (first char flipped), and
+    the recovery read re-verifying every chunk against the manifest,
+    falling back per-chunk to replica B, and proving the recovered
+    content is manifest-clean. Everything is per-chunk distributed
+    work (groupBy chunk_id — no global window; chunk = doc_id div
+    CHUNK_LINES, the dense-key analog of the reference's line
+    chunker); replica reads are parquet scans, so at 100 TB recovery
+    cost is one extra scan of only-the-corrupt chunks' replica."""
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="graft_chunk_recovery_")
+    chunks = (
+        src.withColumn("chunk_id", (F.col("doc_id") / CHUNK_LINES).cast("int"))
+        .groupBy("chunk_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))).getField(
+                    "text"
+                ),
+                "\n",
+            ).alias("content"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    manifest = chunks.select("chunk_id", F.md5("content").alias("want_md5"), "n_lines")
+    manifest.write.mode("overwrite").parquet(f"{base}/manifest")
+    # replica A: chunk 0 bit-rotted at write time (deterministic)
+    rot = F.concat(F.lit("X"), F.substring("content", 2, 1 << 30))
+    chunks.select(
+        "chunk_id",
+        F.when(F.col("chunk_id") == 0, rot).otherwise(F.col("content")).alias("content"),
+    ).write.mode("overwrite").parquet(f"{base}/replica_a")
+    chunks.select("chunk_id", "content").write.mode("overwrite").parquet(
+        f"{base}/replica_b"
+    )
+    m = spark.read.parquet(f"{base}/manifest")
+    a = spark.read.parquet(f"{base}/replica_a").withColumnRenamed("content", "a_content")
+    b = spark.read.parquet(f"{base}/replica_b").withColumnRenamed("content", "b_content")
+    out = (
+        m.join(a, "chunk_id")
+        .join(b, "chunk_id")
+        .select(
+            "chunk_id",
+            (F.md5("a_content") == F.col("want_md5")).alias("a_ok"),
+            F.when(F.md5("a_content") == F.col("want_md5"), F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("used_replica"),
+            (
+                F.md5(
+                    F.when(
+                        F.md5("a_content") == F.col("want_md5"), F.col("a_content")
+                    ).otherwise(F.col("b_content"))
+                )
+                == F.col("want_md5")
+            ).alias("recovered_ok"),
+            "n_lines",
+        )
+    )
+    out = out.localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+CHUNK_RECOVERY_ORACLE = f"""
+    WITH chunks AS (
+        SELECT CAST(doc_id // {CHUNK_LINES} AS INT) AS chunk_id,
+               count(*) AS n_lines
+        FROM documents GROUP BY 1
+    )
+    SELECT chunk_id,
+           chunk_id <> 0 AS a_ok,
+           CASE WHEN chunk_id <> 0 THEN 'A' ELSE 'B' END AS used_replica,
+           TRUE AS recovered_ok,
+           n_lines
+    FROM chunks
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("sink_csv_roundtrip", q_sink_csv_roundtrip, SINK_CSV_ORACLE,
@@ -398,4 +484,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("source_chunked_scan", q_source_chunked_scan, SOURCE_CHUNKED_ORACLE,
                   ("source", "datasource-api"),
                   "Custom Python DataSource: reference-style line chunks."),
+        QuerySpec("chunk_corruption_recovery", q_chunk_corruption_recovery,
+                  CHUNK_RECOVERY_ORACLE, ("source", "integrity", "fidelity"),
+                  "Checksum manifest + corrupt-replica detection + healthy-replica recovery."),
     ]
