@@ -121,6 +121,7 @@ HEADLINE = [
     "dup_ngram_spans",
     "cdc_merge_apply",
     "dedup_span_apply",
+    "chunk_corruption_recovery",
 ]
 
 

@@ -128,6 +128,8 @@ QUERIES = [
     "quality_threshold_sweep",
     "langid_confusion",
     "dedup_keep_best",
+    "chunk_corruption_recovery",
+    "stream_dedup_incremental_live",
 ]
 
 
