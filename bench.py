@@ -162,6 +162,12 @@ def main() -> None:
             # shared frames; CacheManager would otherwise serve run 2
             # from memory and report an incomparably faster number)
             spark.catalog.clearCache()
+            # full GC between runs, OUTSIDE the timed region: a 70-key
+            # single-session suite otherwise accumulates heap/codegen
+            # pressure whose collections land inside later queries'
+            # timings (measured +100-300ms on sub-second keys late in
+            # the run, vanishing when re-measured in a fresh session)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
