@@ -133,6 +133,7 @@ HEADLINE = [
     "cdc_merge_apply",
     "dedup_span_apply",
     "chunk_corruption_recovery",
+    "ewma_user",
 ]
 
 

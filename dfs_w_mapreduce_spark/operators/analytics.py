@@ -1467,6 +1467,66 @@ WINSORIZE_ORACLE = f"""
 """
 
 
+EWMA_ALPHA = 0.2
+
+
+def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value —
+    the sequential per-key FOLD no window frame can express (each
+    state depends on the previous state, not on a frame of rows), so
+    it runs as a grouped Arrow-batched applyInPandas: one shuffle on
+    user_id, then a C-speed ewm recursion per group. This is the
+    canonical shape for per-entity stateful features at 100 TB — the
+    shuffle is the only corpus-wide movement and group state is O(1).
+
+    s_1 = x_1; s_i = (1-a)*s_{i-1} + a*x_i (pandas ewm adjust=False).
+    The DuckDB oracle runs the IDENTICAL left fold via
+    list_reduce(list(value ORDER BY us, event_id)) — same operand
+    order in float64, so the two engines agree bit-for-bit before the
+    final rounding."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"])
+        s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_value": [round(s, 6)],
+                "last_value": [pdf["value"].iloc[-1]],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id bigint, n_events bigint, ewma_value double, last_value double"
+    )
+
+
+EWMA_USER_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               list(CAST(value AS DOUBLE) ORDER BY us, event_id) AS vals
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           round(list_reduce(vals,
+                 (acc, x) -> (1 - {EWMA_ALPHA}) * acc + {EWMA_ALPHA} * x), 6)
+               AS ewma_value,
+           vals[len(vals)] AS last_value
+    FROM g
+"""
+
+
 ROLL_HOURS = 24
 _ROLL_US = ROLL_HOURS * 3600 * 1_000_000
 
@@ -1574,6 +1634,9 @@ def specs() -> list[QuerySpec]:
                   ROLLING_FEATURES_ORACLE,
                   ("analytics", "window", "feature"),
                   "Leak-free trailing-24h user features via exact-microsecond RANGE frame."),
+        QuerySpec("ewma_user", q_ewma_user, EWMA_USER_ORACLE,
+                  ("analytics", "pandas", "feature"),
+                  "Per-user EWMA: the sequential per-key fold via applyInPandas."),
         QuerySpec("rollup_hypertable", q_rollup_hypertable, ROLLUP_HYPERTABLE_ORACLE,
                   ("analytics", "timeseries", "rollup"),
                   "Multi-resolution continuous aggregate in one ROLLUP pass."),

@@ -51,7 +51,7 @@ DRIVER_FRONT: tuple[str, ...] = (
     "stream_upsert_live", "quality_threshold_sweep", "join_skew_aqe",
     "dup_ngram_spans", "langid_confusion", "cdc_merge_apply",
     "mix_budget_waterfill", "dedup_span_apply", "stream_dedup_incremental_live",
-    "chunk_corruption_recovery",
+    "chunk_corruption_recovery", "ewma_user",
     # (c) never driver-verified, registry-relative order (the round-3
     # block first, per VERDICT r3 item 3)
     "gap_fill_locf", "rollup_hypertable", "winsorize", "mix_temperature",
