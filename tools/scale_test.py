@@ -130,6 +130,7 @@ QUERIES = [
     "dedup_keep_best",
     "chunk_corruption_recovery",
     "stream_dedup_incremental_live",
+    "ewma_user",
 ]
 
 
