@@ -1494,17 +1494,29 @@ def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["us", "event_id"])
         s = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().iloc[-1]
+        # NO Python round() here: it rounds HALF_EVEN while DuckDB
+        # rounds HALF_UP — the raw double goes back to Spark and the
+        # final F.round matches the oracle's rounding (CLAUDE.md rule)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "ewma_value": [round(s, 6)],
+                "ewma_raw": [s],
                 "last_value": [pdf["value"].iloc[-1]],
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        ewma, "user_id bigint, n_events bigint, ewma_value double, last_value double"
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            ewma, "user_id bigint, n_events bigint, ewma_raw double, last_value double"
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round("ewma_raw", 6).alias("ewma_value"),
+            "last_value",
+        )
     )
 
 

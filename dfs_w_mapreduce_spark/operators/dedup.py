@@ -385,31 +385,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_delta", F.col("doc_id") % DELTA_MOD >= DELTA_CUT)
         .cache()
     )
-    sig = sh.select(
-        "doc_id", "is_delta", F.transform(F.col("sh"), _h31_spark).alias("hs")
-    ).select("doc_id", "is_delta", *_minhash_cols())
-    bands = sig.select(
-        "doc_id",
-        "is_delta",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
-    )
-    delta = bands.filter(F.col("is_delta")).select(
+    # banding via the shared _bands_of helper — the SAME construction
+    # the live ingest stream uses, so batch and stream can never band
+    # differently (stream_dedup_incremental_live's oracle is this
+    # query's oracle)
+    delta = _bands_of(sh.filter(F.col("is_delta")).select("doc_id", "sh")).select(
         F.col("doc_id").alias("new_id"), "band", "sig"
     )
-    base = bands.filter(~F.col("is_delta")).select(
+    base = _bands_of(sh.filter(~F.col("is_delta")).select("doc_id", "sh")).select(
         F.col("doc_id").alias("base_id"), "band", "sig"
     )
     cand = delta.join(base, ["band", "sig"]).select("new_id", "base_id").distinct()

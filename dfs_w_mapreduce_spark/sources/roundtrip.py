@@ -400,8 +400,12 @@ def q_chunk_corruption_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     manifest = chunks.select("chunk_id", F.md5("content").alias("want_md5"), "n_lines")
     manifest.write.mode("overwrite").parquet(f"{base}/manifest")
-    # replica A: chunk 0 bit-rotted at write time (deterministic)
-    rot = F.concat(F.lit("X"), F.substring("content", 2, 1 << 30))
+    # replica A: chunk 0 bit-rotted at write time. PREPEND a marker
+    # rather than overwrite a character: an overwrite is a silent
+    # no-op when the original already starts with the same byte
+    # (data-dependent), while prepending always changes the content
+    # and therefore always breaks the checksum.
+    rot = F.concat(F.lit("\x01ROT\x01"), F.col("content"))
     chunks.select(
         "chunk_id",
         F.when(F.col("chunk_id") == 0, rot).otherwise(F.col("content")).alias("content"),

@@ -68,3 +68,20 @@ def test_user_job_rejects_incomplete_module(spark, tmp_path):
     bad.write_text("def map_fn(line):\n    return []\n")  # no reduce_fn
     with pytest.raises(ValueError, match="reduce_fn"):
         load_user_job(str(bad))
+
+
+def test_user_job_flags_without_positionals(spark, sf_dir, tmp_path):
+    """Regression: option VALUES must not leak into the positional
+    slots — `job.py --show 0 --out X` (table/sf_dir omitted) once
+    parsed '0' as the table name and crashed in load_table."""
+    job = tmp_path / "wordlen_job2.py"
+    job.write_text(NOVEL_JOB)
+    out = tmp_path / "result2.parquet"
+
+    tool = _load_tool()
+    rc = tool.main([str(job), "documents.text", sf_dir.replace("sf0.001", "sf0.001"),
+                    "--show", "0", "--out", str(out)])
+    assert rc == 0
+    rc2 = tool.main([str(job), "--show", "0", "--out", str(out)])
+    assert rc2 == 0
+    assert spark.read.parquet(str(out)).count() > 0

@@ -33,20 +33,28 @@ if _REPO not in sys.path:
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
+    # single pass that CONSUMES option values, so `job.py --show 5`
+    # never leaks the '5' into the positional (table/sf_dir) slots
+    args: list[str] = []
+    out_dir = None
+    show = 20
+    it = iter(argv)
+    for a in it:
+        if a == "--out":
+            out_dir = next(it, None)
+        elif a == "--show":
+            show = int(next(it, "0"))
+        elif a.startswith("--"):
+            print(f"unknown option {a!r}", file=sys.stderr)
+            return 2
+        else:
+            args.append(a)
     if not args:
         print(__doc__, file=sys.stderr)
         return 2
     job_path = args[0]
     source = args[1] if len(args) > 1 else "documents.text"
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.01"
-    out_dir = None
-    show = 20
-    for i, a in enumerate(argv):
-        if a == "--out" and i + 1 < len(argv):
-            out_dir = argv[i + 1]
-        if a == "--show" and i + 1 < len(argv):
-            show = int(argv[i + 1])
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="spark_graft_job_") + "/result.parquet"
 
