@@ -451,8 +451,9 @@ CUMULATIVE_DISTINCT_ORACLE = """
     daily AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1)
     SELECT d.day, d.dau,
            coalesce(f.new_users, 0) AS new_users,
-           sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
     FROM daily d LEFT JOIN firsts f USING (day)
 """
 
@@ -1514,7 +1515,7 @@ def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("ewma_raw", 6).alias("ewma_value"),
+            (F.round("ewma_raw", 6) + 0.0).alias("ewma_value"),
             "last_value",
         )
     )
@@ -1533,7 +1534,7 @@ EWMA_USER_ORACLE = f"""
     SELECT user_id, n_events,
            round(list_reduce(vals,
                  (acc, x) -> (1 - {EWMA_ALPHA}) * acc + {EWMA_ALPHA} * x), 6)
-               AS ewma_value,
+               + 0.0 AS ewma_value,
            vals[len(vals)] AS last_value
     FROM g
 """

@@ -253,7 +253,7 @@ def _bucket_sql(v: str, np: str = "np", band: int = 0) -> str:
 _NP_SQL = f"(SELECT {_n_planes_sql('(SELECT count(*) FROM embeddings)')} AS np)"
 
 
-_PLANES_MEMO: dict[str, int] = {}
+_PLANES_MEMO: dict[tuple, int] = {}
 
 
 def _corpus_planes(spark: SparkSession, sf_dir: str) -> int:
@@ -264,8 +264,16 @@ def _corpus_planes(spark: SparkSession, sf_dir: str) -> int:
     count (no float log2 edge cases). Memoized per fixture dir (the
     test data is immutable) — the analyzed-statistics-cache pattern,
     so the LSH family pays the count job once per corpus, not once
-    per query invocation."""
-    key = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    per query invocation. The memo key folds in the file's
+    (mtime, size) so a fixture regenerated IN PLACE with different
+    cardinality re-derives np instead of bucketing with a stale
+    plane count while the oracle re-counts the new file."""
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:  # directory-style parquet or remote path: key by name
+        key = (path, 0, 0)
     if key not in _PLANES_MEMO:
         n = load_table(spark, sf_dir, "embeddings").count()
         _PLANES_MEMO[key] = _n_planes_py(n)

@@ -714,7 +714,9 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_UPSERT_LIVE_ORACLE = """
     SELECT event_type, count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value,
-           CAST(4 AS INT) AS n_batches
+           -- repartition(4) round-robins, but Spark skips EMPTY partitions on
+           -- write: a source with < 4 rows yields that many files/batches
+           CAST(least(4, (SELECT count(*) FROM events)) AS INT) AS n_batches
     FROM events GROUP BY 1
 """
 
@@ -819,8 +821,16 @@ def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFra
 def _stream_dedup_incremental_oracle() -> str:
     from dfs_w_mapreduce_spark.operators.dedup import _incremental_oracle
 
+    from dfs_w_mapreduce_spark.operators.dedup import DELTA_CUT, DELTA_MOD
+
+    # repartition(3) over the delta docs writes min(3, |delta|) non-empty
+    # files (Spark skips empty partitions on write), so the live run sees
+    # that many micro-batches — pin the oracle to the same derivation.
     return f"""
-        SELECT doc_id, dup_of, jaccard, CAST(3 AS INT) AS n_batches
+        SELECT doc_id, dup_of, jaccard,
+               CAST(least(3, (SELECT count(*) FROM documents
+                              WHERE doc_id % {DELTA_MOD} >= {DELTA_CUT}))
+                    AS INT) AS n_batches
         FROM ({_incremental_oracle()})
     """
 
