@@ -114,6 +114,12 @@ HEADLINE = [
     # pairs at sf0.1 — a corpus artifact, but one that exposed two real
     # plan bugs now fixed (AQE coalescing the pre-fan-out shuffle to a
     # single task; decimal(28,8) pair accumulation): 382s -> 29s.
+    # Round 6 moved it to the AllPairs plan (df cap + lossless prefix
+    # filter + per-candidate map-merge verify): isolated min-of-3 at
+    # sf0.1 is 25.5s vs the old 17.9s — a deliberate, adjudicated cost
+    # on this dense worst-case fixture (all n^2/2 pairs are true
+    # results) in exchange for capped+pruned candidates on real Zipf
+    # vocabularies; see the operator docstring.
     # multimodal_decode note: r3 -> r4 0.26s -> ~1.1s is the REAL PNG
     # codec added in r4 (stdlib-zlib inflate + CRC + five-filter
     # scanline reconstruction in the Arrow batch UDF) replacing the

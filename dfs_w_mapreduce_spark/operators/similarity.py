@@ -21,6 +21,7 @@ cost; single-probe keeps the demo simple.
 from __future__ import annotations
 
 import os
+import stat
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -271,8 +272,23 @@ def _corpus_planes(spark: SparkSession, sf_dir: str) -> int:
     path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:  # directory-style parquet or remote path: key by name
+        if stat.S_ISDIR(st.st_mode):
+            # directory-style parquet: an in-place overwrite with the
+            # same part filenames can leave the directory's own stat
+            # unchanged, so key by the sorted entry (name, mtime, size)
+            # tuples instead.
+            key = (
+                path,
+                tuple(
+                    sorted(
+                        (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                        for e in os.scandir(path)
+                    )
+                ),
+            )
+        else:
+            key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:  # missing or remote path: key by name only
         key = (path, 0, 0)
     if key not in _PLANES_MEMO:
         n = load_table(spark, sf_dir, "embeddings").count()

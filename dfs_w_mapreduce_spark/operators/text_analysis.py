@@ -14,7 +14,7 @@ no shuffle except where a groupBy is semantically required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dfs_w_mapreduce_spark.catalog import load_table
@@ -305,38 +305,77 @@ TEXT_TFIDF_ORACLE = f"""
 
 
 TFIDF_COS_T = 0.5
+# Terms present in more than this fraction of the corpus are excluded
+# from the similarity space entirely (weights AND norms, both engines).
+# Such terms carry idf <= ln(1/0.9) ~ 0.105 — near-zero signal — while
+# costing df^2 in any inverted-index candidate join: the classic df cap.
+# The fixture's max df fraction is 0.83 at every SF, so the cap changes
+# nothing there; at a real Zipf vocabulary it hard-bounds the hottest
+# terms' quadratic cost.
+TFIDF_DF_CAP_FRAC = 0.9
+# Strict lower bound used ONLY for prefix pruning. A pair can reach the
+# reported threshold after HALF_UP rounding with true cosine >= 0.49995,
+# and the 8-dp per-term product rounding can move the computed cosine by
+# ~1e-6 relative on fixture-shaped norms — 0.499 leaves a 1e-3 margin
+# over both, so the prune is lossless for the final predicate.
+TFIDF_PRUNE_T = 0.499
 
 
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse-vector document similarity: cosine over TF-IDF weights
-    via the inverted-index join — the SPARSE complement of the dense
-    embedding path in operators/similarity.py. Zero-weight terms
-    (df = N => idf = 0) are dropped BEFORE the term join: lossless for
-    the cosine (they contribute nothing to dot products or norms) and
-    it prunes exactly the hottest terms (ubiquitous => idf 0). Honest
-    scale note: the term join costs sum(df^2) over surviving terms —
-    on real Zipf vocabularies the standard production additions are a
-    df cap and prefix filtering, and the WHOLE-document near-dup
-    problem at 100 TB belongs to the MinHash family (operators/
-    dedup.py); this operator is the sparse-cosine JOIN primitive those
-    pipelines compose. Per-term products and per-doc squared norms
-    round to 8 decimals and sum in DECIMAL, so engine accumulation
-    order cannot move the final rounded cosine.
+    """Sparse-vector document similarity: threshold cosine over TF-IDF
+    weights in the AllPairs/PPJoin shape (Bayardo et al., WWW'07) —
+    the SPARSE complement of the dense embedding path in
+    operators/similarity.py.
 
-    Hot-pair accumulation cost (measured at sf0.1, where the fixture's
-    31-term vocabulary makes ~every doc pair collide): the per-pair
-    numerator aggregate carries ~n^2/2 groups, and accumulating them
-    as decimal(28,8) made the hash aggregate spill-bound (8 min for a
-    ~375M-row fan-out). The products are rounded to 8 decimals first,
-    so they are EXACT as 1e8-scaled integers — summed as plain longs
-    (a pair's sum stays far below 2^53/1e8 per shared term, and long
-    overflow at 100 TB would need ~1e10 shared terms per pair, beyond
-    any vocabulary), then rescaled once per group. Same determinism
-    guarantee as the decimal path at a fraction of the aggregate
-    cost; the oracle mirrors the identical scaled-integer sum. Term
-    salting was tried and measured a net loss: the pair join
-    broadcasts the weight frame, so parallelism is probe-side-bound
-    and salting only multiplied the broadcast."""
+    Scale design (the three prunes, in order):
+    1. idf = 0 drop — terms in EVERY doc contribute nothing to dot
+       products or norms; lossless.
+    2. df cap — terms in > TFIDF_DF_CAP_FRAC of docs are excluded from
+       the similarity space on BOTH engines (exact-within-cap
+       contract: the oracle applies the identical cap, so this is a
+       semantics choice, not an approximation drift). This bounds any
+       single term's candidate cost at (cap*N)^2 regardless of the
+       vocabulary's head.
+    3. Prefix filtering — LOSSLESS candidate pruning for the
+       threshold: normalize each doc vector, order its terms by
+       global (df ASC, term) — rarest first — and keep a term in the
+       doc's PREFIX iff the suffix starting at that term still has
+       squared norm >= TFIDF_PRUNE_T^2. If cos(x, y) >= t, the FIRST
+       common term in the global order must lie in BOTH prefixes
+       (were all common terms past x's prefix boundary, dot(x, y) <=
+       ||suffix(x)|| < t) — so joining prefix entries against prefix
+       entries generates every qualifying pair. Candidate cost is
+       sum(prefix_df^2): hot terms sort LAST, so they enter few
+       prefixes and the Zipf head stops paying df^2. The fixture's
+       ~uniform 31-term vocabulary is the worst case (prefixes are
+       ~80% of entries and ~every pair truly qualifies — the output
+       itself is Theta(n^2), so no exact algorithm beats the dense
+       fan-out THERE); the win this plan buys is at real vocabularies.
+
+    Verification stays exact: candidates are deduped on pre-clustered
+    pair keys (explicit hash repartition first, so join tasks stream
+    into the sort-shuffle writer and each reducer dedupes one slice —
+    the bounded-memory discipline measured necessary at sf0.1), then
+    each pair's full dot product is computed from per-doc weight MAPS
+    via map_zip_with (one pass over the union of the two key sets, no
+    further shuffle). Per-term products round to 8 dp first — EXACT as
+    1e8-scaled longs — and sum as longs (overflow would need ~1e10
+    shared terms per pair), then rescale once; the oracle mirrors the
+    identical scaled-integer sum, so engine accumulation order cannot
+    move the rounded cosine. Explicit round-robin repartition on BOTH
+    prefix join sides defeats AQE's coalesce-to-1 (it sizes exchanges
+    before the join fan-out; measured 375M rows in ONE task without
+    it).
+
+    Adjudicated fixture-bench cost (isolated min-of-3, sf0.1,
+    local[32], fresh session): old inverted-index aggregate 17.9s
+    [32.5/17.9/34.8] vs this plan 25.5s [34.9/25.5/25.6]. The ~1.4x
+    on THIS fixture is the price of per-candidate verification on a
+    corpus where all n^2/2 pairs are candidates AND results; accepted
+    deliberately because the old plan's sum(df^2) is unboundedly
+    superlinear on real vocabularies while this plan's candidate cost
+    is capped (df cap) and prefix-pruned — the 100 TB posture the
+    operator exists for."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
@@ -346,9 +385,11 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df")
     )
     n_docs = d.count()
-    w = tf.join(F.broadcast(df_), "term").select(
+    df_cap = int(TFIDF_DF_CAP_FRAC * n_docs)  # plan-parameter scalar
+    w = tf.join(F.broadcast(df_), "term").filter(F.col("df") <= df_cap).select(
         "doc_id",
         "term",
+        "df",
         F.round(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
         ).alias("w"),
@@ -357,46 +398,67 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(wsq).cast("double")).alias("nrm")
     )
-    # The weight frame is tiny relative to the pair fan-out it feeds
-    # (sum(df^2) rows out of a linear input), and AQE coalesces the
-    # small pre-join shuffle to ONE partition because it sizes the
-    # exchange BEFORE the join explosion — measured: the entire 375M-
-    # row fan-out ran in a single task (5+ min) at sf0.1. An EXPLICIT
-    # round-robin repartition of the probe side is exempt from AQE
-    # coalescing and spreads the fan-out across the cluster; its cost
-    # is one linear shuffle of the weight frame, always dominated by
-    # the quadratic join it parallelizes.
-    # BOTH sides get the explicit exchange: Catalyst broadcasts one of
-    # them (build-side choice flips with plan shape), and the explicit
-    # round-robin on the surviving probe side is what defeats the
-    # coalesce-to-1.
+    from dfs_w_mapreduce_spark.catalog import gated_broadcast
+
+    # prefix selection: suffix squared norm of the NORMALIZED vector in
+    # global rarest-first term order; window order (df, term) is unique
+    # per doc (term is unique per doc).
+    u = w.join(
+        gated_broadcast(norms.withColumnRenamed("doc_id", "nd"), sf_dir, "documents"),
+        F.col("doc_id") == F.col("nd"),
+    ).select("doc_id", "term", "df", (F.col("w") / F.col("nrm")).alias("u"))
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prefix = (
+        u.withColumn("ssq", F.sum(F.col("u") * F.col("u")).over(win))
+        .filter(F.col("ssq") >= TFIDF_PRUNE_T * TFIDF_PRUNE_T)
+        .select("doc_id", "term")
+    )
+    # candidate generation: prefix-entry self-join. Explicit round-robin
+    # on BOTH sides (AQE coalesce-to-1 defense, build-side flips), then
+    # explicit hash repartition on the pair key BEFORE the dedupe so the
+    # fan-out never builds partial maps sized by itself.
     par = spark.sparkContext.defaultParallelism * 2
-    a, b = w.repartition(par).alias("a"), w.repartition(par).alias("b")
-    # product rounded to 8 dp => exact as a 1e8-scaled long
-    prod8 = F.round(
-        F.round(F.col("a.w") * F.col("b.w"), 8) * 100000000, 0
-    ).cast("long")
-    # Aggregate the fan-out on PRE-CLUSTERED pairs: an explicit hash
-    # repartition on the group keys means the aggregate's required
-    # distribution is already satisfied, so each task builds ONE small
-    # hash map over its own slice of pairs — where a default
-    # partial+final plan had every join task building a multi-hundred-
-    # MB partial map over the raw fan-out (measured: concurrent
-    # partial maps OOM'd a default-heap session at sf0.1). The join
-    # tasks now stream straight into the sort-based shuffle writer,
-    # which spills serialized — bounded memory at any fan-out size.
     pair_parts = spark.sparkContext.defaultParallelism * 8
-    num = (
-        a.join(b, (F.col("a.term") == F.col("b.term"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            prod8.alias("p8"),
-        )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("term").alias("term")
+    ).repartition(par)
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("term").alias("term")
+    ).repartition(par)
+    cand = (
+        pa.join(pb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .repartition(pair_parts, "doc_a", "doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg((F.sum("p8").cast("double") / 100000000).alias("num"))
+        .distinct()
+    )
+    # exact verify: full dot product from per-doc weight maps, one
+    # merge pass per pair, zero additional shuffle over the fan-out.
+    vecs = w.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("vec")
+    )
+    va = vecs.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("vec_b"))
+    dot8 = F.expr(
+        """
+        aggregate(
+          map_values(map_zip_with(vec_a, vec_b,
+            (k, x, y) -> CASE WHEN x IS NULL OR y IS NULL THEN CAST(0 AS BIGINT)
+                         ELSE CAST(round(round(x * y, 8) * 100000000, 0) AS BIGINT)
+                         END)),
+          CAST(0 AS BIGINT), (acc, v) -> acc + v)
+        """
+    )
+    num = (
+        cand.join(gated_broadcast(va, sf_dir, "documents"), "doc_a")
+        .join(gated_broadcast(vb, sf_dir, "documents"), "doc_b")
+        .select(
+            "doc_a", "doc_b", (dot8.cast("double") / 100000000).alias("num")
+        )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
@@ -404,8 +466,6 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unconditional broadcast hint is an OOM risk at scale; gate it on
     # the documents table size instead — hinted while broadcast-sized,
     # AQE's choice beyond (the pair frame is already shuffled on ids).
-    from dfs_w_mapreduce_spark.catalog import gated_broadcast
-
     pairs = (
         num.join(gated_broadcast(na, sf_dir, "documents"), "doc_a")
         .join(gated_broadcast(nb, sf_dir, "documents"), "doc_b")
@@ -440,9 +500,13 @@ TFIDF_COSINE_ORACLE = f"""
            FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
     n AS (SELECT count(*) AS n_docs FROM documents),
     w AS (
+        -- exact-within-cap contract: the df cap is part of the
+        -- operator's semantics and is applied identically here
         SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 6) AS w
         FROM tf JOIN df USING (term) CROSS JOIN n
         WHERE round(tf * ln(n_docs * 1.0 / df), 6) > 0
+          AND df <= (SELECT CAST(floor({TFIDF_DF_CAP_FRAC} * count(*)) AS BIGINT)
+                     FROM documents)
     ),
     norms AS (
         SELECT doc_id,
@@ -1006,7 +1070,9 @@ def specs() -> list[QuerySpec]:
                   "TF-IDF top-3 terms per document (inverted-index build)."),
         QuerySpec("tfidf_cosine_pairs", q_tfidf_cosine_pairs, TFIDF_COSINE_ORACLE,
                   ("text", "llm", "similarity"),
-                  "Sparse TF-IDF cosine pairs via inverted index (lossless zero-idf pruning)."),
+                  "Sparse TF-IDF threshold cosine, AllPairs shape: df cap "
+                  "(exact-within-cap, oracle-mirrored) + lossless prefix-"
+                  "filtered candidates + map-merge exact verify."),
         QuerySpec("text_repetition", q_text_repetition, TEXT_REPETITION_ORACLE,
                   ("text", "llm", "quality"),
                   "Gopher-style repetition filters: top unigram/bigram fractions."),

@@ -654,7 +654,11 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="graft_stream_upsert_")
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    # coalesce(1) first: round-robin seeds each INPUT partition at
+    # Random(partitionId), so several tiny input partitions can collide
+    # rows into one output partition and write fewer than min(4, n)
+    # files. From one input partition the file count is deterministic.
+    ev.coalesce(1).repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -760,8 +764,10 @@ def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id", "base_id"
     ).write.mode("overwrite").parquet(f"{idx}/bands")
 
-    # 2) delta documents replay as 3 files -> 3 micro-batches
-    d.filter(is_delta).repartition(3).write.mode("overwrite").parquet(src)
+    # 2) delta documents replay as 3 files -> 3 micro-batches.
+    # coalesce(1) first so round-robin runs from a single input
+    # partition and the non-empty-file count is exactly min(3, n).
+    d.filter(is_delta).coalesce(1).repartition(3).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -819,9 +825,11 @@ def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _stream_dedup_incremental_oracle() -> str:
-    from dfs_w_mapreduce_spark.operators.dedup import _incremental_oracle
-
-    from dfs_w_mapreduce_spark.operators.dedup import DELTA_CUT, DELTA_MOD
+    from dfs_w_mapreduce_spark.operators.dedup import (
+        DELTA_CUT,
+        DELTA_MOD,
+        _incremental_oracle,
+    )
 
     # repartition(3) over the delta docs writes min(3, |delta|) non-empty
     # files (Spark skips empty partitions on write), so the live run sees
