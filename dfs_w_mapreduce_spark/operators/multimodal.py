@@ -10,12 +10,16 @@ The engine's convention for image/audio/video at 100 TB:
   cross the JVM->Python boundary once per batch, not per row.
 
 Codec coverage in this container: WAV (RIFF) and BMP decode is REAL
-(struct-level chunk walking), and PNG decode is REAL too — stdlib
-zlib covers the compressed codec path (CRC-verified chunks, IDAT
-inflate, five-filter scanline reconstruction). Only formats whose
-codecs genuinely aren't in the image (JPEG/MP3/video) remain stubbed
-behind import-tries (``decode_image`` raises NotImplementedError with
-a clear message); the *deterministic fake* feature extractor below
+(struct-level chunk walking), PNG decode is REAL (stdlib zlib:
+CRC-verified chunks, IDAT inflate, five-filter scanline
+reconstruction), and baseline JPEG decode is REAL too — a
+from-first-principles T.81 implementation (canonical Huffman tables
+rebuilt from DHT, DC-predictor + run-length AC entropy decode,
+dequantize, de-zigzag, float IDCT). Only formats whose codecs
+genuinely aren't buildable from stdlib+numpy (MP3/video) remain
+stubbed behind import-tries (``decode_image`` raises
+NotImplementedError with a clear message); the *deterministic fake*
+feature extractor below
 exercises the identical Spark plumbing — schema, batching,
 partitioning — and is oracle-checkable because its arithmetic is
 reproducible in SQL.
@@ -46,13 +50,14 @@ except ImportError:
 
 def decode_image(payload: bytes) -> "object":
     """Decode an arbitrary-format image payload. Stub for formats
-    needing PIL (JPEG etc.), absent from this container; PNG has a
-    real stdlib decoder (``decode_png``) and BMP a real header parser
-    (``decode_bmp``) below."""
+    needing PIL (WebP/TIFF etc.), absent from this container; PNG,
+    baseline JPEG, and BMP have real stdlib/numpy decoders
+    (``decode_png`` / ``decode_jpeg`` / ``decode_bmp``) below."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "JPEG/other decode requires PIL, not present in this environment; "
-            "PNG/BMP/WAV decode is real (decode_png/decode_bmp/decode_wav)"
+            "WebP/TIFF/other decode requires PIL, not present in this "
+            "environment; PNG/JPEG/BMP/WAV decode is real "
+            "(decode_png/decode_jpeg/decode_bmp/decode_wav)"
         )
     raise NotImplementedError("real decode path reserved for codec-enabled builds")
 
@@ -285,12 +290,303 @@ def decode_png(b: bytes) -> dict:
     }
 
 
+# ------------------------------------------------- baseline JPEG codec
+#
+# Real baseline-DCT JPEG (ITU T.81), stdlib + numpy only — built the way
+# the PNG codec was: a from-first-principles encoder (level shift, float
+# FDCT, quantize, zigzag, canonical Huffman with DC-diff categories and
+# AC run-length coding incl. ZRL and EOB, 0xFF byte stuffing) and a
+# fully GENERAL decoder (marker walk, DQT/DHT/SOF0/SOS parse, canonical
+# code reconstruction from BITS/HUFFVAL, entropy decode, dequantize,
+# de-zigzag, separable float IDCT, level shift + clamp). JPEG is lossy
+# in general, so SQL-checkability comes from choosing block CONTENT
+# whose DCT is exactly representable: each 8x8 block is
+#   p(x, y) = v + k * s(x) * s(y),   s = (+,-,-,+,+,-,-,+)
+# whose only nonzero coefficients are DC = 8*(v-128) and F(4,4) = 8*k
+# (the u=4 basis is +-sqrt(2)/2, so the 2D product is +-1/2 — rational).
+# With a flat quantization table the encoder's round() is exact, decode
+# reproduces the pixels bit-for-bit, and the oracle recomputes them
+# arithmetically. The 34-zero zigzag run before F(4,4) forces two ZRL
+# codes, so the AC run-length machinery executes for real.
+
+import numpy as np
+
+# zigzag order: zigzag index -> (row, col) raster index, per T.81 Fig 5
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Canonical Huffman tables (ours, spec-valid — DHT carries the tables,
+# so a decoder must build codes from BITS/HUFFVAL, not assume Annex K):
+# 12 symbols each, all 4-bit codes.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))  # DC categories 0..11
+_AC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+# EOB, ZRL, and (run=6, size=1..10) — everything this encoder emits:
+# F(4,4) sits at zigzag index 39, so its 38-zero run codes as two ZRLs
+# plus a run-6 coefficient symbol
+_AC_VALS = [0x00, 0xF0] + [0x60 | s for s in range(1, 11)]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment per T.81 Annex C: returns
+    symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_IDCT_C = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)  # C[u, x]: orthonormal 1D DCT basis; FDCT = C @ f @ C.T, IDCT = C.T @ F @ C
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # entropy-coded 0xFF is escaped with 0x00
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def build_jpeg(width: int, height: int, doc_id: int, k: int) -> bytes:
+    """Real baseline JPEG encoder (grayscale, flat Q=1 table): FDCT +
+    quantize + zigzag + canonical-Huffman entropy coding per block.
+    Block content v(bx,by) + k*s(x)*s(y) (see module comment) makes
+    quantization exact; v derivation matches the oracle."""
+    assert width % 8 == 0 and height % 8 == 0
+    dqt = _seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0/Tq=0, flat
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes, ac_codes = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
+    s_pat = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    bw = _BitWriter()
+    pred = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            v = _jpeg_block_v(doc_id, bx, by)
+            block = np.full((8, 8), float(v)) + float(k) * np.outer(s_pat, s_pat)
+            coef = _IDCT_C @ (block - 128.0) @ _IDCT_C.T  # forward DCT
+            q = np.rint(coef).astype(np.int64)  # flat Q=1 quantizer
+            zz = [int(q.flat[_ZZ[i]]) for i in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size = diff.bit_length() if diff else 0
+            bw.write(*dc_codes[size])
+            if size:
+                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            for i in range(1, 64):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])  # ZRL: 16 zeros
+                    run -= 16
+                asz = abs(zz[i]).bit_length()
+                bw.write(*ac_codes[(run << 4) | asz])
+                bw.write(zz[i] if zz[i] > 0 else zz[i] + (1 << asz) - 1, asz)
+                run = 0
+            if run:
+                bw.write(*ac_codes[0x00])  # EOB
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:  # consume the stuffing byte
+                if self.pos >= len(self.b) or self.b[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """Magnitude-category decode: T.81 EXTEND."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(b: bytes) -> dict:
+    """REAL general baseline-JPEG decoder (grayscale, no subsampling):
+    marker walk, DQT/DHT/SOF0/SOS parsing, canonical Huffman
+    reconstruction from BITS/HUFFVAL, entropy decode (DC predictor +
+    AC run-length with ZRL/EOB), dequantize, de-zigzag, separable
+    float IDCT, level shift + clamp. Raises on progressive frames,
+    multi-component scans, or malformed streams. Returns header
+    fields plus pixel statistics the oracle recomputes."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    scan_start = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(payload[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nval = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nval])
+                codes = _huff_codes(bits, vals)
+                huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
+                p += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            # per-component fields: id, sampling (H<<4|V), quant table id
+            if prec != 8 or ncomp != 1 or payload[7] != 0x11:
+                raise ValueError("only 8-bit single-component 1x1 supported")
+            comp_tq = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDA:  # SOS
+            ncomp_s = payload[0]
+            if ncomp_s != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or scan_start is None:
+        raise ValueError("missing SOF/SOS")
+    q = qt[comp_tq]
+    dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+    br = _BitReader(b[scan_start:])
+    img = np.zeros((height, width), dtype=np.int64)
+    pred = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            zz = [0] * 64
+            size = _huff_decode(br, dct)
+            diff = _extend(br.bits(size), size) if size else 0
+            pred += diff
+            zz[0] = pred * q[0]
+            i = 1
+            while i < 64:
+                sym = _huff_decode(br, act)
+                if sym == 0x00:  # EOB
+                    break
+                run, asz = sym >> 4, sym & 0xF
+                if asz == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i >= 64:
+                    raise ValueError("AC index overflow")
+                zz[i] = _extend(br.bits(asz), asz) * q[i]
+                i += 1
+            coef = np.zeros(64)
+            for i in range(64):
+                coef[_ZZ[i]] = zz[i]
+            block = _IDCT_C.T @ coef.reshape(8, 8) @ _IDCT_C
+            px = np.clip(np.rint(block + 128.0), 0, 255).astype(np.int64)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return {
+        "width": width,
+        "height": height,
+        "pixel_sum": int(img.sum()),
+        "px00": int(img[0, 0]),
+        "px10": int(img[0, 1]),
+    }
+
+
+def _jpeg_block_v(doc_id: int, bx: int, by: int) -> int:
+    """Per-block base value; kept in [16, 239] so +-k never clamps."""
+    return 16 + (doc_id * 31 + bx * 7 + by * 13) % 224
+
+
 DECODE_SCHEMA = (
     "doc_id long, wav_sample_rate int, wav_channels int, wav_bits int, "
     "wav_block_align int, wav_data_size long, wav_file_size long, "
     "bmp_width int, bmp_height int, bmp_bpp int, bmp_file_size long, "
     "png_width int, png_height int, png_bit_depth int, png_color_type int, "
-    "png_raw_len long, png_pixel_sum long"
+    "png_raw_len long, png_pixel_sum long, "
+    "jpg_width int, jpg_height int, jpg_pixel_sum long, "
+    "jpg_px00 int, jpg_px10 int"
 )
 
 
@@ -313,6 +609,8 @@ def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             bmp = decode_bmp(build_bmp(width, height))
             pw, ph = doc_id % 16 + 4, n_chars % 12 + 4
             png = decode_png(build_png(pw, ph, doc_id))
+            jw, jh = 8 * (doc_id % 3 + 1), 8 * (n_chars % 3 + 1)
+            jpg = decode_jpeg(build_jpeg(jw, jh, doc_id, 1 + doc_id % 4))
             rows.append(
                 (
                     doc_id,
@@ -321,6 +619,8 @@ def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     bmp["width"], bmp["height"], bmp["bpp"], bmp["file_size"],
                     png["width"], png["height"], png["bit_depth"],
                     png["color_type"], png["raw_len"], png["pixel_sum"],
+                    jpg["width"], jpg["height"], jpg["pixel_sum"],
+                    jpg["px00"], jpg["px10"],
                 )
             )
         yield pd.DataFrame(
@@ -331,20 +631,27 @@ def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "bmp_width", "bmp_height", "bmp_bpp", "bmp_file_size",
                 "png_width", "png_height", "png_bit_depth", "png_color_type",
                 "png_raw_len", "png_pixel_sum",
+                "jpg_width", "jpg_height", "jpg_pixel_sum",
+                "jpg_px00", "jpg_px10",
             ],
         )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real binary decode: synthesize valid RIFF/WAVE, BMP AND PNG
-    files per document and parse them back. WAV/BMP are struct-level
-    chunk walks; PNG is a real compressed-codec path (stdlib zlib:
-    CRC-verified chunks, IDAT inflate, five-filter scanline
-    reconstruction incl. Paeth — the builder rotates filter types per
-    row so every unfilter branch executes). The oracle recomputes all
-    decoded fields — including the reconstructed PNG pixel-byte sum —
-    from the same params, so builder->parser roundtrips are
-    hash-verified end to end."""
+    """Real binary decode: synthesize valid RIFF/WAVE, BMP, PNG AND
+    baseline-JPEG files per document and parse them back. WAV/BMP are
+    struct-level chunk walks; PNG is a real compressed-codec path
+    (stdlib zlib: CRC-verified chunks, IDAT inflate, five-filter
+    scanline reconstruction incl. Paeth — the builder rotates filter
+    types per row so every unfilter branch executes); JPEG is a real
+    entropy-codec path (canonical Huffman from DHT BITS/HUFFVAL, DC
+    predictor, AC run-length with two forced ZRLs per block,
+    dequantize, de-zigzag, float IDCT — block content chosen so
+    quantization is exact, keeping the lossy format SQL-checkable).
+    The oracle recomputes every decoded field — including the PNG
+    pixel-byte sum and the JPEG pixel sum / probe pixels — from the
+    same params, so builder->parser roundtrips are hash-verified end
+    to end."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "n_chars").mapInPandas(
         _build_decode_media, schema=DECODE_SCHEMA
@@ -385,10 +692,30 @@ MULTIMODAL_DECODE_ORACLE = """
            CAST(8 AS INT) AS png_bit_depth,
            CAST(2 AS INT) AS png_color_type,
            CAST(p.ph * (1 + 3 * p.pw) AS BIGINT) AS png_raw_len,
-           CAST(ps.pixel_sum AS BIGINT) AS png_pixel_sum
+           CAST(ps.pixel_sum AS BIGINT) AS png_pixel_sum,
+           CAST(8 * (d.doc_id % 3 + 1) AS INT) AS jpg_width,
+           CAST(8 * (d.n_chars % 3 + 1) AS INT) AS jpg_height,
+           CAST(js.jpg_pixel_sum AS BIGINT) AS jpg_pixel_sum,
+           -- probe pixels pin the AC coefficient k and its sign pattern:
+           -- px(0,0) = v(0,0) + k, px(1,0) = v(0,0) - k
+           CAST(16 + (d.doc_id * 31) % 224 + 1 + d.doc_id % 4 AS INT) AS jpg_px00,
+           CAST(16 + (d.doc_id * 31) % 224 - (1 + d.doc_id % 4) AS INT) AS jpg_px10
     FROM documents d
     JOIN p USING (doc_id)
     JOIN ps USING (doc_id)
+    JOIN (
+        -- arithmetic twin of the JPEG block grid: each 8x8 block is
+        -- constant v(bx,by) plus a zero-sum AC pattern, so the block
+        -- pixel sum is 64*v
+        SELECT doc_id,
+               SUM(64 * (16 + (doc_id * 31 + bx * 7 + by * 13) % 224))
+                   AS jpg_pixel_sum
+        FROM (SELECT doc_id, doc_id % 3 + 1 AS wb, n_chars % 3 + 1 AS hb
+              FROM documents),
+             LATERAL (SELECT unnest(range(0, wb)) AS bx) gbx,
+             LATERAL (SELECT unnest(range(0, hb)) AS by) gby
+        GROUP BY doc_id
+    ) js USING (doc_id)
 """
 
 
@@ -525,5 +852,6 @@ def specs() -> list[QuerySpec]:
                   "Every-5th frame sampling with per-frame fingerprints."),
         QuerySpec("multimodal_decode", q_multimodal_decode, MULTIMODAL_DECODE_ORACLE,
                   ("multimodal", "llm", "pandas"),
-                  "Real WAV/BMP build->parse roundtrip, fields hash-verified."),
+                  "Real WAV/BMP/PNG/baseline-JPEG build->parse roundtrips, "
+                  "fields hash-verified."),
     ]

@@ -15,9 +15,9 @@ engine and verified two ways:
    batch result; plus watermark late-data and stateful
    applyInPandasWithState coverage.
 
-Plus one live entry (`stream_tumbling_live`, rows-only): an actual
-readStream pipeline executed to completion through the driver
-contract.
+Plus a block of live entries (`stream_*_live`): actual readStream
+pipelines executed to completion through the driver contract, each
+oracle-checked via finite-replay equivalence with its batch twin.
 
 Scale posture: windowed aggs shuffle on (window, key) — at 100 TB
 the watermark bounds state; session windows use Spark's native
@@ -393,8 +393,12 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming execution through the driver
     contract: file-replay the events parquet, run the tumbling agg
     with a watermark, availableNow trigger into a memory sink, return
-    the sink as a DataFrame. Rows-only check (the semantics oracle is
-    `stream_tumbling`; equality of the two is asserted in tests)."""
+    the sink as a DataFrame. Oracle: finite-replay equivalence — the
+    replay is a single parquet file, so availableNow processes it in
+    ONE micro-batch (no maxFilesPerTrigger split) where the watermark
+    starts at epoch and can drop nothing, and complete mode keeps all
+    window state; the memory sink therefore holds exactly the batch
+    tumbling aggregate and `STREAM_TUMBLING_ORACLE` checks it."""
     agg = tumbling_agg(stream_events(spark, sf_dir).withWatermark("ts", "1 hour"))
     name = "t_" + uuid.uuid4().hex[:12]
     q = (
@@ -990,10 +994,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_json_typed", q_stream_json_typed, STREAM_JSON_TYPED_ORACLE,
                   ("streaming", "json"),
                   "from_json schema-projected typed parse."),
-        QuerySpec("stream_tumbling_live", q_stream_tumbling_live, None,
+        QuerySpec("stream_tumbling_live", q_stream_tumbling_live,
+                  STREAM_TUMBLING_ORACLE,
                   ("streaming", "live"),
-                  "Actual readStream->memory-sink execution (rows-only; "
-                  "equality with stream_tumbling asserted in tests)."),
+                  "Actual readStream->memory-sink execution, oracle-checked "
+                  "via finite-replay equivalence with the batch tumbling agg."),
         QuerySpec("stream_dedup_live", q_stream_dedup_live, STREAM_DEDUP_LIVE_ORACLE,
                   ("streaming", "live", "dedup"),
                   "Live chained stateful ops (dedup->agg), oracle-verified."),

@@ -242,6 +242,46 @@ def test_png_roundtrip_all_filters_crc_and_malformed():
         M.decode_png(b"GIF89a not a png")
 
 
+def test_jpeg_roundtrip_entropy_path_and_malformed():
+    """The baseline-JPEG codec is real: the encoder runs a float FDCT
+    + quantize + canonical-Huffman entropy coder, the decoder rebuilds
+    Huffman tables from the DHT segment and runs the general
+    DC-predictor / run-length AC / dequant / de-zigzag / IDCT path.
+    Block content v + k*s(x)*s(y) makes quantization exact, so decode
+    must reproduce pixels bit-for-bit; a flipped entropy byte must
+    break the decode (Huffman desync), and foreign bytes must be
+    rejected."""
+    doc_id, k, wb, hb = 4242, 3, 3, 2
+    got = M.decode_jpeg(M.build_jpeg(8 * wb, 8 * hb, doc_id, k))
+    v00 = M._jpeg_block_v(doc_id, 0, 0)
+    assert got == {
+        "width": 8 * wb,
+        "height": 8 * hb,
+        "pixel_sum": sum(
+            64 * M._jpeg_block_v(doc_id, bx, by)
+            for bx in range(wb)
+            for by in range(hb)
+        ),
+        "px00": v00 + k,  # s(0)s(0) = +1
+        "px10": v00 - k,  # s(1)s(0) = -1: pins the AC sign pattern
+    }
+    clean = M.build_jpeg(16, 16, 7, 2)
+    corrupted = bytearray(clean)
+    corrupted[-10] ^= 0x20  # inside the entropy-coded segment
+    try:
+        redecoded = M.decode_jpeg(bytes(corrupted))
+        # a flip that still parses must at least change the pixels
+        assert redecoded != M.decode_jpeg(clean)
+    except ValueError:
+        pass  # Huffman desync detected — also correct
+    with pytest.raises(ValueError, match="JPEG"):
+        M.decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError, match="non-baseline"):
+        # progressive SOF2 frames must be refused, not mis-decoded
+        prog = M.build_jpeg(8, 8, 1, 1).replace(b"\xff\xc0", b"\xff\xc2", 1)
+        M.decode_jpeg(prog)
+
+
 def test_manifest_metadata_projection_prunes_payload(spark, sf_dir):
     """The metadata-only query must not materialize payload bytes from
     more columns than needed: scan reads only doc_id + text (payload
