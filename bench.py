@@ -153,6 +153,11 @@ HEADLINE = [
     "dedup_span_apply",
     "chunk_corruption_recovery",
     "ewma_user",
+    # round-6 additions
+    "cdc_chunk_stats",
+    "sample_weighted",
+    "decontaminate_semantic",
+    "table_diff",
 ]
 
 

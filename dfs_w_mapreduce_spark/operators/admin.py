@@ -142,8 +142,80 @@ DQ_CONSTRAINTS_ORACLE = """
 """
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the ops primitive
+    behind incremental re-processing and audit (what changed between
+    yesterday's crawl and today's?). Both versions derive
+    deterministically from the one fixture so the diff is exact: the
+    base drops doc_id % 10 == 7 (deletions-to-come), the new version
+    drops doc_id % 10 == 4 (additions, from base's view), and rewrites
+    text for doc_id % 10 == 3 (modifications). Full-outer join on the
+    key comparing md5 row digests classifies added / removed / changed
+    per row; emitted per source with counts — at 100 TB this is one
+    co-partitioned join on the table key with digest comparison, never
+    a content diff."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    new = (
+        d.filter(F.col("doc_id") % 10 != 4)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("digest"),
+        )
+    )
+    joined = base.withColumnsRenamed({"digest": "d0", "source": "s0"}).join(
+        new, "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("d0").isNull(), F.lit("added"))
+        .when(F.col("digest").isNull(), F.lit("removed"))
+        .when(F.col("d0") != F.col("digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce("source", "s0").alias("source"), status.alias("status")
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+TABLE_DIFF_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, source, md5(text) AS digest
+        FROM documents WHERE doc_id % 10 <> 7
+    ),
+    newv AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END)
+                   AS digest
+        FROM documents WHERE doc_id % 10 <> 4
+    )
+    SELECT coalesce(n.source, b.source) AS source,
+           CASE WHEN b.digest IS NULL THEN 'added'
+                WHEN n.digest IS NULL THEN 'removed'
+                WHEN b.digest <> n.digest THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n
+    FROM base b FULL OUTER JOIN newv n USING (doc_id)
+    GROUP BY 1, 2
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("table_diff", q_table_diff, TABLE_DIFF_ORACLE,
+                  ("admin", "versioning"),
+                  "Snapshot diff via key join + row digests: added/removed/"
+                  "changed/unchanged counts per source."),
         QuerySpec("catalog_ls", q_catalog_ls, None, ("admin",),
                   "Catalog listing (reference `ls`, client.go:788-797)."),
         QuerySpec("engine_info", q_engine_info, None, ("admin",),

@@ -52,6 +52,38 @@ JACCARD_T = 0.5
 COSINE_T = 0.35
 
 
+# Broadcast cap for shingle/signature frames, on the SOURCE parquet
+# size. Their DESERIALIZED size is ~50-100x the parquet footprint (JVM
+# string/array-header overhead on per-token objects), so Catalyst's
+# 64 MB compressed-size threshold under-estimates them catastrophically:
+# the 100x scale probe OOM'd the driver auto-broadcasting a shingle
+# frame whose source file (55 MB) sat just under that threshold. 4 MB
+# on disk => a few hundred MB broadcast worst-case — still safe.
+SHINGLE_BROADCAST_CAP = 4 << 20
+
+
+def _merge_join(df: DataFrame, sf_dir: str | None = None) -> DataFrame:
+    """Join-side policy for corpus-cardinality frames carrying
+    text-derived arrays (shingle sets, minhash columns): broadcast
+    while the source documents file is genuinely tiny (fixture
+    scale), otherwise FORCE sort-merge — shuffling on the id key is
+    bounded-memory at any corpus size, and merely *not hinting* would
+    let Catalyst's compressed-size estimate re-pick the fatal
+    broadcast (see SHINGLE_BROADCAST_CAP)."""
+    if sf_dir is not None:
+        import os
+
+        from dfs_w_mapreduce_spark.catalog import table_path
+
+        try:
+            size = os.path.getsize(table_path(sf_dir, "documents"))
+        except OSError:
+            size = None
+        if size is not None and size <= SHINGLE_BROADCAST_CAP:
+            return F.broadcast(df)
+    return df.hint("merge")
+
+
 def _h31_spark(col: Column) -> Column:
     """md5-derived 31-bit integer hash of a string — reproducible in
     DuckDB as CAST('0x' || substr(md5(x),1,15) AS BIGINT) % P31."""
@@ -292,7 +324,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Verification re-joins shingle sets for surviving candidates only.
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = _merge_join(sh, sf_dir).alias("sa"), _merge_join(sh, sf_dir).alias("sb")
     inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
     union = F.size("sa.sh") + F.size("sb.sh") - inter
     return (
@@ -396,7 +428,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("base_id"), "band", "sig"
     )
     cand = delta.join(base, ["band", "sig"]).select("new_id", "base_id").distinct()
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = _merge_join(sh, sf_dir).alias("sa"), _merge_join(sh, sf_dir).alias("sb")
     inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
     union = F.size("sa.sh") + F.size("sb.sh") - inter
     return (
@@ -498,12 +530,12 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ga, gb = sig.alias("ga"), sig.alias("gb")
+    ga, gb = _merge_join(sig, sf_dir).alias("ga"), _merge_join(sig, sf_dir).alias("gb")
     n_match = None
     for i in range(len(MINHASH_AB)):
         m = F.when(F.col(f"ga.mh{i}") == F.col(f"gb.mh{i}"), 1).otherwise(0)
         n_match = m if n_match is None else n_match + m
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = _merge_join(sh, sf_dir).alias("sa"), _merge_join(sh, sf_dir).alias("sb")
     inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
     union = F.size("sa.sh") + F.size("sb.sh") - inter
     est = F.round(n_match / float(len(MINHASH_AB)), 4)
@@ -614,7 +646,7 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = _merge_join(sh, sf_dir).alias("sa"), _merge_join(sh, sf_dir).alias("sb")
     inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
     union = F.size("sa.sh") + F.size("sb.sh") - inter
     ver = (
@@ -1283,8 +1315,129 @@ def _dedup_apply_embedding_oracle() -> str:
 """
 
 
+# --------------------------------------- content-defined chunking (CDC)
+#
+# The reference chunks files at FIXED line boundaries (chunk.go): insert
+# one line and every downstream chunk's bytes shift, so chunk-level
+# storage dedup finds nothing. Content-defined chunking cuts where a
+# rolling window's hash hits a divisor condition, so boundaries move
+# WITH the content and an edit only re-chunks its neighborhood — the
+# modern storage-dedup upgrade (LBFS/Venti lineage) of the reference's
+# fixed chunking. Production CDC uses a cheap Rabin/Gear rolling hash;
+# here the window hash is md5-derived so both engines compute the
+# identical boundary set (the cross-engine-deterministic stand-in, same
+# hash family as _h31). Boundary decisions are per-position independent
+# (pure content predicate, no min/max-size clamp), which is exactly
+# what makes the operator embarrassingly parallel: at 100 TB every
+# document chunks inside its own row — zero shuffle until the final
+# per-source aggregate.
+
+CDC_W = 8    # rolling window width (chars)
+CDC_DIV = 32  # boundary divisor => expected chunk length ~32 + W
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document + corpus-level chunk
+    dedup stats per source: cut after position i+W-1 wherever the
+    W-char window at i hashes to 0 mod CDC_DIV; chunks are the spans
+    between cuts (last span capped at end-of-doc). Emits per-source
+    chunk counts, distinct-chunk counts (md5 identity), mean chunk
+    length, and the storage dedup ratio. The chunk arrays reassemble
+    to the exact document (asserted in tests), so this IS a valid
+    store layout, not a sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    ends = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(
+            f"""
+            array_sort(array_distinct(concat(
+              transform(
+                filter(
+                  CASE WHEN length(text) >= {CDC_W}
+                       THEN sequence(1, length(text) - {CDC_W} + 1)
+                       ELSE CAST(array() AS ARRAY<INT>) END,
+                  i -> CAST(conv(substr(md5(substr(text, i, {CDC_W})), 1, 15),
+                                 16, 10) AS BIGINT) % {CDC_DIV} = 0),
+                i -> i + {CDC_W} - 1),
+              array(length(text)))))
+            """
+        ).alias("e"),
+    )
+    # e is a materialized attribute here, so element_at(e, j) below is
+    # a plain array index — NOT the re-evaluated-expression quadratic
+    # trap (element_at over an inline expression array).
+    chunks = ends.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(e)),
+                  j -> substr(text,
+                              (CASE WHEN j = 1 THEN 0 ELSE element_at(e, j - 1) END) + 1,
+                              element_at(e, j)
+                              - (CASE WHEN j = 1 THEN 0 ELSE element_at(e, j - 1) END)))
+                """
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.countDistinct(F.md5("chunk")).alias("n_distinct_chunks"),
+            F.round(F.avg(F.length("chunk")), 4).alias("avg_chunk_len"),
+            F.round(
+                F.countDistinct(F.md5("chunk")) * F.lit(1.0) / F.count("*"), 4
+            ).alias("dedup_ratio"),
+        )
+    )
+
+
+CDC_CHUNK_ORACLE = f"""
+    WITH ends AS (
+        SELECT doc_id, source, text,
+            list_sort(list_distinct(
+                list_append(
+                    list_transform(
+                        list_filter(range(1, greatest(len(text) - {CDC_W} + 2, 1)),
+                            i -> (CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {CDC_W})), 1, 15))
+                                       AS BIGINT)) % {CDC_DIV} = 0),
+                        i -> i + {CDC_W} - 1),
+                    len(text)))) AS e
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(e) + 1),
+                   j -> substr(text,
+                               CAST(CASE WHEN j = 1 THEN 0
+                                    ELSE e[CAST(j AS INT) - 1] END AS INT) + 1,
+                               CAST(e[CAST(j AS INT)]
+                                    - CASE WHEN j = 1 THEN 0
+                                      ELSE e[CAST(j AS INT) - 1] END AS INT)))) AS chunk
+        FROM ends
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_distinct_chunks,
+           round(avg(len(chunk)), 4) AS avg_chunk_len,
+           round(count(DISTINCT md5(chunk)) * 1.0 / count(*), 4) AS dedup_ratio
+    FROM chunks GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("cdc_chunk_stats", q_cdc_chunk_stats, CDC_CHUNK_ORACLE,
+                  ("dedup", "storage", "llm"),
+                  "Content-defined chunking (rolling-window boundaries) + "
+                  "per-source chunk dedup ratios — the shift-resistant "
+                  "upgrade of the reference's fixed-line chunking."),
         QuerySpec("dedup_exact", q_dedup_exact, DEDUP_EXACT_ORACLE, ("dedup", "llm"),
                   "Exact dedup via md5 hash-groupBy."),
         QuerySpec("dedup_fingerprint", q_dedup_fingerprint, DEDUP_FINGERPRINT_ORACLE,

@@ -705,8 +705,70 @@ def _mix_temperature_oracle() -> str:
     """
 
 
+SAMPLE_W_K = 30
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement in one distributed
+    pass (Efraimidis-Spirakis A-ES): each doc draws a deterministic
+    uniform u from its id hash and competes with key ln(u)/w (the
+    monotone form of u^(1/w)); the global top-K by key IS an exact
+    weighted sample without replacement. Weight = n_chars, so long
+    documents are proportionally favored — the "sample by token mass"
+    primitive a corpus builder needs. The top-K runs as
+    TakeOrderedAndProject (per-partition heaps + driver merge of K
+    rows — no global sort, no single-partition window), so the plan
+    is one scan at any corpus size. The rank window afterwards orders
+    K = 30 rows — driver-scale. Reference: the reference samples only
+    by fixed chunk boundaries; this is the weighted analog of its
+    storage-side selection, done corpus-side."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _h31_spark(F.col("doc_id").cast("string"))
+    u = (h.cast("double") + 0.5) / F.lit(2147483647.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / w, 10).alias("es_key"),
+    )
+    top = keyed.orderBy(F.desc("es_key"), "doc_id").limit(SAMPLE_W_K)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("es_key"), "doc_id"))
+    # + 0.0 normalizes a round()-produced -0.0 (tiny negative keys are
+    # the NORMAL case here: top keys are the closest to zero)
+    return top.select(
+        "doc_id", "source", "n_chars",
+        (F.round("es_key", 6) + F.lit(0.0)).alias("es_key6"),
+        rk.alias("rank"),
+    )
+
+
+def _sample_weighted_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, source, n_chars,
+               round(es_key, 6) + 0.0 AS es_key6,
+               CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT)
+                   AS rank
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   round(ln(({h} + 0.5) / 2147483647.0)
+                         / CAST(greatest(n_chars, 1) AS DOUBLE), 10) AS es_key
+            FROM documents
+        )
+        ORDER BY es_key DESC, doc_id
+        LIMIT {SAMPLE_W_K}
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("sample_weighted", q_sample_weighted, _sample_weighted_oracle(),
+                  ("pipeline", "llm", "sampling"),
+                  "Exact one-pass weighted sampling without replacement "
+                  "(Efraimidis-Spirakis top-K), weight = token mass."),
         QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Deterministic per-domain mixing rates via hash sampling."),

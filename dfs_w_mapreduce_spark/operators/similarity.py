@@ -917,8 +917,73 @@ def _knn_graph_oracle() -> str:
     """
 
 
+SEMDECON_MOD = 50   # benchmark set = vec_id % 50 == 0 (~2% of corpus)
+SEMDECON_T = 0.35   # same near-dup threshold as the embedding dedup path
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus vectors whose
+    embedding near-duplicates a held-out benchmark vector — catches
+    the paraphrased contamination that n-gram decontamination
+    (pipeline.decontaminate) structurally misses. Candidates come
+    from the SAME corpus-adaptive 2-band hyperplane-LSH machinery as
+    the embedding dedup path (banded_pair_scores: linear-in-n pair
+    generation, exact-cosine verify), filtered to pairs crossing the
+    benchmark boundary; per flagged corpus vector, emits its hit
+    count and the strongest benchmark match (ties broken by lowest
+    benchmark id — deterministic). At 100 TB the benchmark side is
+    tiny but the bucket join never assumes that: both sides bucket,
+    so the same plan serves benchmark sets of any size."""
+    pairs = banded_pair_scores(spark, sf_dir, digits=4, threshold=SEMDECON_T)
+    is_bench_a = F.col("vec_a") % SEMDECON_MOD == 0
+    is_bench_b = F.col("vec_b") % SEMDECON_MOD == 0
+    crossing = pairs.filter(is_bench_a != is_bench_b).select(
+        F.when(is_bench_a, F.col("vec_b")).otherwise(F.col("vec_a")).alias("corpus_id"),
+        F.when(is_bench_a, F.col("vec_a")).otherwise(F.col("vec_b")).alias("bench_id"),
+        "cosine",
+    )
+    win = W.partitionBy("corpus_id").orderBy(F.desc("cosine"), F.col("bench_id"))
+    return (
+        crossing.withColumn("rk", F.row_number().over(win))
+        .withColumn("n_hits", F.count("*").over(W.partitionBy("corpus_id")))
+        .filter(F.col("rk") == 1)
+        .select("corpus_id", "bench_id", F.col("cosine").alias("max_cosine"), "n_hits")
+    )
+
+
+def _decontaminate_semantic_oracle() -> str:
+    return f"""
+        WITH pairs AS ({banded_pairs_sql(digits=4, threshold=SEMDECON_T)}),
+        crossing AS (
+            SELECT CASE WHEN vec_a % {SEMDECON_MOD} = 0 THEN vec_b ELSE vec_a END
+                       AS corpus_id,
+                   CASE WHEN vec_a % {SEMDECON_MOD} = 0 THEN vec_a ELSE vec_b END
+                       AS bench_id,
+                   cosine
+            FROM pairs
+            WHERE (vec_a % {SEMDECON_MOD} = 0) <> (vec_b % {SEMDECON_MOD} = 0)
+        )
+        SELECT corpus_id, bench_id, cosine AS max_cosine,
+               CAST(n_hits AS BIGINT) AS n_hits
+        FROM (
+            SELECT corpus_id, bench_id, cosine,
+                   row_number() OVER (PARTITION BY corpus_id
+                                      ORDER BY cosine DESC, bench_id) AS rk,
+                   count(*) OVER (PARTITION BY corpus_id) AS n_hits
+            FROM crossing
+        )
+        WHERE rk = 1
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("decontaminate_semantic", q_decontaminate_semantic,
+                  _decontaminate_semantic_oracle(),
+                  ("similarity", "llm", "decontamination"),
+                  "Embedding-space benchmark decontamination: adaptive-LSH "
+                  "candidates crossing the benchmark boundary + exact-cosine "
+                  "verify, strongest match per flagged vector."),
         QuerySpec("embedding_pool", q_embedding_pool, EMBEDDING_POOL_ORACLE,
                   ("embedding", "llm"),
                   "Per-label element-wise mean pooling (decimal-exact sums)."),

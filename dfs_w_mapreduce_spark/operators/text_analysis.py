@@ -453,9 +453,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(0 AS BIGINT), (acc, v) -> acc + v)
         """
     )
+    # the weight-MAP frame deserializes ~50-100x its parquet footprint
+    # (per-entry string keys), so it takes the tight shingle-class gate,
+    # not the 64MB compressed-size gate (see dedup.SHINGLE_BROADCAST_CAP)
+    from dfs_w_mapreduce_spark.operators.dedup import _merge_join
+
     num = (
-        cand.join(gated_broadcast(va, sf_dir, "documents"), "doc_a")
-        .join(gated_broadcast(vb, sf_dir, "documents"), "doc_b")
+        cand.join(_merge_join(va, sf_dir), "doc_a")
+        .join(_merge_join(vb, sf_dir), "doc_b")
         .select(
             "doc_a", "doc_b", (dot8.cast("double") / 100000000).alias("num")
         )

@@ -794,8 +794,10 @@ def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFra
             .select("new_id", "base_id")
             .distinct()
         )
+        from dfs_w_mapreduce_spark.operators.dedup import _merge_join
+
         sa = sh_b.alias("sa")
-        sb = spark.read.parquet(f"{idx}/shingles").alias("sb")
+        sb = _merge_join(spark.read.parquet(f"{idx}/shingles"), sf_dir).alias("sb")
         inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
         union = F.size("sa.sh") + F.size("sb.sh") - inter
         (

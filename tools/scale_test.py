@@ -231,7 +231,12 @@ def main() -> None:
         "  cost is flat, there is still no pairwise doc join anywhere, and",
         "  at a constant duplicate rate both scale with corpus tokens.",
     ]
-    Path(_REPO, "SCALING.md").write_text("\n".join(lines) + "\n")
+    text = "\n".join(lines) + "\n"
+    # preserve the 100x dedup/ANN probe section (tools/scale_probe.py)
+    probe = Path(_REPO, "SCALING_100X.md")
+    if probe.exists():
+        text += "\n" + probe.read_text()
+    Path(_REPO, "SCALING.md").write_text(text)
     print(json.dumps({"base": base, "big": big}))
     print("wrote SCALING.md")
 
