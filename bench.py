@@ -158,6 +158,7 @@ HEADLINE = [
     "sample_weighted",
     "decontaminate_semantic",
     "table_diff",
+    "bpe_train",
 ]
 
 

@@ -63,6 +63,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 BROADCAST_FILE_CAP = 64 << 20
 
 
+def source_size(sf_dir: str, table: str) -> int | None:
+    """On-disk bytes of a fixture table; directory-style parquet sums
+    its part files (getsize() on the directory itself returns the
+    dirent size — ~4KB — which would mis-gate a huge table as tiny)."""
+    try:
+        path = table_path(sf_dir, table)
+        if os.path.isdir(path):
+            return sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 def gated_broadcast(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     """Broadcast-hint `df` only if its SOURCE table's file is small.
 
@@ -70,10 +83,7 @@ def gated_broadcast(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     base table is conservative. Above the cap the frame is returned
     unhinted and the optimizer chooses the join strategy.
     """
-    try:
-        size = os.path.getsize(table_path(sf_dir, table))
-    except OSError:
-        size = None
+    size = source_size(sf_dir, table)
     if size is not None and size <= BROADCAST_FILE_CAP:
         return F.broadcast(df)
     return df

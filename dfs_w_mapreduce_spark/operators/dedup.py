@@ -71,14 +71,9 @@ def _merge_join(df: DataFrame, sf_dir: str | None = None) -> DataFrame:
     let Catalyst's compressed-size estimate re-pick the fatal
     broadcast (see SHINGLE_BROADCAST_CAP)."""
     if sf_dir is not None:
-        import os
+        from dfs_w_mapreduce_spark.catalog import source_size
 
-        from dfs_w_mapreduce_spark.catalog import table_path
-
-        try:
-            size = os.path.getsize(table_path(sf_dir, "documents"))
-        except OSError:
-            size = None
+        size = source_size(sf_dir, "documents")
         if size is not None and size <= SHINGLE_BROADCAST_CAP:
             return F.broadcast(df)
     return df.hint("merge")
@@ -427,7 +422,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _bands_of(sh.filter(~F.col("is_delta")).select("doc_id", "sh")).select(
         F.col("doc_id").alias("base_id"), "band", "sig"
     )
-    cand = delta.join(base, ["band", "sig"]).select("new_id", "base_id").distinct()
+    # the BASE band index is corpus-cardinality (string sigs — same
+    # deserialization blow-up class as the shingle frame; a ~512MB
+    # broadcast of it OOM'd the 100x probe), so it takes the same
+    # size gate; the small DELTA side remains broadcastable by AQE.
+    cand = (
+        delta.join(_merge_join(base, sf_dir), ["band", "sig"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
     sa, sb = _merge_join(sh, sf_dir).alias("sa"), _merge_join(sh, sf_dir).alias("sb")
     inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
     union = F.size("sa.sh") + F.size("sb.sh") - inter

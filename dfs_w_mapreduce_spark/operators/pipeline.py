@@ -763,8 +763,143 @@ def _sample_weighted_oracle() -> str:
     """
 
 
+BPE_ROUNDS = 4
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning — the tokenizer-TRAINING side of
+    the pipeline (tokenize_encode is the inference side): one
+    corpus-scale aggregation reduces the corpus to a word-frequency
+    table, then BPE_ROUNDS iterations each (a) count adjacent symbol
+    pairs weighted by word frequency, (b) pick the global best pair
+    (count desc, pair lexicographic — fully deterministic), (c) apply
+    the merge to every word. The merge application is a LEFT FOLD over
+    the symbol array with a '|'-anchored string accumulator (endswith
+    '|'+a detects that the LAST SYMBOL is exactly a, so greedy
+    left-to-right non-overlapping semantics fall out: 'aaa' + (a,a) ->
+    ['aa','a']) — the same fold DuckDB runs via list_reduce, making an
+    inherently iterative training algorithm exactly oracle-checkable.
+    Words are pre-tokenized to lowercase alphanumerics (the usual BPE
+    pre-tokenizer split), which also guarantees '|' and the '_'
+    end-of-word marker never collide with symbol text.
+
+    Scale shape: the ONLY corpus-sized stage is the initial word
+    count; every round then operates on the vocabulary table (words x
+    symbols), which is what production BPE trainers exploit — at
+    100 TB the rounds cost vocab-size, not corpus-size, and each
+    round's best pair is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(word)),"
+            " i -> substr(word, i, 1)), array('_'))"
+        ).alias("syms"),
+    )
+    best_rows = []
+    for k in range(1, BPE_ROUNDS + 1):
+        n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice("syms", 1, n1),
+            F.slice("syms", 2, n1),
+            lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+        )
+        best = (
+            cur.select("freq", F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pa", "pb")
+            .limit(1)
+            .select(F.lit(k).alias("round"), "pa", "pb", F.col("cnt").cast("long").alias("cnt"))
+        )
+        best_rows.append(best)
+        cur = cur.crossJoin(
+            F.broadcast(
+                best.select(F.col("pa").alias("bpa"), F.col("pb").alias("bpb"))
+            )
+        ).select(
+            "word",
+            "freq",
+            F.expr(
+                """
+                split(substring(aggregate(syms, '', (acc, x) ->
+                      CASE WHEN endswith(acc, '|' || bpa) AND x = bpb
+                           THEN acc || x ELSE acc || '|' || x END), 2), '\\\\|')
+                """
+            ).alias("syms"),
+        )
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "round", "pa", "pb", F.concat("pa", "pb").alias("merged"), "cnt"
+    )
+
+
+def _bpe_round_ctes(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f"""
+    p{k} AS (
+        SELECT syms[CAST(j AS INT)] AS pa, syms[CAST(j AS INT) + 1] AS pb,
+               sum(freq) AS cnt
+        FROM {prev}, LATERAL (SELECT unnest(range(1, len(syms))) AS j)
+        GROUP BY 1, 2
+    ),
+    b{k} AS (
+        SELECT {k} AS round, pa, pb, CAST(cnt AS BIGINT) AS cnt
+        FROM p{k} ORDER BY cnt DESC, pa, pb LIMIT 1
+    ),
+    s{k} AS (
+        SELECT word, freq,
+               string_split(ltrim(list_reduce(list_prepend('', syms),
+                   (acc, x) -> CASE WHEN ends_with(acc, '|' || b{k}.pa)
+                                     AND x = b{k}.pb
+                               THEN acc || x ELSE acc || '|' || x END),
+                   '|'), '|') AS syms
+        FROM {prev} CROSS JOIN b{k}
+    )"""
+
+
+def _bpe_oracle() -> str:
+    ctes = ",".join(_bpe_round_ctes(k) for k in range(1, BPE_ROUNDS + 1))
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH w0 AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> regexp_matches(t, '^[a-z0-9]+$')))
+                   AS word
+            FROM documents
+        ) GROUP BY 1
+    ),
+    s0 AS (
+        SELECT word, freq,
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> substr(word, CAST(i AS INT), 1)),
+                           '_') AS syms
+        FROM w0
+    ),{ctes}
+    SELECT CAST(round AS INT) AS round, pa, pb, pa || pb AS merged, cnt
+    FROM ({union})
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("bpe_train", q_bpe_train, _bpe_oracle(),
+                  ("pipeline", "llm", "tokenizer"),
+                  "Distributed BPE merge learning: 4 iterative rounds of "
+                  "pair-count -> global argmax -> fold-applied merge, "
+                  "exactly oracled via the identical list_reduce fold."),
         QuerySpec("sample_weighted", q_sample_weighted, _sample_weighted_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact one-pass weighted sampling without replacement "

@@ -786,15 +786,19 @@ def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFra
     ).write.mode("overwrite").parquet(out)
 
     def attach(batch_df, batch_id):
+        from dfs_w_mapreduce_spark.operators.dedup import _merge_join
+
         sh_b = _shingles_of(batch_df).filter(F.size("sh") > 0)
+        # base band index + base shingles are corpus-cardinality with
+        # string payloads — size-gated like every shingle-class join side
         cand = (
             _bands_of(sh_b)
             .withColumnRenamed("doc_id", "new_id")
-            .join(spark.read.parquet(f"{idx}/bands"), ["band", "sig"])
+            .join(_merge_join(spark.read.parquet(f"{idx}/bands"), sf_dir),
+                  ["band", "sig"])
             .select("new_id", "base_id")
             .distinct()
         )
-        from dfs_w_mapreduce_spark.operators.dedup import _merge_join
 
         sa = sh_b.alias("sa")
         sb = _merge_join(spark.read.parquet(f"{idx}/shingles"), sf_dir).alias("sb")

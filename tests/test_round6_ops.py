@@ -94,6 +94,39 @@ def test_table_diff_counts_conserve(spark, sf_dir):
     assert sum(n.values()) == tot - 0  # every key classified once
 
 
+def test_bpe_train_merge_semantics(spark, sf_dir):
+    """BPE invariants: BPE_ROUNDS rows, counts non-increasing is NOT
+    guaranteed (a merge can create a new frequent pair) but every
+    round's winning count must be positive and the merged symbol the
+    concatenation of its parts; round 1's pair must equal the true
+    argmax adjacent-pair count recomputed naively in Python."""
+    from collections import Counter
+    import re
+
+    from dfs_w_mapreduce_spark.operators.pipeline import BPE_ROUNDS, q_bpe_train
+
+    rows = sorted(q_bpe_train(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, BPE_ROUNDS + 1))
+    for r in rows:
+        assert r.merged == r.pa + r.pb
+        assert r.cnt > 0
+    # naive recomputation of round 1
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    counts: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if not re.fullmatch(r"[a-z0-9]+", w):
+                continue
+            syms = list(w) + ["_"]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += 1
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (rows[0].pa, rows[0].pb) == best[0]
+    assert rows[0].cnt == best[1]
+
+
 def test_decontaminate_semantic_contained_in_pairs(spark, sf_dir):
     """Every flagged (corpus, bench) match must be a verified LSH
     pair at the threshold, and no flagged corpus id may itself be a
