@@ -138,6 +138,9 @@ HEADLINE = [
     # scanline reconstruction in the Arrow batch UDF) replacing the
     # cheap BMP-only path — a feature's honest cost, not a plan
     # regression; the work is embarrassingly parallel per file.
+    # r5 -> r6 ~1.6s -> ~2.5s is the baseline-JPEG codec added in r6
+    # (FDCT encode + general Huffman/IDCT decode per doc) — the same
+    # honest-feature-cost class.
     "pack_sequences",
     "scd2_build",
     "hierarchy_closure",

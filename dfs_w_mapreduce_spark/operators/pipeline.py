@@ -834,7 +834,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN acc || x ELSE acc || '|' || x END), 2), '\\\\|')
                 """
             ).alias("syms"),
-        )
+        ).cache()  # vocab-sized; stops round k's union branch from
+        # re-deriving every earlier round's fold chain
     out = best_rows[0]
     for b in best_rows[1:]:
         out = out.unionByName(b)

