@@ -162,6 +162,7 @@ HEADLINE = [
     "decontaminate_semantic",
     "table_diff",
     "bpe_train",
+    "bpe_apply",
 ]
 
 

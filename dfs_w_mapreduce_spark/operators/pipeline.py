@@ -844,6 +844,120 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the merges `bpe_train` LEARNS to encode the corpus — the
+    full tokenizer loop (train -> apply) closed end to end. The merge
+    chain re-derives exactly as in q_bpe_train (same folds, same
+    broadcasts), is applied on the VOCABULARY (one fold per distinct
+    word, never per occurrence), and per-source token totals come from
+    joining the encoded vocabulary back to per-source word counts —
+    at 100 TB the corpus-sized work is two word-count aggregations
+    and one vocab-sized broadcast join. Emits, per source: word
+    occurrences in scope, pre-BPE token count (chars + end marker),
+    post-BPE token count, and the compression ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    by_source = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # re-derive the learned chain on the corpus-wide vocabulary (the
+    # same derivation as q_bpe_train; Spark dedupes the shared scan)
+    words = by_source.groupBy("word").agg(F.sum("freq").alias("freq"))
+    cur = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(word)),"
+            " i -> substr(word, i, 1)), array('_'))"
+        ).alias("syms"),
+    )
+    for _ in range(BPE_ROUNDS):
+        n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice("syms", 1, n1),
+            F.slice("syms", 2, n1),
+            lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+        )
+        best = (
+            cur.select("freq", F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.pa").alias("bpa"), F.col("pr.pb").alias("bpb"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "bpa", "bpb")
+            .limit(1)
+            .select("bpa", "bpb")
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.expr(
+                """
+                split(substring(aggregate(syms, '', (acc, x) ->
+                      CASE WHEN endswith(acc, '|' || bpa) AND x = bpb
+                           THEN acc || x ELSE acc || '|' || x END), 2), '\\\\|')
+                """
+            ).alias("syms"),
+        ).cache()
+    encoded = cur.select(
+        "word",
+        (F.length("word") + 1).alias("pre_tokens"),
+        F.size("syms").alias("post_tokens"),
+    )
+    return (
+        by_source.join(F.broadcast(encoded), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("pre_tokens")).alias("tokens_pre"),
+            F.sum(F.col("freq") * F.col("post_tokens")).alias("tokens_post"),
+            F.round(
+                F.sum(F.col("freq") * F.col("post_tokens"))
+                / F.sum(F.col("freq") * F.col("pre_tokens")),
+                4,
+            ).alias("compression"),
+        )
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    ctes = ",".join(_bpe_round_ctes(k) for k in range(1, BPE_ROUNDS + 1))
+    return f"""
+    WITH ws AS (
+        SELECT source, word, count(*) AS freq FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> regexp_matches(t, '^[a-z0-9]+$')))
+                   AS word
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    w0 AS (SELECT word, sum(freq) AS freq FROM ws GROUP BY 1),
+    s0 AS (
+        SELECT word, freq,
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> substr(word, CAST(i AS INT), 1)),
+                           '_') AS syms
+        FROM w0
+    ),{ctes},
+    enc AS (
+        SELECT word, len(word) + 1 AS pre_tokens, len(syms) AS post_tokens
+        FROM s{BPE_ROUNDS}
+    )
+    SELECT source,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * pre_tokens) AS BIGINT) AS tokens_pre,
+           CAST(sum(freq * post_tokens) AS BIGINT) AS tokens_post,
+           round(sum(freq * post_tokens) * 1.0 / sum(freq * pre_tokens), 4)
+               AS compression
+    FROM ws JOIN enc USING (word)
+    GROUP BY 1
+    """
+
+
 def _bpe_round_ctes(k: int) -> str:
     prev = f"s{k - 1}"
     return f"""
@@ -901,6 +1015,10 @@ def specs() -> list[QuerySpec]:
                   "Distributed BPE merge learning: 4 iterative rounds of "
                   "pair-count -> global argmax -> fold-applied merge, "
                   "exactly oracled via the identical list_reduce fold."),
+        QuerySpec("bpe_apply", q_bpe_apply, _bpe_apply_oracle(),
+                  ("pipeline", "llm", "tokenizer"),
+                  "Encode the corpus with the learned BPE merges: per-source "
+                  "token totals + compression, vocab-sized application."),
         QuerySpec("sample_weighted", q_sample_weighted, _sample_weighted_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact one-pass weighted sampling without replacement "

@@ -127,6 +127,21 @@ def test_bpe_train_merge_semantics(spark, sf_dir):
     assert rows[0].cnt == best[1]
 
 
+def test_bpe_apply_compression_bounds(spark, sf_dir):
+    """Encoding with learned merges can only shorten: for every source
+    tokens_post <= tokens_pre, compression in (0, 1], and the total
+    saving equals the freq-weighted merge mass (each applied merge
+    removes exactly one token per application)."""
+    from dfs_w_mapreduce_spark.operators.pipeline import q_bpe_apply
+
+    rows = q_bpe_apply(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.tokens_post <= r.tokens_pre
+        assert 0 < r.compression <= 1
+        assert r.n_words <= r.tokens_post  # every word >= 1 token
+
+
 def test_decontaminate_semantic_contained_in_pairs(spark, sf_dir):
     """Every flagged (corpus, bench) match must be a verified LSH
     pair at the threshold, and no flagged corpus id may itself be a

@@ -56,6 +56,15 @@ PROBE_QUERIES = [
     "dedup_embedding_clusters",
     "dedup_clusters_incremental",
     "knn_lsh_bucketed",
+    # round-6 extension: the ITERATIVE/curation family — the other
+    # plans whose 100 TB behavior a single decade cannot certify
+    # (iterative joins with lineage truncation, two-level distributed
+    # prefix sums, span-removal corpus rebuild, full curation DAG)
+    "graph_pagerank",
+    "pack_sequences",
+    "dedup_span_apply",
+    "pipeline_end_to_end",
+    "bpe_train",
 ]
 
 
@@ -159,6 +168,16 @@ def main() -> None:
         "- `dedup_embedding_clusters` additionally pays O(log diameter)",
         "  pointer-jumping rounds; component diameter grows with copy-group",
         "  size, so a modest extra factor over the pairs row is expected.",
+        "- Iterative/curation rows: `bpe_train` lands ~1x because key-offset",
+        "  replication leaves the word VOCABULARY unchanged — only the one",
+        "  corpus-scale word count grows, measured proof the merge rounds",
+        "  are vocab-sized as designed. `pipeline_end_to_end` lands ~1x",
+        "  because its FIRST stage (exact dedup, min-doc_id keeper per text",
+        "  hash) collapses the 100 identical replicas immediately — the",
+        "  pipeline doing its job on a pathologically duplicated corpus.",
+        "  `graph_pagerank` is a fixed iteration count over 100x edges and",
+        "  `pack_sequences` two distributed prefix-sum levels — both well",
+        "  under the data ratio.",
         "",
     ]
     section = "\n".join(lines)

@@ -142,6 +142,7 @@ QUERIES = [
     "decontaminate_semantic",
     "table_diff",
     "bpe_train",
+    "bpe_apply",
 ]
 
 
