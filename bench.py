@@ -163,6 +163,7 @@ HEADLINE = [
     "table_diff",
     "bpe_train",
     "bpe_apply",
+    "corpus_datasheet",
 ]
 
 

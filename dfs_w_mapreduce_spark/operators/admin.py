@@ -210,8 +210,83 @@ TABLE_DIFF_ORACLE = """
 """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATASHEET — the governance summary a training
+    run records next to its data ('datasheets for datasets'): volume
+    (docs, whitespace tokens, mean chars), exact-duplicate rate
+    (1 - distinct text hashes / docs), and the dominant declared
+    language with its share (ties broken lexicographically). One
+    corpus-scale aggregation per grain plus a window over
+    source x lang cells — at 100 TB this is two linear passes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    base = (
+        d.select("source", "lang", "n_chars", F.md5("text").alias("fp"),
+                 F.size(toks).cast("long").alias("n_toks"))
+    )
+    stats = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            1 - F.countDistinct("fp") / F.count("*"), 4
+        ).alias("dup_rate"),
+    )
+    from pyspark.sql import Window as W
+
+    cells = base.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    win = W.partitionBy("source").orderBy(F.desc("n"), F.col("lang"))
+    top = (
+        cells.withColumn("rk", F.row_number().over(win))
+        .withColumn("tot", F.sum("n").over(W.partitionBy("source")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("n") / F.col("tot"), 4).alias("top_lang_share"),
+        )
+    )
+    return stats.join(top, "source")
+
+
+CORPUS_DATASHEET_ORACLE = """
+    WITH base AS (
+        SELECT source, lang, n_chars, md5(text) AS fp,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS n_toks
+        FROM documents
+    ),
+    stats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(1 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_rate
+        FROM base GROUP BY 1
+    ),
+    top AS (
+        SELECT source, lang AS top_lang,
+               round(n * 1.0 / tot, 4) AS top_lang_share
+        FROM (
+            SELECT source, lang, count(*) AS n,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, lang) AS rk,
+                   sum(count(*)) OVER (PARTITION BY source) AS tot
+            FROM base GROUP BY source, lang
+        ) WHERE rk = 1
+    )
+    SELECT source, n_docs, n_tokens, avg_chars, dup_rate,
+           top_lang, top_lang_share
+    FROM stats JOIN top USING (source)
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("corpus_datasheet", q_corpus_datasheet, CORPUS_DATASHEET_ORACLE,
+                  ("admin", "llm", "governance"),
+                  "Per-source corpus datasheet: volume, token mass, exact-dup "
+                  "rate, dominant language + share."),
         QuerySpec("table_diff", q_table_diff, TABLE_DIFF_ORACLE,
                   ("admin", "versioning"),
                   "Snapshot diff via key join + row digests: added/removed/"

@@ -142,6 +142,27 @@ def test_bpe_apply_compression_bounds(spark, sf_dir):
         assert r.n_words <= r.tokens_post  # every word >= 1 token
 
 
+def test_corpus_datasheet_consistency(spark, sf_dir):
+    """Datasheet totals must reconcile with the raw table: sum of
+    per-source docs = corpus docs; rates and shares in valid ranges;
+    top_lang actually is a modal language for its source."""
+    from dfs_w_mapreduce_spark.operators.admin import q_corpus_datasheet
+
+    rows = q_corpus_datasheet(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    modal = {
+        (r.source, r.lang): r.n
+        for r in d.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert 0 <= r.dup_rate < 1
+        assert 0 < r.top_lang_share <= 1
+        assert r.n_tokens >= r.n_docs
+        src_max = max(v for (s, _), v in modal.items() if s == r.source)
+        assert modal[(r.source, r.top_lang)] == src_max
+
+
 def test_decontaminate_semantic_contained_in_pairs(spark, sf_dir):
     """Every flagged (corpus, bench) match must be a verified LSH
     pair at the threshold, and no flagged corpus id may itself be a

@@ -143,6 +143,7 @@ QUERIES = [
     "table_diff",
     "bpe_train",
     "bpe_apply",
+    "corpus_datasheet",
 ]
 
 
