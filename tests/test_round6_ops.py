@@ -142,6 +142,34 @@ def test_bpe_apply_compression_bounds(spark, sf_dir):
         assert r.n_words <= r.tokens_post  # every word >= 1 token
 
 
+def test_merge_join_gate_and_dir_sizing(spark, sf_dir, tmp_path):
+    """Pins the two 100x-probe findings: (a) the merge hint must
+    actually defeat Catalyst's auto-broadcast (absence of a hint is
+    not enough); (b) source_size() on directory-style parquet must sum
+    the part files, not report the ~4KB dirent that mis-gated a 55MB
+    table as broadcastable."""
+    from dfs_w_mapreduce_spark.catalog import source_size
+    from dfs_w_mapreduce_spark.operators.dedup import _merge_join
+
+    small = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = spark.range(1000).withColumnRenamed("id", "doc_id")
+    hinted = probe.join(_merge_join(small, None), "doc_id")
+    plan = hinted._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    # gated path at fixture scale: tiny source => explicit broadcast
+    gated = probe.join(_merge_join(small, sf_dir), "doc_id")
+    gplan = gated._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in gplan
+    # directory-style parquet sizing
+    out = str(tmp_path / "documents.parquet")
+    small.limit(200).repartition(4).write.mode("overwrite").parquet(out)
+    import os
+
+    dir_entry = os.path.getsize(out)
+    summed = source_size(str(tmp_path), "documents")
+    assert summed is not None and summed > dir_entry
+
+
 def test_corpus_datasheet_consistency(spark, sf_dir):
     """Datasheet totals must reconcile with the raw table: sum of
     per-source docs = corpus docs; rates and shares in valid ranges;
