@@ -75,11 +75,27 @@ def decode_image(payload: bytes) -> "object":
 import struct
 
 
-def build_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
-    """Minimal valid 16-bit PCM WAV: RIFF header + fmt + data chunks."""
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 test waveform, arithmetic-mirrorable in SQL."""
+    return (doc_id * 7 + i * 13) % 4096 - 2048
+
+
+def build_wav(
+    sample_rate: int, n_channels: int, n_samples: int, doc_id: int | None = None
+) -> bytes:
+    """Minimal valid 16-bit PCM WAV: RIFF header + fmt + data chunks.
+    With `doc_id` given, the data chunk carries the REAL deterministic
+    waveform (interleaved across channels); without it, silence."""
     bits = 16
     block_align = n_channels * bits // 8
-    data_size = n_samples * block_align
+    n_values = n_samples * n_channels
+    data_size = n_values * 2
+    if doc_id is None:
+        data = bytes(data_size)
+    else:
+        data = struct.pack(
+            f"<{n_values}h", *(_wav_sample(doc_id, i) for i in range(n_values))
+        )
     return (
         b"RIFF"
         + struct.pack("<I", 36 + data_size)
@@ -97,7 +113,7 @@ def build_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
         )
         + b"data"
         + struct.pack("<I", data_size)
-        + bytes(data_size)
+        + data
     )
 
 
@@ -123,6 +139,32 @@ def decode_wav(b: bytes) -> dict:
             out["data_size"] = csize
         pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
     return out
+
+
+def decode_wav_pcm(b: bytes) -> dict:
+    """REAL PCM decode: walks the RIFF chunks to the data chunk,
+    unpacks the int16 little-endian samples, and returns per-file
+    signal statistics (count, sum of |s|, max |s|, sum of s^2) —
+    the feature-extraction step done on actual decoded audio, not a
+    stand-in. Raises on malformed containers."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"data":
+            raw = b[pos + 8 : pos + 8 + csize]
+            if len(raw) != csize or csize % 2:
+                raise ValueError("truncated data chunk")
+            vals = struct.unpack(f"<{csize // 2}h", raw)
+            return {
+                "n_values": len(vals),
+                "sum_abs": sum(abs(v) for v in vals),
+                "max_abs": max((abs(v) for v in vals), default=0),
+                "sq_sum": sum(v * v for v in vals),
+            }
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("missing data chunk")
 
 
 def build_bmp(width: int, height: int) -> bytes:
@@ -586,7 +628,8 @@ DECODE_SCHEMA = (
     "png_width int, png_height int, png_bit_depth int, png_color_type int, "
     "png_raw_len long, png_pixel_sum long, "
     "jpg_width int, jpg_height int, jpg_pixel_sum long, "
-    "jpg_px00 int, jpg_px10 int"
+    "jpg_px00 int, jpg_px10 int, "
+    "pcm_n long, pcm_sum_abs long, pcm_max_abs int, pcm_sq_sum long"
 )
 
 
@@ -603,7 +646,9 @@ def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             rate = 8000 * (1 + doc_id % 3)
             ch = 1 + doc_id % 2
             n_samples = n_chars % 1000 + 1
-            wav = decode_wav(build_wav(rate, ch, n_samples))
+            wav_bytes = build_wav(rate, ch, n_samples, doc_id)
+            wav = decode_wav(wav_bytes)
+            pcm = decode_wav_pcm(wav_bytes)
             width = n_chars % 64 + 1
             height = doc_id % 48 + 1
             bmp = decode_bmp(build_bmp(width, height))
@@ -621,6 +666,8 @@ def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     png["color_type"], png["raw_len"], png["pixel_sum"],
                     jpg["width"], jpg["height"], jpg["pixel_sum"],
                     jpg["px00"], jpg["px10"],
+                    pcm["n_values"], pcm["sum_abs"], pcm["max_abs"],
+                    pcm["sq_sum"],
                 )
             )
         yield pd.DataFrame(
@@ -633,6 +680,7 @@ def _build_decode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "png_raw_len", "png_pixel_sum",
                 "jpg_width", "jpg_height", "jpg_pixel_sum",
                 "jpg_px00", "jpg_px10",
+                "pcm_n", "pcm_sum_abs", "pcm_max_abs", "pcm_sq_sum",
             ],
         )
 
@@ -648,10 +696,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictor, AC run-length with two forced ZRLs per block,
     dequantize, de-zigzag, float IDCT — block content chosen so
     quantization is exact, keeping the lossy format SQL-checkable).
-    The oracle recomputes every decoded field — including the PNG
-    pixel-byte sum and the JPEG pixel sum / probe pixels — from the
-    same params, so builder->parser roundtrips are hash-verified end
-    to end."""
+    The WAV files now carry a REAL deterministic int16 waveform and
+    the decode path computes signal statistics (sum |s|, max |s|,
+    sum s^2) from the actually-unpacked PCM samples — audio feature
+    extraction on decoded audio, not a stand-in. The oracle recomputes
+    every decoded field — including the PNG pixel-byte sum, the JPEG
+    pixel sum / probe pixels, and the PCM statistics — from the same
+    params, so builder->parser roundtrips are hash-verified end to
+    end."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", "n_chars").mapInPandas(
         _build_decode_media, schema=DECODE_SCHEMA
@@ -673,6 +725,22 @@ MULTIMODAL_DECODE_ORACLE = """
         FROM p,
              LATERAL (SELECT unnest(range(0, pw)) AS x) gx,
              LATERAL (SELECT unnest(range(0, ph)) AS y) gy
+        GROUP BY doc_id
+    )
+    , pcm AS (
+        -- arithmetic twin of the REAL decoded PCM waveform:
+        -- s(i) = (doc_id*7 + i*13) % 4096 - 2048 over the interleaved
+        -- n_samples * n_channels int16 values
+        SELECT doc_id,
+               count(*) AS pcm_n,
+               SUM(abs((doc_id * 7 + i * 13) % 4096 - 2048)) AS pcm_sum_abs,
+               MAX(abs((doc_id * 7 + i * 13) % 4096 - 2048)) AS pcm_max_abs,
+               SUM(((doc_id * 7 + i * 13) % 4096 - 2048)
+                   * ((doc_id * 7 + i * 13) % 4096 - 2048)) AS pcm_sq_sum
+        FROM (SELECT doc_id,
+                     (n_chars % 1000 + 1) * (1 + doc_id % 2) AS nv
+              FROM documents) t,
+             LATERAL (SELECT unnest(range(0, nv)) AS i) gi
         GROUP BY doc_id
     )
     SELECT d.doc_id,
@@ -699,10 +767,15 @@ MULTIMODAL_DECODE_ORACLE = """
            -- probe pixels pin the AC coefficient k and its sign pattern:
            -- px(0,0) = v(0,0) + k, px(1,0) = v(0,0) - k
            CAST(16 + (d.doc_id * 31) % 224 + 1 + d.doc_id % 4 AS INT) AS jpg_px00,
-           CAST(16 + (d.doc_id * 31) % 224 - (1 + d.doc_id % 4) AS INT) AS jpg_px10
+           CAST(16 + (d.doc_id * 31) % 224 - (1 + d.doc_id % 4) AS INT) AS jpg_px10,
+           CAST(pcm.pcm_n AS BIGINT) AS pcm_n,
+           CAST(pcm.pcm_sum_abs AS BIGINT) AS pcm_sum_abs,
+           CAST(pcm.pcm_max_abs AS INT) AS pcm_max_abs,
+           CAST(pcm.pcm_sq_sum AS BIGINT) AS pcm_sq_sum
     FROM documents d
     JOIN p USING (doc_id)
     JOIN ps USING (doc_id)
+    JOIN pcm USING (doc_id)
     JOIN (
         -- arithmetic twin of the JPEG block grid: each 8x8 block is
         -- constant v(bx,by) plus a zero-sum AC pattern, so the block

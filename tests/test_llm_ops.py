@@ -202,6 +202,23 @@ def test_wav_roundtrip_and_malformed():
         M.decode_wav(b"NOT A WAV FILE AT ALL")
 
 
+def test_wav_pcm_real_samples_roundtrip():
+    """The data chunk carries a real waveform and decode_wav_pcm
+    unpacks the actual int16 values: statistics must equal the direct
+    arithmetic over the generator, and truncation must be detected."""
+    doc_id, ch, n = 987, 2, 33
+    stats = M.decode_wav_pcm(M.build_wav(8000, ch, n, doc_id))
+    vals = [M._wav_sample(doc_id, i) for i in range(ch * n)]
+    assert stats == {
+        "n_values": ch * n,
+        "sum_abs": sum(abs(v) for v in vals),
+        "max_abs": max(abs(v) for v in vals),
+        "sq_sum": sum(v * v for v in vals),
+    }
+    with pytest.raises(ValueError, match="truncated|missing"):
+        M.decode_wav_pcm(M.build_wav(8000, ch, n, doc_id)[:-5])
+
+
 def test_bmp_roundtrip_row_alignment_and_malformed():
     # width=3 -> 9 pixel bytes/row, padded to 12: alignment must be
     # consistent between builder and parser via file_size
