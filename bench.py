@@ -164,6 +164,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_apply",
     "corpus_datasheet",
+    "quality_rank_ensemble",
 ]
 
 

@@ -93,6 +93,99 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TQ_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+RANK_KEEP_PCT = 0.2
+
+
+def q_quality_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality score, PERCENTILE-RANKED without a global
+    window: the production normalization step (keep the top 80% by
+    rank, not by an absolute threshold that drifts per corpus).
+
+    Scale design — the distributed-rank pattern: a naive
+    percent_rank() over the corpus needs a single-partition global
+    sort, a non-starter at 100 TB. Instead: (1) round the score to
+    6 dp, which BOUNDS the distinct-score domain to <= 1e6+1 values
+    regardless of corpus size; (2) aggregate a per-score histogram
+    (one corpus-scale shuffle on a bounded key domain); (3) run the
+    cumulative count over the tiny distinct-score frame; (4) join
+    ranks back broadcast. percent_rank = strictly-lower / (N - 1)
+    (the SQL definition) — and the DuckDB oracle computes it with the
+    ENGINE-NATIVE percent_rank() window, so the distributed
+    implementation is checked against an independent one rather than
+    a mirror of itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[^A-Za-z0-9 ]"), F.lit(0))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    score = F.round(
+        0.5 * n_stop / 10
+        + 0.3 * F.least(n_chars / 500, F.lit(1.0))
+        + 0.2
+        * (1 - F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 4, F.lit(1.0))),
+        6,
+    )
+    scored = d.select("doc_id", score.alias("score"))
+    hist = scored.groupBy("score").agg(F.count("*").alias("cnt"))
+    # window over DISTINCT scores only — bounded <= 1e6+1 rows by the
+    # 6-dp rounding, so the unpartitioned frame is safe at any scale
+    wcum = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cum_le", F.sum("cnt").over(wcum)).select(
+        "score", (F.col("cum_le") - F.col("cnt")).alias("n_lower")
+    )
+    total = hist.agg(F.sum("cnt").alias("n_total"))
+    pr = F.when(
+        F.col("n_total") > 1,
+        F.round(F.col("n_lower") / (F.col("n_total") - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(F.broadcast(cum), "score")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "score",
+            pr.alias("pct_rank"),
+            (pr >= RANK_KEEP_PCT).alias("keep"),
+        )
+    )
+
+
+QUALITY_RANK_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+               len(list_intersect(list_distinct(
+                       list_filter(string_split_regex(text, '\\s+'), t -> t <> '')),
+                   ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(0.5 * n_stop / 10
+                     + 0.3 * least(n_chars / 500, 1.0)
+                     + 0.2 * (1 - least(n_punct / greatest(n_chars, 1.0) * 4, 1.0)),
+                     6) AS score
+        FROM base
+    ),
+    ranked AS (
+        SELECT doc_id, score,
+               CASE WHEN count(*) OVER () > 1
+                    THEN round(percent_rank() OVER (ORDER BY score), 6)
+                    ELSE 0.0 END AS pct_rank
+        FROM scored
+    )
+    SELECT doc_id, score, pct_rank, pct_rank >= {RANK_KEEP_PCT} AS keep
+    FROM ranked
+"""
+
+
 TEXT_QUALITY_ORACLE = f"""
     WITH base AS (
         SELECT doc_id, text,
@@ -1056,6 +1149,11 @@ def specs() -> list[QuerySpec]:
                   "Whitespace/BPE-ish/distinct token counts."),
         QuerySpec("text_quality", q_text_quality, TEXT_QUALITY_ORACLE, ("text", "llm"),
                   "Length/punct/digit/stopword quality battery + composite score."),
+        QuerySpec("quality_rank_ensemble", q_quality_rank_ensemble,
+                  QUALITY_RANK_ORACLE, ("text", "llm", "quality"),
+                  "Ensemble score percentile-ranked via bounded-domain "
+                  "histogram join (no global window); oracle uses native "
+                  "percent_rank as an independent check."),
         QuerySpec("quality_threshold_sweep", q_quality_threshold_sweep,
                   _quality_sweep_oracle(), ("text", "llm", "curation"),
                   "Docs/tokens keep-rate curve across quality thresholds, one scan."),

@@ -142,6 +142,28 @@ def test_bpe_apply_compression_bounds(spark, sf_dir):
         assert r.n_words <= r.tokens_post  # every word >= 1 token
 
 
+def test_quality_rank_ensemble_is_percent_rank(spark, sf_dir):
+    """The histogram-join rank must equal the textbook percent_rank:
+    recompute (strictly-lower)/(N-1) naively in Python over collected
+    scores; monotone in score; keep fraction ~= 1 - RANK_KEEP_PCT."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        RANK_KEEP_PCT,
+        q_quality_rank_ensemble,
+    )
+
+    rows = q_quality_rank_ensemble(spark, sf_dir).collect()
+    scores = sorted(r.score for r in rows)
+    n = len(rows)
+    import bisect
+
+    for r in rows:
+        expect = round(bisect.bisect_left(scores, r.score) / (n - 1), 6)
+        assert r.pct_rank == expect, (r.doc_id, r.pct_rank, expect)
+        assert r.keep == (r.pct_rank >= RANK_KEEP_PCT)
+    kept = sum(r.keep for r in rows) / n
+    assert 0.7 <= kept <= 0.9  # ~80% modulo ties at the cut
+
+
 def test_merge_join_gate_and_dir_sizing(spark, sf_dir, tmp_path):
     """Pins the two 100x-probe findings: (a) the merge hint must
     actually defeat Catalyst's auto-broadcast (absence of a hint is

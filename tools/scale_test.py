@@ -144,6 +144,7 @@ QUERIES = [
     "bpe_train",
     "bpe_apply",
     "corpus_datasheet",
+    "quality_rank_ensemble",
 ]
 
 
