@@ -165,6 +165,7 @@ HEADLINE = [
     "bpe_apply",
     "corpus_datasheet",
     "quality_rank_ensemble",
+    "stream_cdc_store_live",
 ]
 
 

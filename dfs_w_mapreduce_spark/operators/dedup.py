@@ -1338,6 +1338,62 @@ def _dedup_apply_embedding_oracle() -> str:
 CDC_W = 8    # rolling window width (chars)
 CDC_DIV = 32  # boundary divisor => expected chunk length ~32 + W
 
+# chunk-end positions per document (shared by the batch stats query
+# and the live incremental chunk store in streaming/windows.py)
+CDC_ENDS_EXPR = f"""
+    array_sort(array_distinct(concat(
+      transform(
+        filter(
+          CASE WHEN length(text) >= {CDC_W}
+               THEN sequence(1, length(text) - {CDC_W} + 1)
+               ELSE CAST(array() AS ARRAY<INT>) END,
+          i -> CAST(conv(substr(md5(substr(text, i, {CDC_W})), 1, 15),
+                         16, 10) AS BIGINT) % {CDC_DIV} = 0),
+        i -> i + {CDC_W} - 1),
+      array(length(text)))))
+"""
+# chunk strings from a materialized `e` ends column + `text`
+CDC_CHUNKS_EXPR = """
+    transform(sequence(1, size(e)),
+      j -> substr(text,
+                  (CASE WHEN j = 1 THEN 0 ELSE element_at(e, j - 1) END) + 1,
+                  element_at(e, j)
+                  - (CASE WHEN j = 1 THEN 0 ELSE element_at(e, j - 1) END)))
+"""
+# DuckDB twin: one row per (doc_id, source, chunk)
+CDC_CHUNKS_SQL = f"""
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(e) + 1),
+               j -> substr(text,
+                           CAST(CASE WHEN j = 1 THEN 0
+                                ELSE e[CAST(j AS INT) - 1] END AS INT) + 1,
+                           CAST(e[CAST(j AS INT)]
+                                - CASE WHEN j = 1 THEN 0
+                                  ELSE e[CAST(j AS INT) - 1] END AS INT)))) AS chunk
+    FROM (
+        SELECT doc_id, source, text,
+            list_sort(list_distinct(
+                list_append(
+                    list_transform(
+                        list_filter(range(1, greatest(len(text) - {CDC_W} + 2, 1)),
+                            i -> (CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {CDC_W})), 1, 15))
+                                       AS BIGINT)) % {CDC_DIV} = 0),
+                        i -> i + {CDC_W} - 1),
+                    len(text)))) AS e
+        FROM documents
+    )
+"""
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk) rows for every document in `d` — the
+    shared chunking step; e is materialized first so element_at reads
+    an attribute, not a re-evaluated expression."""
+    ends = d.select("doc_id", "source", "text", F.expr(CDC_ENDS_EXPR).alias("e"))
+    return ends.select(
+        "doc_id", "source", F.explode(F.expr(CDC_CHUNKS_EXPR)).alias("chunk")
+    )
+
 
 def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking of every document + corpus-level chunk
@@ -1348,44 +1404,7 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, and the storage dedup ratio. The chunk arrays reassemble
     to the exact document (asserted in tests), so this IS a valid
     store layout, not a sketch."""
-    d = load_table(spark, sf_dir, "documents")
-    ends = d.select(
-        "doc_id",
-        "source",
-        "text",
-        F.expr(
-            f"""
-            array_sort(array_distinct(concat(
-              transform(
-                filter(
-                  CASE WHEN length(text) >= {CDC_W}
-                       THEN sequence(1, length(text) - {CDC_W} + 1)
-                       ELSE CAST(array() AS ARRAY<INT>) END,
-                  i -> CAST(conv(substr(md5(substr(text, i, {CDC_W})), 1, 15),
-                                 16, 10) AS BIGINT) % {CDC_DIV} = 0),
-                i -> i + {CDC_W} - 1),
-              array(length(text)))))
-            """
-        ).alias("e"),
-    )
-    # e is a materialized attribute here, so element_at(e, j) below is
-    # a plain array index — NOT the re-evaluated-expression quadratic
-    # trap (element_at over an inline expression array).
-    chunks = ends.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                """
-                transform(sequence(1, size(e)),
-                  j -> substr(text,
-                              (CASE WHEN j = 1 THEN 0 ELSE element_at(e, j - 1) END) + 1,
-                              element_at(e, j)
-                              - (CASE WHEN j = 1 THEN 0 ELSE element_at(e, j - 1) END)))
-                """
-            )
-        ).alias("chunk"),
-    )
+    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
     return (
         chunks.groupBy("source")
         .agg(
@@ -1401,29 +1420,7 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_CHUNK_ORACLE = f"""
-    WITH ends AS (
-        SELECT doc_id, source, text,
-            list_sort(list_distinct(
-                list_append(
-                    list_transform(
-                        list_filter(range(1, greatest(len(text) - {CDC_W} + 2, 1)),
-                            i -> (CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {CDC_W})), 1, 15))
-                                       AS BIGINT)) % {CDC_DIV} = 0),
-                        i -> i + {CDC_W} - 1),
-                    len(text)))) AS e
-        FROM documents
-    ),
-    chunks AS (
-        SELECT doc_id, source,
-               unnest(list_transform(range(1, len(e) + 1),
-                   j -> substr(text,
-                               CAST(CASE WHEN j = 1 THEN 0
-                                    ELSE e[CAST(j AS INT) - 1] END AS INT) + 1,
-                               CAST(e[CAST(j AS INT)]
-                                    - CASE WHEN j = 1 THEN 0
-                                      ELSE e[CAST(j AS INT) - 1] END AS INT)))) AS chunk
-        FROM ends
-    )
+    WITH chunks AS ({CDC_CHUNKS_SQL})
     SELECT source,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_chunks,

@@ -853,6 +853,90 @@ def _stream_dedup_incremental_oracle() -> str:
     """
 
 
+def q_stream_cdc_store_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk STORE maintained LIVE — the incremental
+    storage-dedup loop a continuously-fed archive runs: the document
+    stream replays as 3 micro-batches, each batch chunks its documents
+    with the SAME boundary predicate as the batch query
+    (dedup.cdc_chunks — stream and batch can never chunk differently),
+    anti-joins the batch's chunk digests against the PERSISTED store,
+    and appends only unseen chunks. Per-batch work is proportional to
+    the batch plus one digest anti-join — new content costs its own
+    size, duplicate content costs one lookup.
+
+    Oracle: the final store is the distinct-chunk set of the whole
+    corpus REGARDLESS of batch composition (a chunk is stored by
+    whichever batch sees it first, exactly once), so the store's
+    aggregate stats are batch-order-independent and equal the one-shot
+    batch derivation; n_batches pins that the run was incremental."""
+    import shutil
+    import tempfile
+
+    from dfs_w_mapreduce_spark.operators.dedup import cdc_chunks
+
+    base = tempfile.mkdtemp(prefix="graft_stream_cdcstore_")
+    src, ckpt, store = f"{base}/src", f"{base}/ckpt", f"{base}/store"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # coalesce(1) first so round-robin writes exactly min(3, n) files
+    d.coalesce(1).repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    spark.createDataFrame([], "chunk_hash string, chunk_len int").write.mode(
+        "overwrite"
+    ).parquet(store)
+    n_batches = {"n": 0}
+
+    def absorb(batch_df, batch_id):
+        batch_chunks = (
+            cdc_chunks(batch_df)
+            .select(
+                F.md5("chunk").alias("chunk_hash"),
+                F.length("chunk").alias("chunk_len"),
+            )
+            .dropDuplicates(["chunk_hash"])
+        )
+        new = batch_chunks.join(
+            spark.read.parquet(store).select("chunk_hash"), "chunk_hash", "left_anti"
+        )
+        new.write.mode("append").parquet(store)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    final = spark.read.parquet(store).agg(
+        F.count("*").alias("n_distinct_chunks"),
+        F.sum("chunk_len").alias("total_chunk_chars"),
+    ).withColumn("n_batches", F.lit(n_batches["n"]))
+    final = final.localCheckpoint()
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+def _stream_cdc_store_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import CDC_CHUNKS_SQL
+
+    return f"""
+        WITH chunks AS ({CDC_CHUNKS_SQL}),
+        u AS (SELECT md5(chunk) AS h, min(len(chunk)) AS l
+              FROM chunks GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(sum(l) AS BIGINT) AS total_chunk_chars,
+               CAST(least(3, (SELECT count(*) FROM documents)) AS INT)
+                   AS n_batches
+        FROM u
+    """
+
+
 def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator executed live: per-user running counts
     through applyInPandasWithState (the arbitrary-stateful-reduce
@@ -1034,6 +1118,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("stream_stateful_live", q_stream_stateful_live,
                   STREAM_STATEFUL_ORACLE, ("streaming", "live", "stateful"),
                   "Live applyInPandasWithState running counts, oracle-verified."),
+        QuerySpec("stream_cdc_store_live", q_stream_cdc_store_live,
+                  _stream_cdc_store_oracle(),
+                  ("streaming", "live", "storage", "dedup"),
+                  "Live incremental CDC chunk store: per-batch chunk + digest "
+                  "anti-join + append-only store; final store equals the "
+                  "one-shot distinct-chunk set."),
         QuerySpec("stream_join_live", q_stream_join_live, STREAM_JOIN_LIVE_ORACLE,
                   ("streaming", "live", "join"),
                   "Live watermarked stream-stream interval join, oracle-verified."),

@@ -230,3 +230,30 @@ def test_decontaminate_semantic_contained_in_pairs(spark, sf_dir):
         assert tuple(sorted((r.corpus_id, r.bench_id))) in pairs
         assert r.max_cosine >= SEMDECON_T
         assert r.n_hits >= 1
+
+
+def test_stream_cdc_store_equals_one_shot(spark, sf_dir):
+    """The live incremental chunk store must converge to EXACTLY the
+    one-shot distinct-chunk set (same count, same total chars) and
+    must have run incrementally (n_batches = min(3, n_docs)) — the
+    idempotence property that makes per-batch digest anti-join a
+    correct store-maintenance strategy."""
+    from dfs_w_mapreduce_spark.operators.dedup import cdc_chunks
+    from dfs_w_mapreduce_spark.streaming.windows import q_stream_cdc_store_live
+
+    live = q_stream_cdc_store_live(spark, sf_dir).collect()[0]
+    one_shot = (
+        cdc_chunks(load_table(spark, sf_dir, "documents"))
+        .select(F.md5("chunk").alias("h"), F.length("chunk").alias("l"))
+        .groupBy("h")
+        .agg(F.min("l").alias("l"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l").alias("chars"),
+        )
+        .collect()[0]
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert live.n_distinct_chunks == one_shot.n
+    assert live.total_chunk_chars == one_shot.chars
+    assert live.n_batches == min(3, n_docs)

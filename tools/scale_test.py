@@ -145,6 +145,7 @@ QUERIES = [
     "bpe_apply",
     "corpus_datasheet",
     "quality_rank_ensemble",
+    "stream_cdc_store_live",
 ]
 
 
