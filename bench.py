@@ -166,6 +166,9 @@ HEADLINE = [
     "corpus_datasheet",
     "quality_rank_ensemble",
     "stream_cdc_store_live",
+    "chunk_placement",
+    "recovery_plan",
+    "store_gc",
 ]
 
 

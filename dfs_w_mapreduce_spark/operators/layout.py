@@ -582,6 +582,293 @@ CHUNK_PRUNE_ORACLE = f"""
 """
 
 
+# --- DFS control-plane analytics: placement, recovery, GC -----------
+#
+# The reference's controller assigns chunk i of a file to node
+# (i % numNodes) of its destination list, with the two following nodes
+# as forwarding replicas (controller.go:101-121 GetChunkToNodesIndex;
+# replication factor 3). The destination list is built by iterating a
+# Go map (controller.go:90), whose order is intentionally randomized
+# per process — we pin it to a deterministic per-file stand-in: the 8
+# candidate nodes ordered by md5(doc_id ':' node), an HRW/rendezvous
+# ordering that spreads files across nodes the way map-order
+# randomness does in practice, but is exactly reproducible in both
+# engines. Faithful quirk kept: the list is truncated to
+# min(numChunks, numNodes) nodes (the `counter == NumChunks` break at
+# controller.go:93), so a 1-chunk file places all 3 replica slots on
+# ONE node and a 2-chunk file duplicates a slot — exactly what the
+# reference's modular arithmetic does.
+PLACE_NODES = 8    # active node count for the placement fixture
+PLACE_CB = 256     # chunk size (chars) — docs are 44-577 chars => 1-3 chunks
+DEAD_NODE = 3      # node lost in the recovery drill
+
+# per-file node permutation: md5-ranked node ids (md5 hex || id, sort,
+# strip the 32-char digest). Single-digit ids keep substr(33,1) exact.
+_PERM_SPARK = """
+    transform(
+      array_sort(transform(sequence(0, {n} - 1),
+        n -> concat(md5(concat(cast(doc_id as string), ':',
+                               cast(n as string))),
+                    cast(n as string)))),
+      s -> cast(substr(s, 33, 1) as int))
+""".format(n=PLACE_NODES)
+
+_PERM_SQL = f"""
+    list_transform(
+      list_sort(list_transform(range(0, {PLACE_NODES}),
+        n -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(n AS VARCHAR))
+             || CAST(n AS VARCHAR))),
+      s -> CAST(substr(s, 33, 1) AS INT))
+"""
+
+# one row per (doc, chunk j) with the 3 ordered replica slots
+# s0=primary, s1/s2=forwarding targets, and the chunk's char count
+PLACEMENT_SLOTS_SQL = f"""
+    SELECT doc_id, j,
+           least({PLACE_CB}, len - j * {PLACE_CB}) AS chars,
+           perm[CAST(j % m AS INT) + 1] AS s0,
+           perm[CAST((j + 1) % m AS INT) + 1] AS s1,
+           perm[CAST((j + 2) % m AS INT) + 1] AS s2
+    FROM (
+        SELECT doc_id, len, perm, least(c, {PLACE_NODES}) AS m,
+               unnest(range(0, c)) AS j
+        FROM (
+            SELECT doc_id, length(text) AS len, {_PERM_SQL} AS perm,
+                   greatest((length(text) + {PLACE_CB - 1}) // {PLACE_CB}, 1) AS c
+            FROM documents
+        )
+    )
+"""
+
+
+def _placement_slots(d: DataFrame) -> DataFrame:
+    """(doc_id, j, chars, s0, s1, s2) for every chunk of every doc —
+    the controller's fileToChunkToNodesIndex as a DataFrame. Pure
+    expression work on a single scan: no join, no shuffle until the
+    caller aggregates."""
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.expr(_PERM_SPARK).alias("perm"),
+        F.expr(
+            f"greatest((length(text) + {PLACE_CB - 1}) div {PLACE_CB}, 1)"
+        ).alias("c"),
+    )
+    return (
+        base.select(
+            "doc_id", "len", "perm",
+            F.expr(f"least(c, {PLACE_NODES})").alias("m"),
+            F.explode(F.expr("sequence(0, c - 1)")).alias("j"),
+        )
+        .select(
+            "doc_id", "j",
+            F.expr(f"least({PLACE_CB}, len - j * {PLACE_CB})").alias("chars"),
+            F.expr("element_at(perm, cast((j % m) + 1 as int))").alias("s0"),
+            F.expr("element_at(perm, cast(((j + 1) % m) + 1 as int))").alias("s1"),
+            F.expr("element_at(perm, cast(((j + 2) % m) + 1 as int))").alias("s2"),
+        )
+    )
+
+
+def q_chunk_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica placement load report — the controller's
+    requestsPerNode / nodeToChunksIndex stats (controller.go:101-121,
+    requestsPerNode++ per slot) as one query: every document chunked
+    at {PLACE_CB} chars, each chunk assigned 3 ordered replica slots
+    by the reference's round-robin rule, then per-node totals.
+    `n_slots` counts slot assignments (duplicates included — what
+    requestsPerNode counts); `n_chunks`/`chars_stored` count distinct
+    chunks actually held (a node stores a chunk once however many
+    slots land on it — node.go stores by chunk path). Scale: explode
+    is 3x linear fan-out on a scan; two partial-agg shuffles, group
+    cardinality bounded by chunks then by n_nodes."""
+    slots = _placement_slots(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    expl = slots.selectExpr(
+        "doc_id", "j", "chars", "stack(3, 0, s0, 1, s1, 2, s2) AS (slot, node)"
+    )
+    per_chunk = expl.groupBy("node", "doc_id", "j").agg(
+        F.count("*").alias("slots_here"),
+        F.max(F.expr("CASE WHEN slot = 0 THEN 1 ELSE 0 END")).alias("is_primary"),
+        F.min("chars").alias("chars"),
+    )
+    return (
+        per_chunk.groupBy("node")
+        .agg(
+            F.sum("slots_here").alias("n_slots"),
+            F.sum("is_primary").alias("n_primary"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chars").alias("chars_stored"),
+        )
+        .orderBy("node")
+    )
+
+
+CHUNK_PLACEMENT_ORACLE = f"""
+    WITH slots AS ({PLACEMENT_SLOTS_SQL}),
+    expl AS (
+        SELECT doc_id, j, chars, 0 AS slot, s0 AS node FROM slots
+        UNION ALL
+        SELECT doc_id, j, chars, 1 AS slot, s1 AS node FROM slots
+        UNION ALL
+        SELECT doc_id, j, chars, 2 AS slot, s2 AS node FROM slots
+    ),
+    per_chunk AS (
+        SELECT node, doc_id, j, count(*) AS slots_here,
+               max(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS is_primary,
+               min(chars) AS chars
+        FROM expl GROUP BY 1, 2, 3
+    )
+    SELECT node,
+           CAST(sum(slots_here) AS BIGINT) AS n_slots,
+           CAST(sum(is_primary) AS BIGINT) AS n_primary,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chars) AS BIGINT) AS chars_stored
+    FROM per_chunk
+    GROUP BY node
+    ORDER BY node
+"""
+
+
+def q_recovery_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-loss re-replication plan — InitiateRecovery's decision
+    logic (controller.go:478-528) run for node {DEAD_NODE} as a
+    query: for every chunk with a replica slot on the dead node, the
+    sender is the FIRST node in the chunk's ordered replica list that
+    is not the dead node (FindSender, controller.go:565-574) and the
+    receiver is an active node holding no replica (FindReceiver,
+    controller.go:544-563 — reference picks by random map order; we
+    pin the lowest node id, a deterministic stand-in). A chunk whose
+    every slot is on the dead node (the 1-chunk-file quirk) is
+    `unrecoverable` — the reference aborts its whole queue on the
+    first such chunk (break at :495); we plan all chunks and report
+    the stragglers, which is what an operator needs. Output is the
+    transfer matrix: chunks and chars each sender streams to each
+    receiver."""
+    slots = _placement_slots(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    dead = DEAD_NODE
+    plan = slots.filter(
+        (F.col("s0") == dead) | (F.col("s1") == dead) | (F.col("s2") == dead)
+    ).select(
+        "chars",
+        F.expr(
+            f"CASE WHEN s0 <> {dead} THEN s0 "
+            f"WHEN s1 <> {dead} THEN s1 "
+            f"WHEN s2 <> {dead} THEN s2 END"
+        ).alias("sender_id"),
+        F.expr(
+            f"array_min(filter(sequence(0, {PLACE_NODES - 1}), "
+            f"n -> n <> {dead} AND n <> s0 AND n <> s1 AND n <> s2))"
+        ).alias("receiver_id"),
+    )
+    return (
+        plan.select(
+            F.expr(
+                "CASE WHEN sender_id IS NULL THEN 'unrecoverable' "
+                "ELSE 'copy' END"
+            ).alias("status"),
+            F.expr(
+                "CASE WHEN sender_id IS NULL THEN '(none)' "
+                "ELSE concat('node-', cast(sender_id as string)) END"
+            ).alias("sender"),
+            F.expr(
+                "CASE WHEN sender_id IS NULL THEN '(none)' "
+                "ELSE concat('node-', cast(receiver_id as string)) END"
+            ).alias("receiver"),
+            "chars",
+        )
+        .groupBy("status", "sender", "receiver")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chars").alias("chars_to_copy"),
+        )
+        .orderBy("status", "sender", "receiver")
+    )
+
+
+RECOVERY_PLAN_ORACLE = f"""
+    WITH slots AS ({PLACEMENT_SLOTS_SQL}),
+    plan AS (
+        SELECT chars,
+               CASE WHEN s0 <> {DEAD_NODE} THEN s0
+                    WHEN s1 <> {DEAD_NODE} THEN s1
+                    WHEN s2 <> {DEAD_NODE} THEN s2 END AS sender_id,
+               list_min(list_filter(range(0, {PLACE_NODES}),
+                   n -> n <> {DEAD_NODE} AND n <> s0 AND n <> s1
+                        AND n <> s2)) AS receiver_id
+        FROM slots
+        WHERE s0 = {DEAD_NODE} OR s1 = {DEAD_NODE} OR s2 = {DEAD_NODE}
+    )
+    SELECT CASE WHEN sender_id IS NULL THEN 'unrecoverable'
+                ELSE 'copy' END AS status,
+           CASE WHEN sender_id IS NULL THEN '(none)'
+                ELSE 'node-' || CAST(sender_id AS VARCHAR) END AS sender,
+           CASE WHEN sender_id IS NULL THEN '(none)'
+                ELSE 'node-' || CAST(receiver_id AS VARCHAR) END AS receiver,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chars) AS BIGINT) AS chars_to_copy
+    FROM plan
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def q_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-chunk garbage collection — the store-side consequence of
+    `delete` (client.go delete -> controller index removal): with the
+    content-defined chunk store deduplicating identical chunks across
+    documents, deleting a document may NOT free its chunks (another
+    doc may still reference them). Docs with doc_id % 10 = 0 are the
+    deleted set; a chunk is reclaimable iff every referencing doc is
+    deleted. One refcount aggregate over the chunk digests — linear,
+    two partial-agg shuffles, no join."""
+    from dfs_w_mapreduce_spark.operators.dedup import cdc_chunks
+
+    per_chunk = (
+        cdc_chunks(load_table(spark, sf_dir, "documents"))
+        .select(
+            F.md5("chunk").alias("h"),
+            F.length("chunk").alias("l"),
+            F.expr("CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END").alias("ref_live"),
+        )
+        .groupBy("h")
+        .agg(F.min("l").alias("l"), F.max("ref_live").alias("live"))
+    )
+    return per_chunk.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("live").alias("n_live_chunks"),
+        (F.count("*") - F.sum("live")).alias("n_reclaimable_chunks"),
+        F.sum(F.expr("CASE WHEN live = 1 THEN l ELSE 0 END")).alias("chars_live"),
+        F.sum(F.expr("CASE WHEN live = 0 THEN l ELSE 0 END")).alias(
+            "chars_reclaimable"
+        ),
+    )
+
+
+def _store_gc_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import CDC_CHUNKS_SQL
+
+    return f"""
+        WITH chunks AS ({CDC_CHUNKS_SQL}),
+        per_chunk AS (
+            SELECT md5(chunk) AS h, min(len(chunk)) AS l,
+                   max(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS live
+            FROM chunks GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(live) AS BIGINT) AS n_live_chunks,
+               CAST(count(*) - sum(live) AS BIGINT) AS n_reclaimable_chunks,
+               CAST(sum(CASE WHEN live = 1 THEN l ELSE 0 END) AS BIGINT)
+                   AS chars_live,
+               CAST(sum(CASE WHEN live = 0 THEN l ELSE 0 END) AS BIGINT)
+                   AS chars_reclaimable
+        FROM per_chunk
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(),
@@ -609,4 +896,16 @@ def specs() -> list[QuerySpec]:
         QuerySpec("exchange_reuse", q_exchange_reuse, EXCHANGE_REUSE_ORACLE,
                   ("layout", "scale", "join"),
                   "Self-join computes the shared shuffle once; ReusedExchange pinned TRUE."),
+        QuerySpec("chunk_placement", q_chunk_placement, CHUNK_PLACEMENT_ORACLE,
+                  ("layout", "storage", "controlplane"),
+                  "Round-robin replica placement (controller.go GetChunkToNodesIndex) "
+                  "per-node load report; requestsPerNode vs distinct-chunk storage."),
+        QuerySpec("recovery_plan", q_recovery_plan, RECOVERY_PLAN_ORACLE,
+                  ("layout", "storage", "controlplane"),
+                  "Node-loss re-replication transfer matrix (InitiateRecovery/"
+                  "FindSender/FindReceiver) with unrecoverable-chunk reporting."),
+        QuerySpec("store_gc", q_store_gc, _store_gc_oracle(),
+                  ("layout", "storage", "controlplane", "dedup"),
+                  "Orphan-chunk GC over the deduplicated CDC store: refcount "
+                  "aggregate marking chunks reclaimable after a delete set."),
     ]

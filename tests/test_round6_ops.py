@@ -257,3 +257,81 @@ def test_stream_cdc_store_equals_one_shot(spark, sf_dir):
     assert live.n_distinct_chunks == one_shot.n
     assert live.total_chunk_chars == one_shot.chars
     assert live.n_batches == min(3, n_docs)
+
+
+def test_chunk_placement_conservation(spark, sf_dir):
+    """Replication-factor-3 accounting: total slot assignments are
+    exactly 3x the chunk count, every chunk has exactly one primary,
+    and a >=3-chunk document's chunks land on 3 DISTINCT nodes while a
+    1-chunk document's slots all collapse onto one node (the
+    reference's modular-arithmetic quirk, controller.go:101-121)."""
+    from dfs_w_mapreduce_spark.operators.layout import (
+        PLACE_CB,
+        _placement_slots,
+        q_chunk_placement,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    slots = _placement_slots(d).collect()
+    placement = q_chunk_placement(spark, sf_dir).collect()
+    assert sum(r.n_slots for r in placement) == 3 * len(slots)
+    assert sum(r.n_primary for r in placement) == len(slots)
+    n_chunks_by_doc = {}
+    for r in slots:
+        n_chunks_by_doc[r.doc_id] = n_chunks_by_doc.get(r.doc_id, 0) + 1
+    for r in slots:
+        distinct = len({r.s0, r.s1, r.s2})
+        if n_chunks_by_doc[r.doc_id] >= 3:
+            assert distinct == 3
+        elif n_chunks_by_doc[r.doc_id] == 1:
+            assert distinct == 1
+    lens = {r.doc_id: len(r.text) for r in d.collect()}
+    for doc_id, c in n_chunks_by_doc.items():
+        assert c == max((lens[doc_id] + PLACE_CB - 1) // PLACE_CB, 1)
+
+
+def test_recovery_plan_sender_receiver_rules(spark, sf_dir):
+    """FindSender/FindReceiver invariants: a sender is never the dead
+    node, a receiver never already holds the chunk, unrecoverable
+    chunks are exactly the all-slots-on-dead ones, and the planned
+    chunk total equals the count of affected chunks."""
+    from dfs_w_mapreduce_spark.operators.layout import (
+        DEAD_NODE,
+        _placement_slots,
+        q_recovery_plan,
+    )
+
+    plan = q_recovery_plan(spark, sf_dir).collect()
+    dead = f"node-{DEAD_NODE}"
+    for r in plan:
+        if r.status == "copy":
+            assert r.sender != dead and r.receiver != dead
+            assert r.sender != r.receiver
+        else:
+            assert r.sender == "(none)" and r.receiver == "(none)"
+    slots = _placement_slots(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).collect()
+    affected = [r for r in slots if DEAD_NODE in (r.s0, r.s1, r.s2)]
+    lost = [r for r in affected if {r.s0, r.s1, r.s2} == {DEAD_NODE}]
+    assert sum(r.n_chunks for r in plan) == len(affected)
+    assert sum(r.n_chunks for r in plan if r.status == "unrecoverable") == len(lost)
+
+
+def test_store_gc_refcount_exact(spark, sf_dir):
+    """A reclaimable chunk must be referenced by NO retained document
+    — recompute the reference sets directly and compare counts."""
+    from dfs_w_mapreduce_spark.operators.dedup import cdc_chunks
+    from dfs_w_mapreduce_spark.operators.layout import q_store_gc
+
+    gc = q_store_gc(spark, sf_dir).collect()[0]
+    refs = (
+        cdc_chunks(load_table(spark, sf_dir, "documents"))
+        .select(F.md5("chunk").alias("h"), (F.col("doc_id") % 10 != 0).alias("live"))
+        .collect()
+    )
+    live_chunks = {r.h for r in refs if r.live}
+    all_chunks = {r.h for r in refs}
+    assert gc.n_chunks == len(all_chunks)
+    assert gc.n_live_chunks == len(live_chunks)
+    assert gc.n_reclaimable_chunks == len(all_chunks - live_chunks)
