@@ -170,6 +170,7 @@ HEADLINE = [
     "recovery_plan",
     "store_gc",
     "multimodal_gif_frames",
+    "shuffle_epochs",
 ]
 
 

@@ -1008,6 +1008,79 @@ def _bpe_oracle() -> str:
     """
 
 
+SHUFFLE_EPOCHS = 2   # training epochs to materialize orders for
+N_SHUF_SHARDS = 32   # range shards for the distributed rank
+
+
+def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-seeded GLOBAL training-order shuffle — the
+    reproducible `shuffle(seed=epoch)` every training run needs,
+    computed as a total order over the corpus per epoch: each (epoch,
+    doc) draws a 60-bit md5 sort key and pos is its 0-based global
+    rank within the epoch. Re-running yields byte-identical orders;
+    different epochs yield independent permutations.
+
+    The rank is computed WITHOUT a global window (the naive
+    `row_number() OVER (ORDER BY h)` collapses the corpus onto one
+    task): range-shard on (epoch, h) — Spark's range partitioner, the
+    same machinery a global sort uses — take in-shard row_numbers,
+    then add the tiny per-shard counts' prefix sum back via a
+    broadcast join (two-level scan, as q_pack_sequences). Shard
+    boundaries don't affect the result; only the key order does.
+    Rows with equal keys never straddle a range boundary, and doc_id
+    breaks md5 ties on both engines."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(f"sequence(0, {SHUFFLE_EPOCHS - 1})")).alias("epoch"),
+    ).withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(epoch as string), ':', "
+            "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        ),
+    )
+    e = e.repartitionByRange(N_SHUF_SHARDS, "epoch", "h").withColumn(
+        "shard", F.spark_partition_id()
+    )
+    e = e.persist()
+    in_shard = W.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    local = e.withColumn("local_pos", F.row_number().over(in_shard) - 1)
+    shard_w = (
+        W.partitionBy("epoch").orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        e.groupBy("epoch", "shard")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("before", F.coalesce(F.sum("cnt").over(shard_w), F.lit(0)))
+        .select("epoch", "shard", "before")
+    )
+    return local.join(F.broadcast(offsets), ["epoch", "shard"]).select(
+        "epoch",
+        "doc_id",
+        "source",
+        (F.col("local_pos") + F.col("before")).alias("pos"),
+    )
+
+
+SHUFFLE_EPOCHS_ORACLE = f"""
+    SELECT CAST(epoch AS INT) AS epoch, doc_id, source,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM (
+        SELECT d.doc_id, d.source, e.epoch,
+               CAST(('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+                     || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents d,
+             (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch) e
+    )
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("bpe_train", q_bpe_train, _bpe_oracle(),
@@ -1023,6 +1096,10 @@ def specs() -> list[QuerySpec]:
                   ("pipeline", "llm", "sampling"),
                   "Exact one-pass weighted sampling without replacement "
                   "(Efraimidis-Spirakis top-K), weight = token mass."),
+        QuerySpec("shuffle_epochs", q_shuffle_epochs, SHUFFLE_EPOCHS_ORACLE,
+                  ("pipeline", "llm", "sampling", "scale"),
+                  "Epoch-seeded deterministic global training order via "
+                  "range-sharded two-level rank (no global window)."),
         QuerySpec("mix_sample_by_source", q_mix_sample_by_source, _mix_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Deterministic per-domain mixing rates via hash sampling."),

@@ -367,3 +367,29 @@ def test_gif_lzw_codec_roundtrip():
     good[-10] ^= 0xFF  # flip a byte inside the LZW stream
     with _pytest.raises(ValueError):
         decode_gif(bytes(good))
+
+
+def test_shuffle_epochs_permutation_properties(spark, sf_dir):
+    """Each epoch's positions must be an exact permutation of
+    0..n-1, the two epochs must order the corpus differently, and the
+    result must be reproducible run to run (seeded, not random)."""
+    from dfs_w_mapreduce_spark.operators.pipeline import (
+        SHUFFLE_EPOCHS,
+        q_shuffle_epochs,
+    )
+
+    rows = q_shuffle_epochs(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    for epoch, posmap in by_epoch.items():
+        assert sorted(posmap.values()) == list(range(n))
+    order0 = sorted(by_epoch[0], key=by_epoch[0].get)
+    order1 = sorted(by_epoch[1], key=by_epoch[1].get)
+    assert order0 != order1
+    again = {
+        (r.epoch, r.doc_id): r.pos for r in q_shuffle_epochs(spark, sf_dir).collect()
+    }
+    assert all(again[(e, d)] == p for e, m in by_epoch.items() for d, p in m.items())
