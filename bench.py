@@ -171,6 +171,7 @@ HEADLINE = [
     "store_gc",
     "multimodal_gif_frames",
     "shuffle_epochs",
+    "kmeans_lloyd",
 ]
 
 

@@ -976,6 +976,208 @@ def _decontaminate_semantic_oracle() -> str:
     """
 
 
+# --- Distributed k-means (Lloyd's), exactly oracled -----------------
+#
+# Embedding-space clustering for corpus bucketing / mixing: KMEANS_K
+# centroids initialized to the first K vectors (deterministic across
+# engines), KMEANS_ROUNDS Lloyd iterations, then a final assignment
+# pass for membership and inertia. Exactness discipline: centroid
+# updates sum components in DECIMAL(20,10) (reduction-order-invariant,
+# see q_embedding_pool's tie argument) and divide/round(8) in-query;
+# squared distances use the expanded form x2 - 2x.c + c2 rounded to 6
+# (the knn-family discipline) with a `+ 0.0` negative-zero guard;
+# inertia sums round(d2*1e6) as exact longs. Per round, the driver
+# holds only the K x D centroid matrix (plan-parameter scalars) — all
+# corpus-scale work is one broadcast fan-out + one hash aggregate
+# (min-of-struct argmin, no sort window) + one (cid,pos) aggregate.
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+KMEANS_SCALE = 1_000_000  # inertia fixed-point scale
+
+_KMEANS_OUT_SCHEMA = "cluster long, n_members long, id_sum long, inertia double"
+
+
+def _kmeans_cent_df(spark: SparkSession, cents) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("cv", ArrayType(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in cents], schema
+    )
+    return df.withColumn("c2", _dot(F.col("cv"), F.col("cv")))
+
+
+def _kmeans_assign(spark: SparkSession, v: DataFrame, cents) -> DataFrame:
+    """Nearest-centroid assignment as ONE hash aggregate: broadcast
+    the K centroids, fan out K distance rows per vector, take the
+    lexicographic min of struct(d2, cid, v, x2) — cid is unique so the
+    comparison never reaches the payload fields. Partial aggregation
+    applies; no per-vector sort window."""
+    vc = v.crossJoin(F.broadcast(_kmeans_cent_df(spark, cents)))
+    d2 = (
+        F.round(
+            F.col("x2") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("c2"), 6
+        )
+        + F.lit(0.0)
+    ).alias("d2")
+    return (
+        vc.select("vec_id", d2, "cid", "v", "x2")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "v", "x2")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.v").alias("v"),
+            F.col("m.x2").alias("x2"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus — Lloyd's
+    algorithm with deterministic init, exactly oracle-checkable (the
+    DuckDB twin unrolls the same {KMEANS_ROUNDS} rounds as CTEs).
+    Returns per-cluster membership count, an exact membership
+    fingerprint (sum of member vec_ids), and fixed-point inertia.
+    Empty clusters deterministically keep their previous centroid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("x2"))
+    init = (
+        v.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not init:
+        return spark.createDataFrame([], _KMEANS_OUT_SCHEMA)
+    cents = [(r.vec_id, r.v) for r in init]
+    v = v.persist()
+    for _ in range(KMEANS_ROUNDS):
+        assigned = _kmeans_assign(spark, v, cents)
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("x").cast("decimal(20,10)")).alias("s"),
+            )
+            .select(
+                "cid",
+                "pos",
+                (
+                    F.round(F.col("s").cast("double") / F.col("n"), 8)
+                    + F.lit(0.0)
+                ).alias("mv"),
+            )
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.mv
+        nxt = []
+        for cid, old in cents:
+            m = by_cid.get(cid)
+            nxt.append((cid, [m[p] for p in sorted(m)]) if m else (cid, old))
+        cents = nxt
+    final = _kmeans_assign(spark, v, cents)
+    return (
+        final.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("id_sum"),
+            (
+                F.round(
+                    F.sum(
+                        F.round(F.col("d2") * KMEANS_SCALE, 0).cast("long")
+                    )
+                    / F.lit(float(KMEANS_SCALE)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle() -> str:
+    v_sql = """
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_dot_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x2
+        FROM embeddings"""
+
+    def assign(an: str, cn: str) -> str:
+        d2 = f"round(v.x2 - 2 * list_dot_product(v.v, c.cv) + c.c2, 6) + 0.0"
+        return f"""
+        {an} AS (
+            SELECT vec_id, v, x2, cid, d2 FROM (
+                SELECT v.vec_id, v.v, v.x2, c.cid, {d2} AS d2,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {d2}, c.cid) AS rk
+                FROM v CROSS JOIN {cn} c
+            ) WHERE rk = 1
+        )"""
+
+    def update(an: str, cprev: str, cn: str) -> str:
+        return f"""
+        {cn} AS (
+            SELECT cid, cv, list_dot_product(cv, cv) AS c2 FROM (
+                SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+                FROM {cprev} p LEFT JOIN (
+                    SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+                        SELECT cid, pos,
+                               round(CAST(sum(CAST(x AS DECIMAL(20,10)))
+                                          AS DOUBLE) / count(*), 8) + 0.0 AS mv
+                        FROM (SELECT cid, pos, v[pos] AS x
+                              FROM {an},
+                              LATERAL (SELECT unnest(generate_series(1, len(v)))
+                                       AS pos) g)
+                        GROUP BY 1, 2
+                    ) GROUP BY cid
+                ) n USING (cid)
+            )
+        )"""
+
+    ctes = [
+        f"v AS ({v_sql})",
+        f"""c0 AS (
+            SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS c2
+            FROM v WHERE vec_id < {KMEANS_K}
+        )""",
+    ]
+    for r in range(KMEANS_ROUNDS):
+        ctes.append(assign(f"a{r + 1}", f"c{r}"))
+        ctes.append(update(f"a{r + 1}", f"c{r}", f"c{r + 1}"))
+    ctes.append(assign("afinal", f"c{KMEANS_ROUNDS}"))
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT cid AS cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(vec_id) AS BIGINT) AS id_sum,
+               round(sum(CAST(round(d2 * {KMEANS_SCALE}, 0) AS BIGINT))
+                     / {KMEANS_SCALE}.0, 6) + 0.0 AS inertia
+        FROM afinal
+        GROUP BY cid
+        ORDER BY cid
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("decontaminate_semantic", q_decontaminate_semantic,
@@ -996,6 +1198,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("knn_graph", q_knn_graph, _knn_graph_oracle(),
                   ("similarity", "llm", "graph"),
                   "Bucketed kNN-graph build: top-3 in-bucket neighbors for every vector."),
+        QuerySpec("kmeans_lloyd", q_kmeans_lloyd, _kmeans_oracle(),
+                  ("similarity", "llm", "iterative", "clustering"),
+                  "Distributed Lloyd's k-means (3 rounds, decimal-exact "
+                  "centroid updates), membership + inertia exactly oracled."),
         QuerySpec("embedding_quantize", q_embedding_quantize, EMBEDDING_QUANTIZE_ORACLE,
                   ("embedding", "llm", "compression"),
                   "int8 scalar quantization with reconstruction-error report."),

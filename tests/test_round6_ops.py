@@ -393,3 +393,59 @@ def test_shuffle_epochs_permutation_properties(spark, sf_dir):
         (r.epoch, r.doc_id): r.pos for r in q_shuffle_epochs(spark, sf_dir).collect()
     }
     assert all(again[(e, d)] == p for e, m in by_epoch.items() for d, p in m.items())
+
+
+def test_kmeans_lloyd_matches_python_replica(spark, sf_dir):
+    """Replicate Lloyd's with the exact same rounding discipline in
+    plain Python (no Spark, no DuckDB) and require identical cluster
+    memberships and counts — a third independent implementation. Also
+    pins the partition property: every vector lands in exactly one
+    cluster."""
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        q_kmeans_lloyd,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e}
+    cents = {i: vecs[i][:] for i in sorted(vecs) if i < KMEANS_K}
+
+    def assign(cs):
+        out = {}
+        for vid, v in vecs.items():
+            x2 = sum(a * a for a in v)
+            best = None
+            for cid in sorted(cs):
+                c = cs[cid]
+                d2 = round(x2 - 2 * sum(a * b for a, b in zip(v, c))
+                           + sum(b * b for b in c), 6) + 0.0
+                if best is None or (d2, cid) < best[:2]:
+                    best = (d2, cid)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(KMEANS_ROUNDS):
+        a = assign(cents)
+        sums: dict = {}
+        for vid, cid in a.items():
+            acc = sums.setdefault(cid, [0, [0.0] * len(vecs[vid])])
+            acc[0] += 1
+            for p, x in enumerate(vecs[vid]):
+                acc[1][p] += round(x, 10)
+        for cid in cents:
+            if cid in sums:
+                n, s = sums[cid]
+                cents[cid] = [round(si / n, 8) + 0.0 for si in s]
+    expected = assign(cents)
+
+    rows = q_kmeans_lloyd(spark, sf_dir).collect()
+    assert sum(r.n_members for r in rows) == len(vecs)
+    exp_counts: dict = {}
+    exp_idsum: dict = {}
+    for vid, cid in expected.items():
+        exp_counts[cid] = exp_counts.get(cid, 0) + 1
+        exp_idsum[cid] = exp_idsum.get(cid, 0) + vid
+    for r in rows:
+        assert r.n_members == exp_counts.get(r.cluster, 0)
+        assert r.id_sum == exp_idsum.get(r.cluster, 0)
