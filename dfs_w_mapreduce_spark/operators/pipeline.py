@@ -1046,6 +1046,8 @@ def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartitionByRange(N_SHUF_SHARDS, "epoch", "h").withColumn(
         "shard", F.spark_partition_id()
     )
+    # persist: the offsets branch must see the SAME shard assignment
+    # the rank branch saw (and the scan+range-shuffle runs once)
     e = e.persist()
     in_shard = W.partitionBy("epoch", "shard").orderBy("h", "doc_id")
     local = e.withColumn("local_pos", F.row_number().over(in_shard) - 1)

@@ -65,6 +65,11 @@ PROBE_QUERIES = [
     "dedup_span_apply",
     "pipeline_end_to_end",
     "bpe_train",
+    # round-6 additions in the same class: driver-looped iteration
+    # (broadcast fan-out + hash-agg argmin per round) and a global
+    # range-partitioned sort/rank
+    "kmeans_lloyd",
+    "shuffle_epochs",
 ]
 
 

@@ -146,6 +146,12 @@ QUERIES = [
     "corpus_datasheet",
     "quality_rank_ensemble",
     "stream_cdc_store_live",
+    "chunk_placement",
+    "recovery_plan",
+    "store_gc",
+    "multimodal_gif_frames",
+    "shuffle_epochs",
+    "kmeans_lloyd",
 ]
 
 
