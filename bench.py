@@ -37,6 +37,16 @@ key (e.g. wordcount 0.42s, question_pct 0.31s, tpch_q5 0.84s,
 udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
+
+Adjudicated r5 -> r6 (builder-run shared-key comparison: 71 keys,
+median ratio 1.03 — noise): `multimodal_decode` ~1.6s -> ~4.6s is a
+DELIBERATE feature cost, not a regression — round 6 added the real
+baseline-JPEG entropy codec (canonical Huffman + dequant + float IDCT
+per document) and real decoded-PCM waveform statistics to the same
+query; the Python-side decode work roughly tripled by design. The
+round-6 additions to HEADLINE (control-plane trio, GIF codec,
+shuffle_epochs, kmeans_lloyd, stream_cdc_store_live) grow the total by
+~28s of new coverage; compare shared keys, not totals.
 """
 
 from __future__ import annotations
