@@ -182,6 +182,7 @@ HEADLINE = [
     "multimodal_gif_frames",
     "shuffle_epochs",
     "kmeans_lloyd",
+    "heartbeat_liveness",
 ]
 
 

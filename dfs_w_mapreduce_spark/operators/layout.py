@@ -816,6 +816,89 @@ RECOVERY_PLAN_ORACLE = f"""
 """
 
 
+HEARTBEAT_SCAN_US = 21_600_000_000  # 6-hour scan interval (fixture-scaled)
+
+
+def q_heartbeat_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure detection — AnalyzeHeartBeats (controller.go:373-414)
+    as a query: the controller samples each node's heartbeat count per
+    scan interval and declares a node dead at the first interval whose
+    count is unchanged (no beats). Here the events table is the
+    heartbeat log (user_id = node), scans are {HEARTBEAT_SCAN_US}-us
+    buckets (the reference's 10 s, scaled to the fixture's event
+    density), and death_scan is the first empty scan after the node's
+    first beat — an internal gap, or the scan after its last beat if
+    the fleet horizon extends past it. Window is partitioned per node
+    (bounded work per key, parallel across the fleet); one global
+    scalar (the horizon) broadcasts."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("node"),
+        # ts may be TIMESTAMP_NTZ; cast to TIMESTAMP (UTC session keeps
+        # wall-clock) before unix_micros, which rejects NTZ
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {HEARTBEAT_SCAN_US}"
+        ).alias("scan"),
+    )
+    s = e.groupBy("node", "scan").agg(F.count("*").alias("beats"))
+    nx = F.lead("scan").over(W.partitionBy("node").orderBy("scan"))
+    g = s.withColumn("nx", nx)
+    ig = (
+        g.filter(F.col("nx") > F.col("scan") + 1)
+        .groupBy("node")
+        .agg(F.min(F.col("scan") + 1).alias("gap_scan"))
+    )
+    agg = s.groupBy("node").agg(
+        F.sum("beats").alias("n_beats"),
+        F.min("scan").alias("first_scan"),
+        F.max("scan").alias("last_scan"),
+    )
+    h = e.agg(F.max("scan").alias("horizon"))
+    death = F.coalesce(
+        F.col("gap_scan"),
+        F.expr("CASE WHEN last_scan < horizon THEN last_scan + 1 END"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(h))
+        .join(ig, "node", "left")
+        .select(
+            "node",
+            "n_beats",
+            "first_scan",
+            "last_scan",
+            death.alias("death_scan"),
+            death.isNotNull().alias("dead"),
+        )
+        .orderBy("node")
+    )
+
+
+HEARTBEAT_LIVENESS_ORACLE = f"""
+    WITH b AS (
+        SELECT user_id AS node, epoch_us(ts) // {HEARTBEAT_SCAN_US} AS scan
+        FROM events
+    ),
+    s AS (SELECT node, scan, count(*) AS beats FROM b GROUP BY 1, 2),
+    g AS (SELECT node, scan,
+                 lead(scan) OVER (PARTITION BY node ORDER BY scan) AS nx
+          FROM s),
+    ig AS (SELECT node, min(scan + 1) AS gap_scan
+           FROM g WHERE nx > scan + 1 GROUP BY 1),
+    agg AS (SELECT node, CAST(sum(beats) AS BIGINT) AS n_beats,
+                   min(scan) AS first_scan, max(scan) AS last_scan
+            FROM s GROUP BY 1),
+    h AS (SELECT max(scan) AS horizon FROM b)
+    SELECT a.node, a.n_beats, a.first_scan, a.last_scan,
+           COALESCE(ig.gap_scan,
+                    CASE WHEN a.last_scan < h.horizon
+                         THEN a.last_scan + 1 END) AS death_scan,
+           COALESCE(ig.gap_scan,
+                    CASE WHEN a.last_scan < h.horizon
+                         THEN a.last_scan + 1 END) IS NOT NULL AS dead
+    FROM agg a CROSS JOIN h LEFT JOIN ig USING (node)
+    ORDER BY a.node
+"""
+
+
 def q_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan-chunk garbage collection — the store-side consequence of
     `delete` (client.go delete -> controller index removal): with the
@@ -904,6 +987,11 @@ def specs() -> list[QuerySpec]:
                   ("layout", "storage", "controlplane"),
                   "Node-loss re-replication transfer matrix (InitiateRecovery/"
                   "FindSender/FindReceiver) with unrecoverable-chunk reporting."),
+        QuerySpec("heartbeat_liveness", q_heartbeat_liveness,
+                  HEARTBEAT_LIVENESS_ORACLE,
+                  ("layout", "storage", "controlplane"),
+                  "AnalyzeHeartBeats failure detection: per-node scan buckets, "
+                  "first-empty-scan death declaration, fleet horizon."),
         QuerySpec("store_gc", q_store_gc, _store_gc_oracle(),
                   ("layout", "storage", "controlplane", "dedup"),
                   "Orphan-chunk GC over the deduplicated CDC store: refcount "

@@ -449,3 +449,36 @@ def test_kmeans_lloyd_matches_python_replica(spark, sf_dir):
     for r in rows:
         assert r.n_members == exp_counts.get(r.cluster, 0)
         assert r.id_sum == exp_idsum.get(r.cluster, 0)
+
+
+def test_heartbeat_liveness_semantics(spark, sf_dir):
+    """Death-declaration invariants: a dead node's death_scan is an
+    EMPTY scan strictly after its first beat and at most one past its
+    last beat; a live node beat in every scan up to the fleet horizon.
+    Recomputed from the raw events."""
+    from dfs_w_mapreduce_spark.operators.layout import (
+        HEARTBEAT_SCAN_US,
+        q_heartbeat_liveness,
+    )
+
+    rows = q_heartbeat_liveness(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {HEARTBEAT_SCAN_US}"
+        ).alias("scan")
+    ).collect()
+    beats: dict = {}
+    for r in ev:
+        beats.setdefault(r.user_id, set()).add(r.scan)
+    horizon = max(s for ss in beats.values() for s in ss)
+    assert len(rows) == len(beats)
+    for r in rows:
+        ss = beats[r.node]
+        assert r.first_scan == min(ss) and r.last_scan == max(ss)
+        if r.dead:
+            assert r.death_scan not in ss
+            assert min(ss) < r.death_scan <= max(ss) + 1
+            assert all(s in ss for s in range(min(ss), r.death_scan))
+        else:
+            assert r.death_scan is None
+            assert ss == set(range(min(ss), horizon + 1))

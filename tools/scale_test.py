@@ -152,6 +152,7 @@ QUERIES = [
     "multimodal_gif_frames",
     "shuffle_epochs",
     "kmeans_lloyd",
+    "heartbeat_liveness",
 ]
 
 
