@@ -183,6 +183,7 @@ HEADLINE = [
     "shuffle_epochs",
     "kmeans_lloyd",
     "heartbeat_liveness",
+    "placement_rebalance",
 ]
 
 

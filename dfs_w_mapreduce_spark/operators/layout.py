@@ -816,6 +816,90 @@ RECOVERY_PLAN_ORACLE = f"""
 """
 
 
+def q_placement_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-join rebalancing cost, HRW vs mod-N — the scale argument
+    for rendezvous hashing quantified on the store's own chunks: when
+    the fleet grows {PLACE_NODES}->{PLACE_NODES}+1, a mod-N placement
+    (the arithmetic family the reference's i%numNodes rule belongs to,
+    controller.go:102) remaps ~N/(N+1) of all chunks, while
+    highest-random-weight placement moves only the ~1/(N+1) whose new
+    node wins the rendezvous — the minimal-movement property that
+    makes elastic scale-out affordable at 100 TB. One distinct-chunk
+    aggregate; the per-chunk work is a fixed N+1 md5 evaluations."""
+    from dfs_w_mapreduce_spark.operators.dedup import cdc_chunks
+
+    n0, n1 = PLACE_NODES, PLACE_NODES + 1
+
+    def hrw(n: int) -> str:
+        return (
+            f"cast(substr(array_max(transform(sequence(0, {n - 1}), "
+            f"n -> concat(md5(concat(h, ':', cast(n as string))), "
+            f"cast(n as string)))), 33, 1) as int)"
+        )
+
+    def modn(n: int) -> str:
+        return (
+            f"pmod(cast(conv(substr(h, 1, 15), 16, 10) as bigint), {n})"
+        )
+
+    chunks = (
+        cdc_chunks(load_table(spark, sf_dir, "documents"))
+        .select(F.md5("chunk").alias("h"))
+        .distinct()
+    )
+    flags = chunks.select(
+        F.expr(f"CASE WHEN {hrw(n0)} <> {hrw(n1)} THEN 1 ELSE 0 END").alias(
+            "hrw_moved"
+        ),
+        F.expr(
+            f"CASE WHEN {modn(n0)} <> {modn(n1)} THEN 1 ELSE 0 END"
+        ).alias("mod_moved"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("hrw_moved").alias("hrw_moved"),
+        (F.round(F.try_divide(F.sum("hrw_moved"), F.count("*")), 4) + F.lit(0.0)).alias(
+            "hrw_pct"
+        ),
+        F.sum("mod_moved").alias("mod_moved"),
+        (F.round(F.try_divide(F.sum("mod_moved"), F.count("*")), 4) + F.lit(0.0)).alias(
+            "mod_pct"
+        ),
+    )
+
+
+def _placement_rebalance_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import CDC_CHUNKS_SQL
+
+    n0, n1 = PLACE_NODES, PLACE_NODES + 1
+
+    def hrw(n: int) -> str:
+        return (
+            f"CAST(substr(list_max(list_transform(range(0, {n}), "
+            f"n -> md5(h || ':' || CAST(n AS VARCHAR)) || CAST(n AS VARCHAR))), "
+            f"33, 1) AS INT)"
+        )
+
+    def modn(n: int) -> str:
+        return f"(CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {n})"
+
+    return f"""
+        WITH chunks AS ({CDC_CHUNKS_SQL}),
+        u AS (SELECT DISTINCT md5(chunk) AS h FROM chunks),
+        flags AS (
+            SELECT CASE WHEN {hrw(n0)} <> {hrw(n1)} THEN 1 ELSE 0 END AS hrw_moved,
+                   CASE WHEN {modn(n0)} <> {modn(n1)} THEN 1 ELSE 0 END AS mod_moved
+            FROM u
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(hrw_moved) AS BIGINT) AS hrw_moved,
+               round(CAST(sum(hrw_moved) AS DOUBLE) / count(*), 4) + 0.0 AS hrw_pct,
+               CAST(sum(mod_moved) AS BIGINT) AS mod_moved,
+               round(CAST(sum(mod_moved) AS DOUBLE) / count(*), 4) + 0.0 AS mod_pct
+        FROM flags
+    """
+
+
 HEARTBEAT_SCAN_US = 21_600_000_000  # 6-hour scan interval (fixture-scaled)
 
 
@@ -987,6 +1071,11 @@ def specs() -> list[QuerySpec]:
                   ("layout", "storage", "controlplane"),
                   "Node-loss re-replication transfer matrix (InitiateRecovery/"
                   "FindSender/FindReceiver) with unrecoverable-chunk reporting."),
+        QuerySpec("placement_rebalance", q_placement_rebalance,
+                  _placement_rebalance_oracle(),
+                  ("layout", "storage", "controlplane", "scale"),
+                  "Node-join rebalancing cost: HRW moves ~1/(N+1) of chunks, "
+                  "mod-N remaps ~N/(N+1) — minimal movement quantified."),
         QuerySpec("heartbeat_liveness", q_heartbeat_liveness,
                   HEARTBEAT_LIVENESS_ORACLE,
                   ("layout", "storage", "controlplane"),

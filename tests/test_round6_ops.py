@@ -482,3 +482,19 @@ def test_heartbeat_liveness_semantics(spark, sf_dir):
         else:
             assert r.death_scan is None
             assert ss == set(range(min(ss), horizon + 1))
+
+
+def test_placement_rebalance_minimal_movement(spark, sf_dir):
+    """The rendezvous property itself: HRW movement on N->N+1 must be
+    well under mod-N movement, HRW close to the theoretical 1/(N+1),
+    mod-N remapping the majority of chunks."""
+    from dfs_w_mapreduce_spark.operators.layout import (
+        PLACE_NODES,
+        q_placement_rebalance,
+    )
+
+    r = q_placement_rebalance(spark, sf_dir).collect()[0]
+    assert r.hrw_moved + r.mod_moved <= 2 * r.n_chunks
+    assert r.hrw_pct < r.mod_pct
+    assert abs(r.hrw_pct - 1 / (PLACE_NODES + 1)) < 0.05
+    assert r.mod_pct > 0.5

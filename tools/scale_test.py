@@ -153,6 +153,7 @@ QUERIES = [
     "shuffle_epochs",
     "kmeans_lloyd",
     "heartbeat_liveness",
+    "placement_rebalance",
 ]
 
 
