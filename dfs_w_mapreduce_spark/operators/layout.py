@@ -602,6 +602,11 @@ PLACE_NODES = 8    # active node count for the placement fixture
 PLACE_CB = 256     # chunk size (chars) — docs are 44-577 chars => 1-3 chunks
 DEAD_NODE = 3      # node lost in the recovery drill
 
+# The md5-hex||id sort trick recovers the node id with substr(33, 1),
+# which is only correct while every id is a single character — incl.
+# the N+1 join drill in placement_rebalance.
+assert PLACE_NODES + 1 <= 10, "single-digit node ids assumed by substr(33, 1)"
+
 # per-file node permutation: md5-ranked node ids (md5 hex || id, sort,
 # strip the 32-char digest). Single-digit ids keep substr(33,1) exact.
 _PERM_SPARK = """

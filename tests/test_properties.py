@@ -100,3 +100,19 @@ def test_shingles_match_python(spark, texts):
         w = r.text.split()
         want = list(dict.fromkeys(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)))
         assert list(r.sh) == want, (r.text, list(r.sh), want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=800)
+)
+def test_gif_lzw_roundtrip_property(seq):
+    """LZW encode->decode is the identity for arbitrary 4-bit index
+    streams (the GIF min-code-size-4 case), across the width-bump and
+    KwKwK regimes hypothesis will wander into."""
+    from dfs_w_mapreduce_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(seq, 4), 4) == seq
