@@ -184,6 +184,7 @@ HEADLINE = [
     "kmeans_lloyd",
     "heartbeat_liveness",
     "placement_rebalance",
+    "kmv_distinct",
 ]
 
 

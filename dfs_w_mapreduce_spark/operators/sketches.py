@@ -204,8 +204,174 @@ HLL_UNION_ORACLE = """
 """
 
 
+KMV_K = 64
+_KMV_SCALE = float(1 << 60)  # h is a 60-bit md5 prefix
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch — the mergeable
+    cardinality sketch whose STATE is deterministic: the k smallest
+    60-bit token hashes per source. Unlike HLL (engine-specific
+    registers, oracled via a bounded-error verdict), every KMV field
+    here is exact cross-engine: the kth minimum itself, the estimate
+    (k-1)/kth_normalized, and the merge law — the union of per-source
+    sketches re-sketched must equal the sketch of the whole corpus,
+    emitted as merge_exact and pinned TRUE for the ALL row. Per-source
+    top-k runs as rank<=k under WindowGroupLimit (k rows per group
+    survive the shuffle); the merge touches n_sources*k rows."""
+    from pyspark.sql import Window as W
+
+    from dfs_w_mapreduce_spark.operators.text_analysis import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    hh = d.select(
+        "source",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("token"),
+    ).select(
+        "source",
+        F.expr(
+            "cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    ).distinct()
+    rk = F.row_number().over(W.partitionBy("source").orderBy("h"))
+    sk = hh.withColumn("rk", rk).filter(F.col("rk") <= KMV_K).select("source", "h")
+
+    def est(n_sk, kth):
+        return F.when(n_sk < KMV_K, n_sk).otherwise(
+            F.round(F.lit((KMV_K - 1) * _KMV_SCALE) / kth, 0).cast("long")
+        )
+
+    per = (
+        sk.groupBy("source")
+        .agg(F.max("h").alias("kth_min"), F.count("*").alias("sketch_size"))
+        .join(hh.groupBy("source").agg(F.count("*").alias("exact_distinct")), "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "sketch_size",
+            "kth_min",
+            est(F.col("sketch_size"), F.col("kth_min")).alias("kmv_est"),
+            F.lit(True).alias("merge_exact"),
+        )
+    )
+    # merge path: union of the per-source sketch states, re-sketched
+    merged = (
+        sk.select("h").distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rk") <= KMV_K)
+    )
+    direct = (
+        hh.select("h").distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rk") <= KMV_K)
+    )
+    g = (
+        direct.agg(F.max("h").alias("kth_min"), F.count("*").alias("sketch_size"))
+        .crossJoin(
+            F.broadcast(
+                hh.select("h").distinct().agg(F.count("*").alias("exact_distinct"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                merged.agg(
+                    F.max("h").alias("m_kth"), F.count("*").alias("m_n")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("source"),
+            "exact_distinct",
+            "sketch_size",
+            "kth_min",
+            est(F.col("sketch_size"), F.col("kth_min")).alias("kmv_est"),
+            (
+                (F.col("m_kth") == F.col("kth_min"))
+                & (F.col("m_n") == F.col("sketch_size"))
+            ).alias("merge_exact"),
+        )
+    )
+    out = per.unionByName(g)
+    return out.select(
+        "source",
+        "exact_distinct",
+        "sketch_size",
+        "kth_min",
+        "kmv_est",
+        F.round(
+            F.try_divide(
+                F.abs(F.col("kmv_est") - F.col("exact_distinct")) * 100.0,
+                F.col("exact_distinct"),
+            ),
+            2,
+        ).alias("rel_err_pct"),
+        "merge_exact",
+    )
+
+
+KMV_DISTINCT_ORACLE = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    hh AS (SELECT DISTINCT source,
+                  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+    sk AS (SELECT source, h FROM (
+               SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM hh) WHERE rk <= {KMV_K}),
+    per AS (
+        SELECT s.source, e.exact_distinct,
+               CAST(count(*) AS BIGINT) AS sketch_size,
+               max(s.h) AS kth_min
+        FROM sk s JOIN (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+                        FROM hh GROUP BY 1) e USING (source)
+        GROUP BY 1, 2
+    ),
+    gh AS (SELECT DISTINCT h FROM hh),
+    direct AS (SELECT h FROM (
+                   SELECT h, row_number() OVER (ORDER BY h) AS rk FROM gh)
+               WHERE rk <= {KMV_K}),
+    merged AS (SELECT h FROM (
+                   SELECT h, row_number() OVER (ORDER BY h) AS rk
+                   FROM (SELECT DISTINCT h FROM sk))
+               WHERE rk <= {KMV_K}),
+    rows_all AS (
+        SELECT source, exact_distinct, sketch_size, kth_min,
+               CASE WHEN sketch_size < {KMV_K} THEN sketch_size
+                    ELSE CAST(round({(KMV_K - 1)} * {_KMV_SCALE} / kth_min, 0)
+                              AS BIGINT) END AS kmv_est,
+               TRUE AS merge_exact
+        FROM per
+        UNION ALL
+        SELECT 'ALL', (SELECT CAST(count(*) AS BIGINT) FROM gh),
+               (SELECT CAST(count(*) AS BIGINT) FROM direct),
+               (SELECT max(h) FROM direct),
+               CASE WHEN (SELECT count(*) FROM direct) < {KMV_K}
+                    THEN (SELECT CAST(count(*) AS BIGINT) FROM direct)
+                    ELSE CAST(round({(KMV_K - 1)} * {_KMV_SCALE}
+                                    / (SELECT max(h) FROM direct), 0)
+                              AS BIGINT) END,
+               (SELECT max(h) FROM merged) = (SELECT max(h) FROM direct)
+               AND (SELECT count(*) FROM merged) = (SELECT count(*) FROM direct)
+    )
+    SELECT source, exact_distinct, sketch_size, kth_min, kmv_est,
+           round(abs(kmv_est - exact_distinct) * 100.0
+                 / NULLIF(exact_distinct, 0), 2) AS rel_err_pct,
+           merge_exact
+    FROM rows_all
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("kmv_distinct", q_kmv_distinct, KMV_DISTINCT_ORACLE,
+                  ("sketch", "approx", "llm"),
+                  "KMV k-minimum-values sketch: exact deterministic state, "
+                  "estimate, and merge law pinned TRUE — fully oracled."),
         QuerySpec("hll_union", q_hll_union, HLL_UNION_ORACLE,
                   ("sketch", "approx", "llm"),
                   "Mergeable per-source HLL sketches + union, bounded-error verdict."),

@@ -498,3 +498,21 @@ def test_placement_rebalance_minimal_movement(spark, sf_dir):
     assert r.hrw_pct < r.mod_pct
     assert abs(r.hrw_pct - 1 / (PLACE_NODES + 1)) < 0.05
     assert r.mod_pct > 0.5
+
+
+def test_kmv_sketch_properties(spark, sf_dir):
+    """KMV invariants: the ALL row's merge law holds (merge_exact
+    TRUE), sketch_size = min(k, exact_distinct), a saturated sketch's
+    estimate is within 30% of truth at k=64, and an unsaturated
+    sketch's estimate IS the exact count."""
+    from dfs_w_mapreduce_spark.operators.sketches import KMV_K, q_kmv_distinct
+
+    rows = q_kmv_distinct(spark, sf_dir).collect()
+    all_row = [r for r in rows if r.source == "ALL"]
+    assert len(all_row) == 1 and all_row[0].merge_exact
+    for r in rows:
+        assert r.sketch_size == min(KMV_K, r.exact_distinct)
+        if r.sketch_size < KMV_K:
+            assert r.kmv_est == r.exact_distinct
+        else:
+            assert abs(r.kmv_est - r.exact_distinct) <= 0.3 * r.exact_distinct

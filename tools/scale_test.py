@@ -154,6 +154,7 @@ QUERIES = [
     "kmeans_lloyd",
     "heartbeat_liveness",
     "placement_rebalance",
+    "kmv_distinct",
 ]
 
 
