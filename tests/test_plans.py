@@ -254,3 +254,43 @@ def test_waterfill_corpus_work_is_one_aggregate(spark, sf_dir):
     df = P.q_mix_budget_waterfill(spark, sf_dir)
     read = set(scan_read_schema(df))
     assert read == {"source", "text"}, read
+
+
+def test_kmv_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-source rank<=k must run under WindowGroupLimit so only
+    k rows per group survive into the window sort — without it the
+    full distinct-hash stream sorts per source."""
+    from dfs_w_mapreduce_spark.operators.sketches import q_kmv_distinct
+
+    plan = formatted_plan(q_kmv_distinct(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_kmeans_assignment_is_broadcast_hash_agg(spark, sf_dir):
+    """Centroid assignment must broadcast the KxD centroid frame and
+    argmin via hash aggregate (partial+final min-of-struct), never a
+    per-vector sort window or a shuffled centroid join."""
+    from dfs_w_mapreduce_spark.operators.similarity import q_kmeans_lloyd
+
+    plan = formatted_plan(q_kmeans_lloyd(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowExec" not in plan and "Window " not in plan
+
+
+def test_placement_queries_scan_only_needed_columns(spark, sf_dir):
+    """chunk_placement derives everything from (doc_id, text): the
+    documents scan must prune the other columns."""
+    from dfs_w_mapreduce_spark.operators.layout import q_chunk_placement
+
+    read = set(scan_read_schema(q_chunk_placement(spark, sf_dir)))
+    assert read == {"doc_id", "text"}, read
+
+
+def test_heartbeat_horizon_is_broadcast(spark, sf_dir):
+    """The one global scalar (fleet horizon) must broadcast; the
+    per-node liveness window must NOT be a global (unpartitioned)
+    window."""
+    from dfs_w_mapreduce_spark.operators.layout import q_heartbeat_liveness
+
+    plan = formatted_plan(q_heartbeat_liveness(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
