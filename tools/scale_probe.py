@@ -70,6 +70,10 @@ PROBE_QUERIES = [
     # range-partitioned sort/rank
     "kmeans_lloyd",
     "shuffle_epochs",
+    # the md5-per-position CDC store family: linear by construction,
+    # but the constant is the largest in the repo — certify the decade
+    "store_gc",
+    "placement_rebalance",
 ]
 
 
