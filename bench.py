@@ -185,6 +185,7 @@ HEADLINE = [
     "heartbeat_liveness",
     "placement_rebalance",
     "kmv_distinct",
+    "embedding_outliers",
 ]
 
 

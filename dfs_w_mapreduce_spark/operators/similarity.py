@@ -1045,13 +1045,11 @@ def _kmeans_assign(spark: SparkSession, v: DataFrame, cents) -> DataFrame:
     )
 
 
-def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means over the embedding corpus — Lloyd's
-    algorithm with deterministic init, exactly oracle-checkable (the
-    DuckDB twin unrolls the same {KMEANS_ROUNDS} rounds as CTEs).
-    Returns per-cluster membership count, an exact membership
-    fingerprint (sum of member vec_ids), and fixed-point inertia.
-    Empty clusters deterministically keep their previous centroid."""
+def _lloyd_final(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Run the KMEANS_ROUNDS Lloyd loop and return the FINAL
+    assignment frame (vec_id, cid, v, x2, d2) — shared by
+    q_kmeans_lloyd and q_embedding_outliers so both queries cluster
+    identically. None when the corpus is empty."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -1063,7 +1061,7 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     if not init:
-        return spark.createDataFrame([], _KMEANS_OUT_SCHEMA)
+        return None
     cents = [(r.vec_id, r.v) for r in init]
     v = v.persist()
     for _ in range(KMEANS_ROUNDS):
@@ -1093,7 +1091,19 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = by_cid.get(cid)
             nxt.append((cid, [m[p] for p in sorted(m)]) if m else (cid, old))
         cents = nxt
-    final = _kmeans_assign(spark, v, cents)
+    return _kmeans_assign(spark, v, cents)
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus — Lloyd's
+    algorithm with deterministic init, exactly oracle-checkable (the
+    DuckDB twin unrolls the same KMEANS_ROUNDS rounds as CTEs).
+    Returns per-cluster membership count, an exact membership
+    fingerprint (sum of member vec_ids), and fixed-point inertia.
+    Empty clusters deterministically keep their previous centroid."""
+    final = _lloyd_final(spark, sf_dir)
+    if final is None:
+        return spark.createDataFrame([], _KMEANS_OUT_SCHEMA)
     return (
         final.groupBy(F.col("cid").alias("cluster"))
         .agg(
@@ -1114,7 +1124,10 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """The unrolled Lloyd rounds as a DuckDB CTE chain ending in
+    `afinal` (the final assignment) — shared by the kmeans and the
+    embedding-outliers oracles."""
     v_sql = """
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                list_dot_product(
@@ -1165,8 +1178,12 @@ def _kmeans_oracle() -> str:
         ctes.append(assign(f"a{r + 1}", f"c{r}"))
         ctes.append(update(f"a{r + 1}", f"c{r}", f"c{r + 1}"))
     ctes.append(assign("afinal", f"c{KMEANS_ROUNDS}"))
+    return ",".join(ctes)
+
+
+def _kmeans_oracle() -> str:
     return f"""
-        WITH {','.join(ctes)}
+        WITH {_kmeans_ctes()}
         SELECT cid AS cluster,
                CAST(count(*) AS BIGINT) AS n_members,
                CAST(sum(vec_id) AS BIGINT) AS id_sum,
@@ -1175,6 +1192,108 @@ def _kmeans_oracle() -> str:
         FROM afinal
         GROUP BY cid
         ORDER BY cid
+    """
+
+
+_OUTLIER_SIGMAS = 2  # flag d2 > mean + 2*sigma within the cluster
+
+_OUTLIERS_SCHEMA = (
+    "cluster long, n_members long, n_outliers long, pct_outliers double, "
+    "max_d2 double, thr_d2 double"
+)
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection — the corpus-curation filter that
+    drops vectors far from their semantic neighborhood: cluster with
+    the SAME Lloyd loop as kmeans_lloyd, then flag members whose
+    squared distance exceeds mean + {_OUTLIER_SIGMAS} sigma within
+    their cluster. Exactness: d2 is already 6-dp fixed-point, so the
+    per-cluster first and second moments accumulate as exact integers
+    (DECIMAL(38,0) / HUGEINT — e^2 sums overflow a signed 64-bit long
+    at 100x, measured) and the derived mean/variance/threshold are
+    identical doubles on both engines; every flag is a comparison of
+    identical values. One extra aggregate + one broadcast join past
+    the shared clustering."""
+    final = _lloyd_final(spark, sf_dir)
+    if final is None:
+        return spark.createDataFrame([], _OUTLIERS_SCHEMA)
+    e = final.select(
+        "cid",
+        F.round(F.col("d2") * KMEANS_SCALE, 0).cast("long").alias("e"),
+    )
+    dec = F.col("e").cast("decimal(38,0)")
+    st = e.groupBy("cid").agg(
+        F.count("*").alias("nm"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * F.col("e")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("nm")
+    var = F.col("ss").cast("double") / F.col("nm") - mean * mean
+    st2 = st.select(
+        "cid",
+        "nm",
+        (mean + _OUTLIER_SIGMAS * F.sqrt(F.greatest(var, F.lit(0.0)))).alias("thr"),
+    )
+    return (
+        e.join(F.broadcast(st2), "cid")
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.max("nm").alias("n_members"),
+            F.sum(
+                F.when(F.col("e") > F.col("thr"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("e").alias("max_e"),
+            F.max("thr").alias("thr_raw"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "n_outliers",
+            (
+                F.round(F.col("n_outliers") * 100.0 / F.col("n_members"), 2)
+                + F.lit(0.0)
+            ).alias("pct_outliers"),
+            (
+                F.round(F.col("max_e") / F.lit(float(KMEANS_SCALE)), 6)
+                + F.lit(0.0)
+            ).alias("max_d2"),
+            (
+                F.round(F.col("thr_raw") / F.lit(float(KMEANS_SCALE)), 6)
+                + F.lit(0.0)
+            ).alias("thr_d2"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _embedding_outliers_oracle() -> str:
+    return f"""
+        WITH {_kmeans_ctes()},
+        e AS (SELECT cid, CAST(round(d2 * {KMEANS_SCALE}, 0) AS BIGINT) AS e
+              FROM afinal),
+        st AS (SELECT cid, count(*) AS nm,
+                      sum(CAST(e AS HUGEINT)) AS s,
+                      sum(CAST(e AS HUGEINT) * e) AS ss
+               FROM e GROUP BY 1),
+        st2 AS (SELECT cid, nm,
+                       CAST(s AS DOUBLE) / nm
+                       + {_OUTLIER_SIGMAS} * sqrt(greatest(
+                             CAST(ss AS DOUBLE) / nm
+                             - (CAST(s AS DOUBLE) / nm)
+                               * (CAST(s AS DOUBLE) / nm), 0.0)) AS thr
+                FROM st)
+        SELECT e.cid AS cluster,
+               CAST(max(st2.nm) AS BIGINT) AS n_members,
+               CAST(sum(CASE WHEN e.e > st2.thr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               round(sum(CASE WHEN e.e > st2.thr THEN 1 ELSE 0 END) * 100.0
+                     / max(st2.nm), 2) + 0.0 AS pct_outliers,
+               round(max(e.e) / {KMEANS_SCALE}.0, 6) + 0.0 AS max_d2,
+               round(max(st2.thr) / {KMEANS_SCALE}.0, 6) + 0.0 AS thr_d2
+        FROM e JOIN st2 USING (cid)
+        GROUP BY 1
+        ORDER BY 1
     """
 
 
@@ -1202,6 +1321,11 @@ def specs() -> list[QuerySpec]:
                   ("similarity", "llm", "iterative", "clustering"),
                   "Distributed Lloyd's k-means (3 rounds, decimal-exact "
                   "centroid updates), membership + inertia exactly oracled."),
+        QuerySpec("embedding_outliers", q_embedding_outliers,
+                  _embedding_outliers_oracle(),
+                  ("similarity", "llm", "clustering", "quality"),
+                  "Cluster-relative outlier flags (d2 > mean + 2 sigma) with "
+                  "overflow-safe exact moment accumulation."),
         QuerySpec("embedding_quantize", q_embedding_quantize, EMBEDDING_QUANTIZE_ORACLE,
                   ("embedding", "llm", "compression"),
                   "int8 scalar quantization with reconstruction-error report."),

@@ -516,3 +516,24 @@ def test_kmv_sketch_properties(spark, sf_dir):
             assert r.kmv_est == r.exact_distinct
         else:
             assert abs(r.kmv_est - r.exact_distinct) <= 0.3 * r.exact_distinct
+
+
+def test_embedding_outliers_consistent_with_kmeans(spark, sf_dir):
+    """The outlier pass must cluster identically to kmeans_lloyd
+    (same per-cluster membership counts), flag only above-threshold
+    members, and every cluster's flagged fraction must be a strict
+    minority (Chebyshev at 2 sigma bounds it below 25%)."""
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        q_embedding_outliers,
+        q_kmeans_lloyd,
+    )
+
+    outs = {r.cluster: r for r in q_embedding_outliers(spark, sf_dir).collect()}
+    kms = {r.cluster: r for r in q_kmeans_lloyd(spark, sf_dir).collect()}
+    assert set(outs) == set(kms)
+    for cid, r in outs.items():
+        assert r.n_members == kms[cid].n_members
+        assert 0 <= r.n_outliers <= 0.25 * r.n_members
+        assert r.max_d2 >= 0 and r.thr_d2 >= 0
+        if r.n_outliers > 0:
+            assert r.max_d2 > r.thr_d2

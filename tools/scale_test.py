@@ -155,6 +155,7 @@ QUERIES = [
     "heartbeat_liveness",
     "placement_rebalance",
     "kmv_distinct",
+    "embedding_outliers",
 ]
 
 
