@@ -573,6 +573,8 @@ def decode_jpeg(b: bytes) -> dict:
         pos += 2 + seglen
     if width is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
+    if comp_tq not in qt or (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("SOS references an undefined DQT/DHT table")
     q = qt[comp_tq]
     dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
     br = _BitReader(b[scan_start:])

@@ -931,8 +931,14 @@ def _stream_cdc_store_oracle() -> str:
               FROM chunks GROUP BY 1)
         SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
                CAST(sum(l) AS BIGINT) AS total_chunk_chars,
-               CAST(least(3, (SELECT count(*) FROM documents)) AS INT)
-                   AS n_batches
+               -- greatest(.., 1): an EMPTY source still writes one
+               -- metadata-only parquet part file (the schema read
+               -- depends on it), so the file stream fires exactly one
+               -- empty micro-batch — and this aggregate always emits
+               -- its one row, unlike the per-row pins in the upsert /
+               -- dedup-incremental oracles that vanish with the rows
+               CAST(greatest(least(3, (SELECT count(*) FROM documents)), 1)
+                    AS INT) AS n_batches
         FROM u
     """
 
