@@ -531,6 +531,7 @@ def decode_jpeg(b: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     scan_start = None
+    comp_tq = dc_id = ac_id = None  # SOS-before-SOF0 malformed streams
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -571,7 +572,7 @@ def decode_jpeg(b: bytes) -> dict:
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
-    if width is None or scan_start is None:
+    if width is None or scan_start is None or comp_tq is None or dc_id is None:
         raise ValueError("missing SOF/SOS")
     if comp_tq not in qt or (0, dc_id) not in huff or (1, ac_id) not in huff:
         raise ValueError("SOS references an undefined DQT/DHT table")

@@ -766,6 +766,19 @@ def _sample_weighted_oracle() -> str:
 BPE_ROUNDS = 4
 
 
+def _bpe_fold_expr(pa: str, pb: str):
+    """The '|'-anchored greedy merge fold with the round's winning
+    pair inlined as literals (symbols are [a-z0-9_] — quoting-safe);
+    same fold DuckDB runs via list_reduce in the oracle."""
+    return F.expr(
+        f"""
+        split(substring(aggregate(syms, '', (acc, x) ->
+              CASE WHEN endswith(acc, '|{pa}') AND x = '{pb}'
+                   THEN acc || x ELSE acc || '|' || x END), 2), '\\\\|')
+        """
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning — the tokenizer-TRAINING side of
     the pipeline (tokenize_encode is the inference side): one
@@ -787,7 +800,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; every round then operates on the vocabulary table (words x
     symbols), which is what production BPE trainers exploit — at
     100 TB the rounds cost vocab-size, not corpus-size, and each
-    round's best pair is a 1-row broadcast."""
+    round's best pair is a 1-row driver collect injected as fold
+    literals (the kmeans-centroid iterative pattern)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
@@ -803,7 +817,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substr(word, i, 1)), array('_'))"
         ).alias("syms"),
     )
-    best_rows = []
+    # Each round's winning pair is ONE row — collect it to the driver
+    # (the kmeans-centroid pattern) and inject it as literals into the
+    # next round's fold. Pre-tokenized symbols are [a-z0-9_] so literal
+    # inlining is quoting-safe. Caches are vocab-sized, materialized
+    # eagerly, and the PREVIOUS round's cache is released as soon as
+    # the next round lands — nothing stays persisted after the query
+    # (round-6 ADVICE: the lazy per-round cache chain leaked R frames
+    # into the driver's long single session).
+    cur = cur.cache()
+    best_rows: list[tuple[int, str, str, str, int]] = []
     for k in range(1, BPE_ROUNDS + 1):
         n1 = F.greatest(F.size("syms") - 1, F.lit(0))
         pair = F.zip_with(
@@ -817,30 +840,24 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "pa", "pb")
             .limit(1)
-            .select(F.lit(k).alias("round"), "pa", "pb", F.col("cnt").cast("long").alias("cnt"))
+            .collect()
         )
-        best_rows.append(best)
-        cur = cur.crossJoin(
-            F.broadcast(
-                best.select(F.col("pa").alias("bpa"), F.col("pb").alias("bpb"))
-            )
-        ).select(
-            "word",
-            "freq",
-            F.expr(
-                """
-                split(substring(aggregate(syms, '', (acc, x) ->
-                      CASE WHEN endswith(acc, '|' || bpa) AND x = bpb
-                           THEN acc || x ELSE acc || '|' || x END), 2), '\\\\|')
-                """
-            ).alias("syms"),
-        ).cache()  # vocab-sized; stops round k's union branch from
-        # re-deriving every earlier round's fold chain
-    out = best_rows[0]
-    for b in best_rows[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "round", "pa", "pb", F.concat("pa", "pb").alias("merged"), "cnt"
+        if not best:
+            break
+        r = best[0]
+        best_rows.append((k, r.pa, r.pb, r.pa + r.pb, int(r.cnt)))
+        if k == BPE_ROUNDS:
+            break  # the last round's merged vocabulary is never read
+        prev = cur
+        cur = prev.select(
+            "word", "freq", _bpe_fold_expr(r.pa, r.pb).alias("syms")
+        ).cache()
+        cur.count()  # materialize before dropping the previous cache
+        prev.unpersist()
+    cur.unpersist()
+    return spark.createDataFrame(
+        best_rows,
+        schema="round int, pa string, pb string, merged string, cnt long",
     )
 
 
@@ -876,6 +893,11 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substr(word, i, 1)), array('_'))"
         ).alias("syms"),
     )
+    # Same driver-side 1-row best-pair collect + literal fold as
+    # q_bpe_train; every intermediate cache is released as the next
+    # round lands, and the final vocab cache is released once the
+    # (per-source, driver-scale) result is localCheckpoint-pinned.
+    cur = cur.cache()
     for _ in range(BPE_ROUNDS):
         n1 = F.greatest(F.size("syms") - 1, F.lit(0))
         pair = F.zip_with(
@@ -889,25 +911,23 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "bpa", "bpb")
             .limit(1)
-            .select("bpa", "bpb")
+            .collect()
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            "word",
-            "freq",
-            F.expr(
-                """
-                split(substring(aggregate(syms, '', (acc, x) ->
-                      CASE WHEN endswith(acc, '|' || bpa) AND x = bpb
-                           THEN acc || x ELSE acc || '|' || x END), 2), '\\\\|')
-                """
-            ).alias("syms"),
+        if not best:
+            break
+        r = best[0]
+        prev = cur
+        cur = prev.select(
+            "word", "freq", _bpe_fold_expr(r.bpa, r.bpb).alias("syms")
         ).cache()
+        cur.count()  # materialize before dropping the previous cache
+        prev.unpersist()
     encoded = cur.select(
         "word",
         (F.length("word") + 1).alias("pre_tokens"),
         F.size("syms").alias("post_tokens"),
     )
-    return (
+    out = (
         by_source.join(F.broadcast(encoded), "word")
         .groupBy("source")
         .agg(
@@ -921,6 +941,9 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+    out = out.localCheckpoint()  # per-source rows: driver-scale
+    cur.unpersist()
+    return out
 
 
 def _bpe_apply_oracle() -> str:

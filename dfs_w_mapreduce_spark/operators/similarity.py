@@ -1091,6 +1091,11 @@ def _lloyd_final(spark: SparkSession, sf_dir: str) -> DataFrame | None:
             m = by_cid.get(cid)
             nxt.append((cid, [m[p] for p in sorted(m)]) if m else (cid, old))
         cents = nxt
+    # The cache only serves the per-round collects above; release it
+    # before returning so the driver's long single session does not
+    # accumulate leaked storage across queries (the final lazy
+    # assignment recomputes v from parquet once — bounded, cheap).
+    v.unpersist()
     return _kmeans_assign(spark, v, cents)
 
 

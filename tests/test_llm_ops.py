@@ -4,6 +4,8 @@ payload-pruning plan property."""
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 
 from dfs_w_mapreduce_spark.operators import dedup as D
@@ -297,6 +299,13 @@ def test_jpeg_roundtrip_entropy_path_and_malformed():
         # progressive SOF2 frames must be refused, not mis-decoded
         prog = M.build_jpeg(8, 8, 1, 1).replace(b"\xff\xc0", b"\xff\xc2", 1)
         M.decode_jpeg(prog)
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
+        # a stream whose SOF0 segment is stripped entirely (SOS comes
+        # first) must raise the documented ValueError, not NameError
+        src = M.build_jpeg(8, 8, 1, 1)
+        sof_at = src.index(b"\xff\xc0")
+        (sof_len,) = struct.unpack_from(">H", src, sof_at + 2)
+        M.decode_jpeg(src[:sof_at] + src[sof_at + 2 + sof_len :])
 
 
 def test_manifest_metadata_projection_prunes_payload(spark, sf_dir):
