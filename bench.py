@@ -199,7 +199,27 @@ ISOLATED_KEYS = [
     "dedup_clusters_incremental",
     "dedup_embedding_pairs_lsh",
 ]
+# Adaptive promotion (round-7 rule): any key whose in-suite time
+# exceeds 1.25x its value in the most recent BENCH_r*.json is promoted
+# into the isolated record for THIS run automatically (worst ratios
+# first, capped at ISOLATED_EXTRA_MAX so the companion stays bounded).
+# Cross-round adjudication therefore always has a fresh-JVM number for
+# exactly the keys that look regressed, without hand-editing this list.
+ISOLATED_RATIO = 1.25
+ISOLATED_EXTRA_MAX = 8
 REPS = 3
+
+
+def _prior_bench_queries() -> dict[str, float]:
+    """Timings from the most recent BENCH_r*.json in the repo, {} if
+    none exists or it cannot be parsed."""
+    files = sorted(Path(_REPO).glob("BENCH_r[0-9]*.json"))
+    for f in reversed(files):
+        try:
+            return json.loads(f.read_text())["queries"]
+        except Exception:
+            continue
+    return {}
 
 
 def main() -> None:
@@ -250,21 +270,35 @@ def main() -> None:
         "sf": sf,
     }
     if not only:
-        isolated = _run_isolated(sf_dir)
+        prior = _prior_bench_queries()
+        promoted = sorted(
+            (
+                k
+                for k, t in timings.items()
+                if k not in ISOLATED_KEYS
+                and prior.get(k)
+                and t / prior[k] > ISOLATED_RATIO
+            ),
+            key=lambda k: timings[k] / prior[k],
+            reverse=True,
+        )[:ISOLATED_EXTRA_MAX]
+        isolated = _run_isolated(sf_dir, ISOLATED_KEYS + promoted)
         if isolated:
             out["queries_isolated"] = isolated
+        if promoted:
+            out["isolated_promoted"] = promoted
     print(json.dumps(out))
 
 
-def _run_isolated(sf_dir: str) -> dict[str, float]:
-    """Re-measure ISOLATED_KEYS min-of-REPS in a fresh JVM (a new
+def _run_isolated(sf_dir: str, keys: list[str]) -> dict[str, float]:
+    """Re-measure `keys` min-of-REPS in a fresh JVM (a new
     subprocess — a restarted SparkSession would reuse this process's
     warm, heap-pressured JVM). Returns {} on any failure so the main
     record is never lost to the companion."""
     import subprocess
 
     env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(ISOLATED_KEYS)
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(keys)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     try:
         proc = subprocess.run(

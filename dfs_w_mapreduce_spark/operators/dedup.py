@@ -596,21 +596,33 @@ def _minhash_estimate_oracle() -> str:
 
 
 SWEEP_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows) over 16 hashes
+# A loose config (8x2) can put a macroscopic fraction of the corpus in
+# one (band, sig) bucket, making its candidate mass Theta(n^2) — the
+# round-6 100x probe measured an executor OOM. Bound every bucket to
+# its lowest-doc_id SWEEP_BUCKET_CAP members (deterministic, mirrored
+# in the oracle) so per-bucket pairs are <= CAP^2/2 and total candidate
+# mass is linear in bucket COUNT; the per-config `n_buckets_capped`
+# column reports how much S-curve evidence the cap truncated.
+SWEEP_BUCKET_CAP = 64
 
 
 def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-choice evidence: the SAME 16 minhashes re-banded three
     ways (2x8 strict, 4x4 production, 8x2 loose), each config's
     candidates verified with the exact Jaccard. Emits, per config:
-    candidate count, true-pair count (j >= 0.5), precision, and recall
+    candidate count, true-pair count (j >= 0.5), precision, recall
     relative to the union of true pairs any config finds — the
     measured S-curve trade (P(candidate | j) = 1-(1-j^rows)^bands)
     that justifies 4x4 at this threshold, as data instead of as a
-    constant. One shared signature pass; the per-config band joins
-    reuse it, so the sweep costs ~3 candidate joins, not 3 pipelines.
-    True recall vs the exact O(n^2) baseline is asserted in tests at
-    sf0.001 (the relative-recall denominator here keeps the registry
-    row linear-cost at any scale)."""
+    constant — and n_buckets_capped, the number of (band, sig) buckets
+    whose membership was truncated to SWEEP_BUCKET_CAP docs (0 on the
+    fixtures; >0 flags that a loose config's evidence is partial
+    instead of letting its candidate mass go quadratic). One shared
+    signature pass; the per-config band joins reuse it, so the sweep
+    costs ~3 candidate joins, not 3 pipelines. True recall vs the
+    exact O(n^2) baseline is asserted in tests at sf0.001 (the
+    relative-recall denominator here keeps the registry row
+    linear-cost at any scale)."""
     sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
     sig = sh.select(
         "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
@@ -633,6 +645,21 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band", "sig"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    # Bound every (cfg, band, sig) bucket: rank members by doc_id (one
+    # shuffle keyed on the bucket — each task sorts one bucket, never
+    # builds pairs) and keep the first SWEEP_BUCKET_CAP.
+    bw = W.partitionBy("cfg", "band", "sig").orderBy("doc_id")
+    ranked = bands.select(
+        "cfg", "doc_id", "band", "sig", F.row_number().over(bw).alias("rk")
+    )
+    capped = (
+        ranked.groupBy("cfg", "band", "sig")
+        .agg(F.max("rk").alias("bsz"))
+        .filter(F.col("bsz") > SWEEP_BUCKET_CAP)
+        .groupBy("cfg")
+        .agg(F.count("*").alias("n_buckets_capped"))
+    )
+    bands = ranked.filter(F.col("rk") <= SWEEP_BUCKET_CAP).drop("rk")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -673,10 +700,12 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_true").cast("long")).alias("n_true"),
         )
         .crossJoin(F.broadcast(n_union))
+        .join(F.broadcast(capped), "cfg", "left")
         .select(
             "cfg", "n_candidates", "n_true",
             F.round(F.try_divide(F.col("n_true"), F.col("n_candidates")), 4).alias("precision"),
             F.round(F.try_divide(F.col("n_true"), F.col("n_union")), 4).alias("recall_vs_union"),
+            F.coalesce("n_buckets_capped", F.lit(0)).alias("n_buckets_capped"),
         )
     )
 
@@ -695,7 +724,21 @@ def _minhash_band_sweep_oracle() -> str:
            "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")
     return f"""
         WITH {_minhash_sig_sql()},
-        bands AS ({" UNION ALL ".join(band_rows)}),
+        all_bands AS ({" UNION ALL ".join(band_rows)}),
+        ranked AS (
+            SELECT cfg, doc_id, band, sig,
+                   row_number() OVER (PARTITION BY cfg, band, sig
+                                      ORDER BY doc_id) AS rk
+            FROM all_bands
+        ),
+        capped AS (
+            SELECT cfg, CAST(count(*) AS BIGINT) AS n_buckets_capped
+            FROM (SELECT cfg, band, sig FROM ranked
+                  GROUP BY 1, 2, 3 HAVING max(rk) > {SWEEP_BUCKET_CAP})
+            GROUP BY cfg
+        ),
+        bands AS (SELECT cfg, doc_id, band, sig FROM ranked
+                  WHERE rk <= {SWEEP_BUCKET_CAP}),
         cand AS (
             SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -713,8 +756,9 @@ def _minhash_band_sweep_oracle() -> str:
         SELECT cfg, count(*) AS n_candidates,
                CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
                round(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS precision,
-               round(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1.0 / any_value(n_union), 4) AS recall_vs_union
-        FROM ver CROSS JOIN u
+               round(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1.0 / any_value(n_union), 4) AS recall_vs_union,
+               COALESCE(any_value(c.n_buckets_capped), 0) AS n_buckets_capped
+        FROM ver LEFT JOIN capped c USING (cfg) CROSS JOIN u
         GROUP BY cfg
     """
 

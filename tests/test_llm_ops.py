@@ -102,6 +102,51 @@ def test_minhash_band_sweep_true_recall(spark, sf_dir):
         assert recall_44 >= 0.7, f"4x4 true recall {recall_44}"
 
 
+def test_minhash_band_sweep_bucket_cap(spark, sf_dir, tmp_path):
+    """The sweep's scale guard: on a corpus where one document is
+    replicated past SWEEP_BUCKET_CAP copies (identical text => every
+    copy lands in the SAME (band, sig) bucket in every config), each
+    config must (a) report capped buckets, (b) emit at most
+    CAP*(CAP-1)/2 candidates per bucket instead of the quadratic
+    copies^2/2, and (c) still match the DuckDB oracle exactly — the
+    cap is part of the query's contract, not a Spark-side shortcut."""
+    import os as _os
+
+    import duckdb as _duckdb
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    big = tmp_path / "capsf"
+    big.mkdir()
+    n_copies = D.SWEEP_BUCKET_CAP + 6
+    con = _duckdb.connect()
+    copies = " UNION ALL ".join(
+        f"SELECT doc_id + {i * 100000} AS doc_id, text, lang, source, "
+        f"n_chars FROM read_parquet('{src}') WHERE doc_id = "
+        "(SELECT min(doc_id) FROM read_parquet('{}'))".format(src)
+        for i in range(n_copies)
+    )
+    con.execute(
+        f"COPY ({copies}) TO '{big}/documents.parquet' (FORMAT PARQUET)"
+    )
+    rows = {r.cfg: r for r in D.q_minhash_band_sweep(spark, str(big)).collect()}
+    assert set(rows) == {"2x8", "4x4", "8x2"}
+    max_pairs = D.SWEEP_BUCKET_CAP * (D.SWEEP_BUCKET_CAP - 1) // 2
+    for cfg, r in rows.items():
+        assert r.n_buckets_capped > 0, f"{cfg}: cap never triggered"
+        # identical docs share every band-bucket => the DISTINCT pair
+        # set is exactly one capped bucket's worth
+        assert r.n_candidates == max_pairs, (cfg, r.n_candidates)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{big}/documents.parquet')"
+    )
+    want = {row[0]: row for row in con.sql(D._minhash_band_sweep_oracle()).fetchall()}
+    for cfg, r in rows.items():
+        assert want[cfg] == (
+            cfg, r.n_candidates, r.n_true, r.precision,
+            r.recall_vs_union, r.n_buckets_capped,
+        )
+
+
 def test_embedding_lsh_adaptive_width_and_recall_at_scale(spark, sf_dir, tmp_path):
     """The scale knob: on a 6x-replicated corpus (3000 vectors) the
     in-query plane count widens from the 4-plane floor to 5 (32

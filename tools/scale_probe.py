@@ -40,17 +40,14 @@ DST100 = "/tmp/spark_graft_sf100x"
 
 # The dedup/ANN family: banded/bucketed candidate generation paths
 # whose 100 TB posture the probe certifies.
-#
-# `minhash_band_sweep` is deliberately NOT probed: its loose 8x2
-# banding config exists as S-curve EVIDENCE (it measures how bad loose
-# banding is), and at 100x that config generates ~n^2 * P(j~0.05|8x2)
-# ~ 5e9 candidate pairs by construction — a measured executor OOM, the
-# config doing exactly what the sweep documents it does. The
-# PRODUCTION 4x4 config is what `dedup_minhash_pairs` runs, and that
-# IS probed.
 PROBE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
+    # round-7: probed once SWEEP_BUCKET_CAP bounded the loose 8x2
+    # config's candidate mass (round-6 measured an executor OOM here —
+    # ~5e9 pairs by construction; the cap makes the sweep's own
+    # evidence scale-safe and reports what it truncated)
+    "minhash_band_sweep",
     "dup_ngram_spans",
     "dedup_embedding_pairs_lsh",
     "dedup_embedding_clusters",
@@ -77,23 +74,33 @@ PROBE_QUERIES = [
 ]
 
 
-def run(spark, sf_dir: str, label: str) -> dict[str, float]:
+def run(spark, sf_dir: str, label: str) -> dict[str, tuple[float, int]]:
+    """Time each probe query AND record its output row count (the
+    output-mass yardstick) via an Observation on the same noop-write
+    job — zero extra compute, so 'ratio vs output mass' is a measured
+    column, not an adjudication narrative."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     reg = collect()
     spark.read.parquet(f"{sf_dir}/documents.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
-    out = {}
+    out: dict[str, tuple[float, int]] = {}
     for name in PROBE_QUERIES:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
-            reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - t0, 2)
+            obs = Observation()
+            reg[name].fn(spark, sf_dir).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            ).write.format("noop").mode("overwrite").save()
+            out[name] = (round(time.perf_counter() - t0, 2), int(obs.get["rows"]))
         except Exception as e:  # record the failure, keep probing
-            out[name] = float("nan")
+            out[name] = (float("nan"), -1)
             print(f"  {label} {name}: FAILED {type(e).__name__}", flush=True)
             continue
-        print(f"  {label} {name}: {out[name]}s", flush=True)
+        print(f"  {label} {name}: {out[name][0]}s rows={out[name][1]}", flush=True)
     return out
 
 
@@ -136,28 +143,37 @@ def main() -> None:
         "One more decade beyond the 10x sweep, dedup/ANN only. Replication",
         "multiplies the duplicate-pair MASS as copies^2 (every copy of a doc",
         "duplicates every other copy), so the fair linearity yardstick for",
-        "pair-emitting rows is the OUTPUT mass, not the input rows: a ratio",
-        f"well under {copies}x certifies the candidate machinery tracks",
-        "corpus size, not its square.",
+        "pair-emitting rows is the OUTPUT mass, not the input rows — now a",
+        "MEASURED column (`rows` via an Observation on the same job): a time",
+        "ratio at or below max(data ratio, output-mass ratio) certifies the",
+        "candidate machinery tracks corpus size, not its square.",
         "",
-        f"| query | sf0.1 (s) | x{copies} (s) | ratio |",
-        "|---|---|---|---|",
+        f"| query | sf0.1 (s) | rows | x{copies} (s) | rows | time ratio | output ratio | verdict |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name in PROBE_QUERIES:
-        b0, b1 = base.get(name), big.get(name)
+        b0, r0 = base.get(name, (float("nan"), -1))
+        b1, r1 = big.get(name, (float("nan"), -1))
         if b0 != b0 or b1 != b1 or not b0:  # NaN or zero base
-            lines.append(f"| {name} | {b0} | {b1} | FAILED |")
-        else:
-            lines.append(f"| {name} | {b0} | {b1} | {b1 / b0:.1f}x |")
+            lines.append(f"| {name} | {b0} | {r0} | {b1} | {r1} | FAILED | — | FAILED |")
+            continue
+        tr = b1 / b0
+        orr = (r1 / r0) if r0 > 0 else float("nan")
+        yardstick = max(copies, orr) if orr == orr else copies
+        verdict = "ok" if tr <= 1.5 * yardstick else "SUPERLINEAR"
+        orr_s = f"{orr:.1f}x" if orr == orr else "—"
+        lines.append(
+            f"| {name} | {b0} | {r0} | {b1} | {r1} | {tr:.1f}x | {orr_s} | {verdict} |"
+        )
     lines += [
         "",
         "Adjudication notes:",
         "",
-        "- `minhash_band_sweep` is not probed: its deliberately-loose",
-        "  8x2 banding config is S-curve evidence whose candidate count",
-        "  is ~2% of n^2 by construction (~5e9 pairs at 100x — measured",
-        "  executor OOM). The production 4x4 config is probed as",
-        "  `dedup_minhash_pairs`.",
+        "- `minhash_band_sweep` rejoined the probe in round 7: the loose",
+        "  8x2 config's candidate mass (round-6: ~5e9 pairs, measured",
+        "  executor OOM) is now bounded per (band, sig) bucket by",
+        "  SWEEP_BUCKET_CAP=64 (lowest doc_ids kept, mirrored in the",
+        "  oracle) with the truncation reported in `n_buckets_capped`.",
         "- `tfidf_cosine_pairs` is excluded BY CONSTRUCTION: the 31-term",
         "  fixture makes every doc pair a true result, so the 100x ground",
         "  truth is ~1e11 pairs — unmaterializable by any exact algorithm.",

@@ -122,10 +122,12 @@ QUERIES = [
     "path_3grams",
     "cumulative_distinct_users",
     "histogram_fixed_width",
-    # round-4 operators (minhash_band_sweep is excluded for the same
-    # copies^2 replication artifact as dedup_minhash_pairs — it runs
-    # that candidate generation three times; join_skew_aqe fans to a
-    # constant ~2M rows at any SF so its ratio is definitionally ~1)
+    # round-4 operators (join_skew_aqe fans to a constant ~2M rows at
+    # any SF so its ratio is definitionally ~1)
+    # round-7: minhash_band_sweep rejoined once SWEEP_BUCKET_CAP
+    # bounded its loose-config candidate mass (was excluded for the
+    # copies^2 replication artifact x3 configs)
+    "minhash_band_sweep",
     "dup_ngram_spans",
     "dedup_span_apply",
     "cdc_merge_apply",
