@@ -186,6 +186,11 @@ HEADLINE = [
     "placement_rebalance",
     "kmv_distinct",
     "embedding_outliers",
+    # round-7 additions
+    "quality_perceptron",
+    "embedding_matryoshka",
+    "multimodal_resize",
+    "catalog_ls",
 ]
 
 

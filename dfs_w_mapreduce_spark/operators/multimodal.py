@@ -293,11 +293,26 @@ def decode_png(b: bytes) -> dict:
     if (depth, color_type, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError("unsupported PNG variant (8-bit truecolor only)")
     raw = zlib.decompress(idat)
+    pixels = _png_unfilter(raw, width, height)
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "color_type": color_type,
+        "raw_len": len(raw),
+        "pixel_sum": sum(pixels),
+    }
+
+
+def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
+    """Five-filter scanline reconstruction (None/Sub/Up/Average/Paeth)
+    for the 8-bit truecolor layout: inflated IDAT -> contiguous RGB
+    pixel bytes (row-major). Shared by decode_png and the resize op."""
     bpp, stride = 3, width * 3
     if len(raw) != height * (1 + stride):
         raise ValueError("bad IDAT length")
     prev = bytes(stride)
-    pixel_sum = 0
+    out = bytearray()
     for y in range(height):
         ft = raw[y * (1 + stride)]
         line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
@@ -320,16 +335,39 @@ def decode_png(b: bytes) -> dict:
             else:
                 raise ValueError(f"bad filter type {ft}")
             cur[i] = v
-        pixel_sum += sum(cur)
+        out += cur
         prev = bytes(cur)
-    return {
-        "width": width,
-        "height": height,
-        "bit_depth": depth,
-        "color_type": color_type,
-        "raw_len": len(raw),
-        "pixel_sum": pixel_sum,
-    }
+    return bytes(out)
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Full decode returning the reconstructed RGB buffer (the resize
+    input). Same validation path as decode_png."""
+    d = decode_png(b)  # validates signature/CRCs/IHDR variant
+    pos, idat = 8, b""
+    while pos + 12 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        if b[pos + 4 : pos + 8] == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+    raw = zlib.decompress(idat)
+    return d["width"], d["height"], _png_unfilter(raw, d["width"], d["height"])
+
+
+def resize_nn(b: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resize of a decoded PNG to tw x th: target
+    pixel (i, j) samples source (sx, sy) = (j*w // tw, i*h // th) —
+    the standard floor mapping, integer-exact, so the thumbnail is
+    arithmetically oracle-checkable. Returns the RGB thumb buffer."""
+    w, h, px = decode_png_pixels(b)
+    out = bytearray()
+    for i in range(th):
+        sy = i * h // th
+        for j in range(tw):
+            sx = j * w // tw
+            o = (sy * w + sx) * 3
+            out += px[o : o + 3]
+    return bytes(out)
 
 
 # ------------------------------------------------- baseline JPEG codec
@@ -795,6 +833,88 @@ MULTIMODAL_DECODE_ORACLE = """
 """
 
 
+THUMB_W, THUMB_H = 4, 4  # <= the smallest source dims (pw,ph >= 4)
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, thumb_w int, thumb_h int, "
+    "thumb_sum long, probe_r33 int, probe_g33 int, probe_b33 int"
+)
+
+
+def _build_resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = []
+    for pdf in batches:
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            pw, ph = doc_id % 16 + 4, n_chars % 12 + 4
+            thumb = resize_nn(build_png(pw, ph, doc_id), THUMB_W, THUMB_H)
+            o = ((THUMB_H - 1) * THUMB_W + (THUMB_W - 1)) * 3
+            rows.append(
+                (
+                    doc_id, pw, ph, THUMB_W, THUMB_H, sum(thumb),
+                    thumb[o], thumb[o + 1], thumb[o + 2],
+                )
+            )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "src_w", "src_h", "thumb_w", "thumb_h",
+            "thumb_sum", "probe_r33", "probe_g33", "probe_b33",
+        ],
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE on real decoded pixels — the thumbnail/preprocess
+    step of a multimodal ingest pipeline: build each document's PNG,
+    run the full codec decode (CRC walk, inflate, five-filter
+    reconstruction), then nearest-neighbor downscale to 4x4 with the
+    standard floor mapping (sx, sy) = (j*w // tw, i*h // th). Because
+    NN sampling is integer-exact, the oracle recomputes every thumb
+    byte arithmetically from the pixel generator — the resize is
+    hash-verified per pixel-sum plus a corner probe pixel that pins
+    the index mapping (a sum alone would accept transposed or
+    off-by-one sampling on square images).
+
+    Scale shape: embarrassingly parallel mapInPandas over the manifest
+    (one Arrow batch in, one decode+resize per file, no shuffle) —
+    identical plumbing to q_multimodal_decode."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").mapInPandas(
+        _build_resize_media, schema=RESIZE_SCHEMA
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id, doc_id % 16 + 4 AS pw, n_chars % 12 + 4 AS ph
+        FROM documents
+    ),
+    thumb AS (
+        SELECT doc_id,
+               SUM((doc_id + (j * pw) // {THUMB_W}) % 256
+                   + (doc_id + (i * ph) // {THUMB_H}) % 256
+                   + ((j * pw) // {THUMB_W} + (i * ph) // {THUMB_H}) % 256)
+                   AS thumb_sum
+        FROM p,
+             LATERAL (SELECT unnest(range(0, {THUMB_H})) AS i) gi,
+             LATERAL (SELECT unnest(range(0, {THUMB_W})) AS j) gj
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.pw AS INT) AS src_w,
+           CAST(p.ph AS INT) AS src_h,
+           CAST({THUMB_W} AS INT) AS thumb_w,
+           CAST({THUMB_H} AS INT) AS thumb_h,
+           CAST(t.thumb_sum AS BIGINT) AS thumb_sum,
+           CAST((p.doc_id + ({THUMB_W - 1} * p.pw) // {THUMB_W}) % 256 AS INT) AS probe_r33,
+           CAST((p.doc_id + ({THUMB_H - 1} * p.ph) // {THUMB_H}) % 256 AS INT) AS probe_g33,
+           CAST((({THUMB_W - 1} * p.pw) // {THUMB_W}
+                 + ({THUMB_H - 1} * p.ph) // {THUMB_H}) % 256 AS INT) AS probe_b33
+    FROM p JOIN thumb t USING (doc_id)
+"""
+
+
 def media_manifest(docs: DataFrame) -> DataFrame:
     """Binary payload + typed metadata columns from the documents
     table (the ingest convention)."""
@@ -1225,6 +1345,10 @@ def specs() -> list[QuerySpec]:
                   ("multimodal", "llm", "pandas"),
                   "Real WAV/BMP/PNG/baseline-JPEG build->parse roundtrips, "
                   "fields hash-verified."),
+        QuerySpec("multimodal_resize", q_multimodal_resize, MULTIMODAL_RESIZE_ORACLE,
+                  ("multimodal", "llm", "pandas"),
+                  "Nearest-neighbor 4x4 thumbnail over the REAL PNG decode; "
+                  "thumb sum + corner probe hash-verified arithmetically."),
         QuerySpec("multimodal_gif_frames", q_multimodal_gif_frames,
                   MULTIMODAL_GIF_ORACLE,
                   ("multimodal", "llm", "pandas", "video"),

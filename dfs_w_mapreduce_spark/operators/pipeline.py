@@ -1106,8 +1106,128 @@ SHUFFLE_EPOCHS_ORACLE = f"""
 """
 
 
+PERCEPTRON_ROUNDS = 3
+
+
+def _perceptron_feats(d: DataFrame) -> DataFrame:
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    return d.select(
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        F.lit(1).cast("long").alias("b"),
+        F.size(toks).cast("long").alias("tc"),
+        F.col("n_chars").cast("long").alias("nc"),
+    )
+
+
+def q_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear-classifier TRAINING over the corpus — the
+    quality-classifier step real LLM pipelines run between heuristic
+    filtering and sampling (GPT-3/CCNet-style: fit a small model on
+    labeled docs, score the corpus), as a batch perceptron kept in
+    INTEGER arithmetic so an inherently iterative gradient loop is
+    exactly oracle-checkable (the same every-replica-agrees property
+    kmeans_lloyd gets from decimals, with no float order hazard at
+    all). Task: predict lang='en' (+1/-1) from integer length features
+    (bias, token count, n_chars).
+
+    Each round is ONE corpus aggregation: with the current integer
+    weight vector injected as plan literals, sum y*x over the
+    misclassified set (y * w.x <= 0) and count it; the 3-component
+    update is a driver-side scalar collect (the kmeans-centroid
+    pattern — rounds cost one scan each, weights are O(features) on
+    the driver). Emits one row per round: entering misclassified
+    count + post-update weights. The oracle unrolls the identical
+    rounds as CTEs with scalar-subquery weights.
+
+    Scale shape at 100 TB: PERCEPTRON_ROUNDS scans, each a partial
+    aggregate (map-side combine) over 4 long columns — no shuffle
+    beyond the 1-row agg exchange, no Python in the hot path."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = _perceptron_feats(d)
+    w = [0, 0, 0]  # bias, token-count, n_chars
+    rows: list[tuple[int, int, int, int, int]] = []
+    for k in range(1, PERCEPTRON_ROUNDS + 1):
+        dot = (
+            F.lit(w[0]) * F.col("b")
+            + F.lit(w[1]) * F.col("tc")
+            + F.lit(w[2]) * F.col("nc")
+        )
+        mis = (F.col("y") * dot) <= 0
+        r = feats.agg(
+            F.coalesce(
+                F.sum(F.when(mis, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias("n_mis"),
+            F.coalesce(
+                F.sum(F.when(mis, F.col("y") * F.col("b")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("db"),
+            F.coalesce(
+                F.sum(F.when(mis, F.col("y") * F.col("tc")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("dt"),
+            F.coalesce(
+                F.sum(F.when(mis, F.col("y") * F.col("nc")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("dn"),
+        ).collect()[0]
+        w = [w[0] + r.db, w[1] + r.dt, w[2] + r.dn]
+        rows.append((k, int(r.n_mis), w[0], w[1], w[2]))
+    return spark.createDataFrame(
+        rows, "round int, n_mis long, w_bias long, w_tokens long, w_chars long"
+    )
+
+
+def _perceptron_oracle() -> str:
+    ctes = [
+        """feats AS (
+            SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+                   CAST(1 AS BIGINT) AS b,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS BIGINT) AS tc,
+                   CAST(n_chars AS BIGINT) AS nc
+            FROM documents
+        )""",
+        "r0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS wt,"
+        " CAST(0 AS BIGINT) AS wn)",
+    ]
+    for k in range(1, PERCEPTRON_ROUNDS + 1):
+        p = k - 1
+        dot = (
+            f"((SELECT wb FROM r{p}) * b + (SELECT wt FROM r{p}) * tc"
+            f" + (SELECT wn FROM r{p}) * nc)"
+        )
+        ctes.append(
+            f"""u{k} AS (
+            SELECT CAST(COALESCE(sum(CASE WHEN y * {dot} <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mis,
+                   CAST(COALESCE(sum(CASE WHEN y * {dot} <= 0 THEN y * b ELSE 0 END), 0) AS BIGINT) AS db,
+                   CAST(COALESCE(sum(CASE WHEN y * {dot} <= 0 THEN y * tc ELSE 0 END), 0) AS BIGINT) AS dt,
+                   CAST(COALESCE(sum(CASE WHEN y * {dot} <= 0 THEN y * nc ELSE 0 END), 0) AS BIGINT) AS dn
+            FROM feats
+        )"""
+        )
+        ctes.append(
+            f"r{k} AS (SELECT (SELECT wb FROM r{p}) + db AS wb,"
+            f" (SELECT wt FROM r{p}) + dt AS wt,"
+            f" (SELECT wn FROM r{p}) + dn AS wn, n_mis FROM u{k})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS round, n_mis, wb AS w_bias,"
+        f" wt AS w_tokens, wn AS w_chars FROM r{k}"
+        for k in range(1, PERCEPTRON_ROUNDS + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("quality_perceptron", q_quality_perceptron, _perceptron_oracle(),
+                  ("pipeline", "llm", "training"),
+                  "Distributed batch-perceptron training (3 rounds, integer-"
+                  "exact): one corpus aggregation per round, driver-side "
+                  "3-scalar update, oracled via unrolled CTE rounds."),
         QuerySpec("bpe_train", q_bpe_train, _bpe_oracle(),
                   ("pipeline", "llm", "tokenizer"),
                   "Distributed BPE merge learning: 4 iterative rounds of "

@@ -767,6 +767,125 @@ def _knn_pq_oracle() -> str:
     """
 
 
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation evaluation: how much top-K recall
+    survives when vectors are cut to their first 8/16/32 components —
+    the measurement behind serving embeddings at reduced dimension
+    (truncate + renormalize, MRL-style). For each prefix dim, rank the
+    same query block by cosine WITHIN the truncated space and report
+    overlap with the full-vector exact top-K. All three prefixes score
+    in ONE pass over the q x corpus join (the cosines stack through a
+    single explode — no per-dim rescan); ranking is per (dim, query)
+    on round(cos, 6) with neighbor-id tie-break, so the hit sets are
+    engine-order independent and the whole table is hash-checkable.
+
+    Scale shape: the query block is a constant (N_QUERIES), so cost is
+    linear in corpus size at any SF — this is the evaluation harness
+    (like ann_recall); the serving path at scale is the LSH/IVF/PQ
+    tiers over the truncated column."""
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = v.alias("c")
+    entries = [
+        F.struct(
+            F.lit(0).alias("dim"),
+            F.round(
+                _dot(F.col("q.v"), F.col("c.v"))
+                / (F.col("q.nrm") * F.col("c.nrm")),
+                6,
+            ).alias("cos"),
+        )
+    ]
+    for d in MATRYOSHKA_DIMS:
+        qa, ca = F.slice("q.v", 1, d), F.slice("c.v", 1, d)
+        entries.append(
+            F.struct(
+                F.lit(d).alias("dim"),
+                F.round(
+                    _dot(qa, ca)
+                    / (F.sqrt(_dot(qa, qa)) * F.sqrt(_dot(ca, ca))),
+                    6,
+                ).alias("cos"),
+            )
+        )
+    scored = (
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select("query_id", "neighbor_id", F.col("e.dim").alias("dim"), F.col("e.cos").alias("cos"))
+    )
+    w = W.partitionBy("dim", "query_id").orderBy(F.desc("cos"), "neighbor_id")
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    full = topk.filter(F.col("dim") == 0).select("query_id", "neighbor_id")
+    tot = full.agg(F.count("*").alias("n_total"))
+    return (
+        topk.filter(F.col("dim") != 0)
+        .join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count("*").alias("n_hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "n_hits",
+            "n_total",
+            F.round(F.try_divide(F.col("n_hits"), F.col("n_total")), 4).alias("recall"),
+        )
+    )
+
+
+def _matryoshka_oracle() -> str:
+    full_cos = "round(list_dot_product(qv, cv) / (qn * cn), 6)"
+    prefix_rows = []
+    for d in MATRYOSHKA_DIMS:
+        cos = (
+            f"round(list_dot_product(qv[1:{d}], cv[1:{d}]) / "
+            f"(sqrt(list_dot_product(qv[1:{d}], qv[1:{d}])) * "
+            f"sqrt(list_dot_product(cv[1:{d}], cv[1:{d}]))), 6)"
+        )
+        prefix_rows.append(
+            f"SELECT query_id, neighbor_id, {d} AS dim, {cos} AS cos FROM pairs"
+        )
+    return f"""
+        WITH v AS ({_VECS_SQL}),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.v AS qv, c.v AS cv, q.nrm AS qn, c.nrm AS cn
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, 0 AS dim, {full_cos} AS cos FROM pairs
+            UNION ALL {" UNION ALL ".join(prefix_rows)}
+        ),
+        topk AS (
+            SELECT dim, query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY dim, query_id
+                    ORDER BY cos DESC, neighbor_id) AS rk
+                FROM scored
+            ) WHERE rk <= {TOP_K}
+        ),
+        fulltop AS (SELECT query_id, neighbor_id FROM topk WHERE dim = 0)
+        SELECT CAST(t.dim AS INT) AS dim, count(*) AS n_hits,
+               (SELECT count(*) FROM fulltop) AS n_total,
+               round(count(*) * 1.0 / (SELECT count(*) FROM fulltop), 4) AS recall
+        FROM topk t JOIN fulltop f
+          ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        WHERE t.dim <> 0
+        GROUP BY t.dim
+    """
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K report for every ANN tier against the exact brute
     force, as one hash-checkable table — the acceptance metric an ANN
@@ -1319,6 +1438,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("ann_recall", q_ann_recall, _ann_recall_oracle(),
                   ("similarity", "llm", "recall"),
                   "Recall@K of LSH/IVF/PQ tiers vs exact brute force."),
+        QuerySpec("embedding_matryoshka", q_embedding_matryoshka, _matryoshka_oracle(),
+                  ("similarity", "llm", "recall"),
+                  "MRL truncation evaluation: top-K recall at prefix dims "
+                  "8/16/32 vs the full vector, one pass, hash-checkable."),
         QuerySpec("knn_graph", q_knn_graph, _knn_graph_oracle(),
                   ("similarity", "llm", "graph"),
                   "Bucketed kNN-graph build: top-3 in-bucket neighbors for every vector."),

@@ -158,6 +158,10 @@ QUERIES = [
     "placement_rebalance",
     "kmv_distinct",
     "embedding_outliers",
+    # round-7 operators
+    "quality_perceptron",
+    "embedding_matryoshka",
+    "multimodal_resize",
 ]
 
 
