@@ -191,6 +191,9 @@ HEADLINE = [
     "embedding_matryoshka",
     "multimodal_resize",
     "catalog_ls",
+    "semdedup_prune",
+    "importance_resample",
+    "dedup_agreement",
 ]
 
 

@@ -887,6 +887,125 @@ CHISQ_ORACLE = """
 
 # Worker-executed module-level functions must serialize by value (the
 # driver imports this package from its own cwd; see CLAUDE.md).
+DSIR_BUCKETS = 64       # hashed n-gram feature space (DSIR's "hashed ngrams")
+DSIR_TARGET = "src0"    # the target domain whose distribution we match
+DSIR_K = 25             # sample size
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): score every corpus document by how target-domain-like
+    its hashed-unigram distribution is, then take the top-K. The
+    target domain is the DSIR_TARGET source; features are md5-hashed
+    token buckets (mod DSIR_BUCKETS); per-bucket log importance is
+    ln P_target(b) - ln P_corpus(b) with add-one smoothing, and a
+    document's score is the sum of its tokens' bucket log-ratios —
+    exactly DSIR's importance weight under a hashed unigram model.
+
+    Exactness: bucket probabilities are ratios of exact integer
+    counts; each per-bucket log-ratio rounds to 10 dp and the per-doc
+    sum accumulates those rounded values as DECIMAL(28,10) (the
+    kl_divergence discipline), so accumulation order cannot move the
+    6-dp reported score. Deterministic top-K: (score desc, doc_id).
+
+    Scale shape at 100 TB: one corpus-scale token explode feeding (a)
+    a 64-row bucket aggregate (map-side combined) and (b) a per-doc
+    sum after a broadcast join of the 64-row log-ratio table; the
+    top-K runs as TakeOrderedAndProject. Nothing is pairwise, nothing
+    shuffles more than once."""
+    from dfs_w_mapreduce_spark.operators.dedup import _h31_spark
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("token"),
+    ).select(
+        "doc_id", "source", (_h31_spark(F.col("token")) % DSIR_BUCKETS).alias("b")
+    )
+    cc = toks.groupBy("b").agg(
+        F.count("*").alias("cc"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = toks.agg(
+        F.count("*").alias("n_c"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)).alias("n_t"),
+    )
+    lr = (
+        cc.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("ct") + 1) / (F.col("n_t") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("cc") + 1) / (F.col("n_c") + DSIR_BUCKETS)),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("lr"),
+        )
+    )
+    doc = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_toks"),
+            (F.round(F.sum("lr").cast("double"), 6) + F.lit(0.0)).alias(
+                "importance"
+            ),
+        )
+    )
+    top = doc.orderBy(F.desc("importance"), "doc_id").limit(DSIR_K)
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("importance"), "doc_id")
+    )
+    return top.select(
+        "doc_id", "source", "n_toks", "importance", rk.alias("rank")
+    )
+
+
+def _importance_resample_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import _h31_sql
+
+    h = _h31_sql("token")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   {h} % {DSIR_BUCKETS} AS b
+            FROM (SELECT doc_id, source,
+                         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            t -> t <> '')) AS token
+                  FROM documents)
+        ),
+        cc AS (SELECT b, count(*) AS cc,
+                      sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct
+               FROM toks GROUP BY 1),
+        tot AS (SELECT count(*) AS n_c,
+                       sum(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS n_t
+                FROM toks),
+        lr AS (SELECT b,
+                      CAST(round(ln((ct + 1) * 1.0 / (n_t + {DSIR_BUCKETS}))
+                                 - ln((cc + 1) * 1.0 / (n_c + {DSIR_BUCKETS})), 10)
+                           AS DECIMAL(28,10)) AS lr
+               FROM cc CROSS JOIN tot),
+        doc AS (
+            SELECT doc_id, source, count(*) AS n_toks,
+                   round(CAST(sum(lr) AS DOUBLE), 6) + 0.0 AS importance
+            FROM toks JOIN lr USING (b)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks, importance,
+               CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS INT)
+                   AS rank
+        FROM doc
+        ORDER BY importance DESC, doc_id
+        LIMIT {DSIR_K}
+    """
+
+
 import sys as _sys  # noqa: E402
 
 from pyspark import cloudpickle as _cloudpickle  # noqa: E402
@@ -930,6 +1049,13 @@ def specs() -> list[QuerySpec]:
             "kl_divergence", q_kl_divergence, KL_DIVERGENCE_ORACLE,
             ("text", "llm", "quality"),
             "Per-source token-distribution KL drift (decimal-exact term sum).",
+        ),
+        QuerySpec(
+            "importance_resample", q_importance_resample,
+            _importance_resample_oracle(),
+            ("text", "llm", "sampling"),
+            "DSIR importance resampling: hashed-unigram log-ratio scores "
+            "vs the target domain, deterministic top-K.",
         ),
         QuerySpec(
             "text_perplexity", q_text_perplexity, TEXT_PERPLEXITY_ORACLE,

@@ -939,6 +939,71 @@ def _edit_distance_oracle() -> str:
     """
 
 
+# ------------------------------------------------ cross-method agreement
+
+
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method calibration: the Venn table of the three text
+    near-dup pair sets — exact shingle-Jaccard (ground truth), MinHash
+    LSH (what production runs at scale), and SimHash byte-bands (the
+    cheapest sketch). Every pair any method finds gets a 3-bit
+    membership mask (1 = exact, 2 = minhash, 4 = simhash) and the
+    table counts pairs per mask — which methods agree, what each
+    uniquely flags (mask 2/4 rows are false-positive mass, mask 1
+    rows are what the sketches MISS). This is the table a curation
+    team reads before picking the production dedup config; the
+    S-curve (minhash_band_sweep) calibrates one method's knob, this
+    calibrates ACROSS methods.
+
+    Each member pair set is already distinct, so the per-pair bit sum
+    equals the bitwise OR. Cost = the three member pipelines (each
+    individually probed for scale) + one pair-keyed aggregate."""
+    members = (
+        (1, q_dedup_ngram_pairs),
+        (2, q_dedup_minhash_pairs),
+        (4, q_dedup_simhash_pairs),
+    )
+    u = None
+    for bit, fn in members:
+        part = fn(spark, sf_dir).select(
+            "doc_a", "doc_b", F.lit(bit).alias("m")
+        )
+        u = part if u is None else u.unionByName(part)
+    masks = u.groupBy("doc_a", "doc_b").agg(F.sum("m").alias("mask"))
+    return (
+        masks.groupBy("mask")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.col("mask").cast("int").alias("mask"),
+            (F.col("mask").bitwiseAND(1) > 0).alias("in_exact"),
+            (F.col("mask").bitwiseAND(2) > 0).alias("in_minhash"),
+            (F.col("mask").bitwiseAND(4) > 0).alias("in_simhash"),
+            "n_pairs",
+        )
+    )
+
+
+def _dedup_agreement_oracle() -> str:
+    return f"""
+        WITH ex AS ({DEDUP_NGRAM_ORACLE}),
+        mh AS ({_minhash_oracle()}),
+        sh AS ({_simhash_pairs_oracle()}),
+        u AS (
+            SELECT doc_a, doc_b, 1 AS m FROM ex
+            UNION ALL SELECT doc_a, doc_b, 2 AS m FROM mh
+            UNION ALL SELECT doc_a, doc_b, 4 AS m FROM sh
+        ),
+        masks AS (SELECT doc_a, doc_b, sum(m) AS mask FROM u GROUP BY 1, 2)
+        SELECT CAST(mask AS INT) AS mask,
+               (mask & 1) > 0 AS in_exact,
+               (mask & 2) > 0 AS in_minhash,
+               (mask & 4) > 0 AS in_simhash,
+               count(*) AS n_pairs
+        FROM masks
+        GROUP BY mask
+    """
+
+
 # ----------------------------------------------------- embedding cosine
 
 
@@ -1499,6 +1564,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_simhash_pairs", q_dedup_simhash_pairs, _simhash_pairs_oracle(),
                   ("dedup", "llm", "lsh"),
                   "SimHash 6-byte-band candidates verified by Hamming <= 4 (tf-weighted sketch; separation-sweep validated)."),
+        QuerySpec("dedup_agreement", q_dedup_agreement, _dedup_agreement_oracle(),
+                  ("dedup", "llm", "calibration"),
+                  "Cross-method agreement matrix: exact/minhash/simhash pair "
+                  "sets as a membership-mask Venn table."),
         QuerySpec("dedup_edit_distance", q_dedup_edit_distance, _edit_distance_oracle(),
                   ("dedup", "llm"),
                   "Levenshtein verification over MinHash candidates (sketch->exact composition)."),

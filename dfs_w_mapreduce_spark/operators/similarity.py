@@ -1421,8 +1421,110 @@ def _embedding_outliers_oracle() -> str:
     """
 
 
+SEMDEDUP_T = 0.35  # same near-dup threshold as the embedding dedup path
+
+_SEMDEDUP_SCHEMA = (
+    "cluster long, n_members long, n_dropped long, kept_id_sum long, "
+    "keep_rate double"
+)
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster the embedding corpus,
+    then prune near-duplicates WITHIN each cluster — the k-means
+    pre-partition is what makes semantic dedup affordable, because
+    pairwise comparison only happens inside a cluster, never across
+    the corpus. Rides the exact same Lloyd result as kmeans_lloyd /
+    embedding_outliers (shared `_lloyd_final`); a member is dropped
+    iff a lower-vec_id member of ITS cluster has cosine >=
+    SEMDEDUP_T (the min-keeper rule the exact-dedup family uses).
+    Emits per cluster: member/dropped counts, an exact kept-membership
+    fingerprint (sum of kept vec_ids), and the keep rate.
+
+    Scale posture: the within-cluster self-join is the algorithm's
+    published cost — O(sum of cluster_size^2) — and the production
+    knob is k tracking n (SemDeDup runs k ~ n/1000). Here k is pinned
+    at KMEANS_K because the DuckDB oracle unrolls the Lloyd rounds;
+    both join sides carry an explicit repartition so AQE cannot
+    coalesce the pre-fan-out exchange to one task."""
+    final = _lloyd_final(spark, sf_dir)
+    if final is None:
+        return spark.createDataFrame([], _SEMDEDUP_SCHEMA)
+    par = spark.sparkContext.defaultParallelism * 2
+    m = final.select(
+        "cid", "vec_id", "v", F.sqrt(F.col("x2")).alias("nrm")
+    )
+    a = m.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("nrm").alias("na"),
+    ).repartition(par, "cid")
+    b = m.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("nrm").alias("nb"),
+    ).repartition(par, "cid")
+    cos = F.round(_dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("vb") < F.col("va"))
+        .filter(cos >= SEMDEDUP_T)
+        .select("cid", "va")
+        .distinct()
+    )
+    mem = m.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.sum("vec_id").alias("id_sum")
+    )
+    dr = dropped.groupBy("cid").agg(
+        F.count("*").alias("n_dropped"), F.sum("va").alias("dsum")
+    )
+    return (
+        mem.join(dr, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("id_sum") - F.coalesce("dsum", F.lit(0))).alias("kept_id_sum"),
+            F.round(
+                (F.col("n_members") - F.coalesce("n_dropped", F.lit(0)))
+                / F.col("n_members"),
+                4,
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+        WITH {_kmeans_ctes()},
+        m AS (SELECT cid, vec_id, v, sqrt(x2) AS nrm FROM afinal),
+        dropped AS (
+            SELECT DISTINCT a.cid, a.vec_id
+            FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+            WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+                  >= {SEMDEDUP_T}
+        ),
+        mem AS (SELECT cid, count(*) AS nm, sum(vec_id) AS id_sum
+                FROM m GROUP BY 1),
+        dr AS (SELECT cid, count(*) AS nd, sum(vec_id) AS dsum
+               FROM dropped GROUP BY 1)
+        SELECT mem.cid AS cluster,
+               CAST(nm AS BIGINT) AS n_members,
+               CAST(COALESCE(nd, 0) AS BIGINT) AS n_dropped,
+               CAST(id_sum - COALESCE(dsum, 0) AS BIGINT) AS kept_id_sum,
+               round((nm - COALESCE(nd, 0)) * 1.0 / nm, 4) AS keep_rate
+        FROM mem LEFT JOIN dr USING (cid)
+    """
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("semdedup_prune", q_semdedup_prune, _semdedup_oracle(),
+                  ("similarity", "llm", "dedup", "clustering"),
+                  "SemDeDup: k-means pre-partition + within-cluster cosine "
+                  "prune, min-keeper rule, exact kept fingerprint."),
         QuerySpec("decontaminate_semantic", q_decontaminate_semantic,
                   _decontaminate_semantic_oracle(),
                   ("similarity", "llm", "decontamination"),

@@ -76,6 +76,75 @@ def test_matryoshka_recall_monotone(spark, sf_dir):
     assert recalls[-1] > recalls[0], f"no truncation signal: {recalls}"
 
 
+def test_semdedup_matches_python_replica(spark, sf_dir):
+    """SemDeDup's min-keeper rule against a from-scratch replica over
+    the collected Lloyd assignment: per-cluster drop counts and kept
+    fingerprints must match exactly, and the lowest vec_id of every
+    cluster can never be dropped (nothing below it exists). The
+    replica mirrors the query's sequential-fold dot product so the
+    6-dp rounding boundary is bit-identical."""
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        SEMDEDUP_T,
+        _lloyd_final,
+        q_semdedup_prune,
+    )
+
+    final = _lloyd_final(spark, sf_dir)
+    assert final is not None
+    members = final.select("cid", "vec_id", "v").collect()
+    by_cluster: dict = {}
+    for r in members:
+        by_cluster.setdefault(r.cid, []).append((r.vec_id, r.v))
+
+    def dot(x, y):
+        acc = 0.0
+        for p, q in zip(x, y):
+            acc = acc + p * q  # same left fold as the query's _dot
+        return acc
+
+    expect = {}
+    for cid, ms in by_cluster.items():
+        ms.sort()
+        nrm = {vid: dot(v, v) ** 0.5 for vid, v in ms}
+        dropped = set()
+        for i, (va, xa) in enumerate(ms):
+            for vb, xb in ms[:i]:
+                if round(dot(xa, xb) / (nrm[va] * nrm[vb]), 6) >= SEMDEDUP_T:
+                    dropped.add(va)
+                    break
+        kept_sum = sum(vid for vid, _ in ms if vid not in dropped)
+        assert ms[0][0] not in dropped  # min member is always a keeper
+        expect[cid] = (len(ms), len(dropped), kept_sum)
+
+    got = {
+        r.cluster: (r.n_members, r.n_dropped, r.kept_id_sum)
+        for r in q_semdedup_prune(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_agreement_consistency(spark, sf_dir):
+    """The agreement matrix must be exactly the Venn decomposition of
+    the three member pair sets — recomputed here from the individual
+    queries — and the exact ground-truth pairs must be dominated by
+    the minhash column (the S-curve's >=0.7-recall config)."""
+    from collections import Counter
+
+    from dfs_w_mapreduce_spark.operators import dedup as D
+
+    ex = {(r.doc_a, r.doc_b) for r in D.q_dedup_ngram_pairs(spark, sf_dir).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in D.q_dedup_minhash_pairs(spark, sf_dir).collect()}
+    sh = {(r.doc_a, r.doc_b) for r in D.q_dedup_simhash_pairs(spark, sf_dir).collect()}
+    want = Counter(
+        (p in ex) + 2 * (p in mh) + 4 * (p in sh) for p in ex | mh | sh
+    )
+    got = {r.mask: r.n_pairs for r in D.q_dedup_agreement(spark, sf_dir).collect()}
+    assert got == dict(want)
+    if ex:
+        hit = sum(n for m, n in got.items() if (m & 1) and (m & 2))
+        assert hit / len(ex) >= 0.7
+
+
 def test_resize_nn_identity_and_mapping():
     """resize_nn at the source size must reproduce the decoded buffer
     exactly (floor mapping is the identity there), and a genuine

