@@ -192,7 +192,13 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode shingles, equi-join on shingle, count common, filter
     jaccard >= 0.5. Exact (no approximation) but the join fans out on
     hot shingles — the baseline the LSH path is measured against."""
-    sh = _doc_shingles(spark, sf_dir)
+    return _ngram_pairs_from(_doc_shingles(spark, sf_dir))
+
+
+def _ngram_pairs_from(sh: DataFrame) -> DataFrame:
+    """The exact inverted-index Jaccard join over a given (doc_id, sh)
+    shingle frame — shared by the full-corpus baseline above and the
+    sampled dedup_agreement calibration."""
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     # Join on a 60-bit md5-derived long, not the shingle string: the
     # inverted-index shuffle and join hash tables then carry 8-byte
@@ -674,6 +680,16 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+        # explicit pair-key repartition BEFORE the dedupe: a default
+        # partial+final distinct over the band-join fan-out builds
+        # concurrent partial hash maps sized by the fan-out (~100M
+        # rows at the 100x probe — a measured UNABLE_TO_ACQUIRE_MEMORY
+        # under full task concurrency); pre-clustering lets join tasks
+        # stream into the sort-shuffle writer and each reducer dedupe
+        # one bounded slice (the tfidf_cosine_pairs discipline).
+        .repartition(
+            spark.sparkContext.defaultParallelism * 8, "cfg", "doc_a", "doc_b"
+        )
         .distinct()
     )
     sa, sb = _merge_join(sh, sf_dir).alias("sa"), _merge_join(sh, sf_dir).alias("sb")
@@ -844,7 +860,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee, so banding provably surfaces EVERY qualifying pair.
     Same LSH shape as MinHash but the signature is 6 bytes/doc — the
     cheapest near-dup sketch."""
-    sh = q_dedup_simhash(spark, sf_dir)
+    return _simhash_pairs_from(q_dedup_simhash(spark, sf_dir))
+
+
+def _simhash_pairs_from(sh: DataFrame) -> DataFrame:
+    """Byte-band + Hamming verify over a given (doc_id, simhash)
+    sketch frame — shared by the full-corpus query above and the
+    sampled dedup_agreement calibration."""
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -942,6 +964,9 @@ def _edit_distance_oracle() -> str:
 # ------------------------------------------------ cross-method agreement
 
 
+AGREEMENT_SAMPLE = 2000  # fixed-size calibration sample (hash-lowest docs)
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method calibration: the Venn table of the three text
     near-dup pair sets — exact shingle-Jaccard (ground truth), MinHash
@@ -955,19 +980,67 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     S-curve (minhash_band_sweep) calibrates one method's knob, this
     calibrates ACROSS methods.
 
-    Each member pair set is already distinct, so the per-pair bit sum
-    equals the bitwise OR. Cost = the three member pipelines (each
-    individually probed for scale) + one pair-keyed aggregate."""
-    members = (
-        (1, q_dedup_ngram_pairs),
-        (2, q_dedup_minhash_pairs),
-        (4, q_dedup_simhash_pairs),
+    Scale design: calibration needs GROUND TRUTH, and exact ground
+    truth over a full corpus is inherently quadratic (running the
+    exact member at the 10x sweep heap-OOM'd the session). So the
+    whole table runs on a deterministic FIXED-SIZE sample — the
+    AGREEMENT_SAMPLE hash-lowest doc_ids, identical on both engines —
+    which is how method calibration is done on a 100 TB corpus
+    anyway: each method's per-pair verdict depends only on the two
+    documents (shingle sets / signatures / sketches are doc-local),
+    so members-on-sample EQUALS full-member pair sets restricted to
+    the sample. Cost at any corpus size: one shingle scan + one
+    sketch scan (each pruned by a broadcast semi-join on the 2000-id
+    sample), then bounded sample-sized joins.
+
+    Each member pair set is distinct, so the per-pair bit sum equals
+    the bitwise OR."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _h31_spark(F.col("doc_id").cast("string"))
+    ids = (
+        d.select("doc_id", h.alias("hh"))
+        .orderBy("hh", "doc_id")
+        .limit(AGREEMENT_SAMPLE)
+        .select("doc_id")
     )
-    u = None
-    for bit, fn in members:
-        part = fn(spark, sf_dir).select(
-            "doc_a", "doc_b", F.lit(bit).alias("m")
+    # bounded: <= AGREEMENT_SAMPLE rows; pin it so the three members
+    # and the final rollup share one materialization of the scan
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .join(F.broadcast(ids), "doc_id")
+        .localCheckpoint()
+    )
+    shp = sh.filter(F.size("sh") > 0)
+    exact = _ngram_pairs_from(sh)
+    # minhash member: bands over the sampled shingles + exact verify
+    bands = _bands_of(shp)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = shp.alias("sa"), shp.alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    union = F.size("sa.sh") + F.size("sb.sh") - inter
+    mh = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    # simhash member: the sketch scan is linear; prune to the sample
+    sk = q_dedup_simhash(spark, sf_dir).join(F.broadcast(ids), "doc_id")
+    sim = _simhash_pairs_from(sk)
+    members = ((1, exact), (2, mh), (4, sim))
+    u = None
+    for bit, df in members:
+        part = df.select("doc_a", "doc_b", F.lit(bit).alias("m"))
         u = part if u is None else u.unionByName(part)
     masks = u.groupBy("doc_a", "doc_b").agg(F.sum("m").alias("mask"))
     return (
@@ -984,14 +1057,24 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_agreement_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    # members re-run their full oracle SQL with the corpus swapped for
+    # the deterministic sample view (the only `documents` references
+    # inside them are the shingle/sketch source scans)
+    ex_sql = DEDUP_NGRAM_ORACLE.replace("FROM documents", "FROM documents_s")
+    mh_sql = _minhash_oracle().replace("FROM documents", "FROM documents_s")
+    sh_sql = _simhash_pairs_oracle().replace("FROM documents", "FROM documents_s")
     return f"""
-        WITH ex AS ({DEDUP_NGRAM_ORACLE}),
-        mh AS ({_minhash_oracle()}),
-        sh AS ({_simhash_pairs_oracle()}),
+        WITH ids AS (SELECT doc_id FROM documents
+                     ORDER BY {h}, doc_id LIMIT {AGREEMENT_SAMPLE}),
+        documents_s AS (SELECT d.* FROM documents d JOIN ids USING (doc_id)),
+        exj AS ({ex_sql}),
+        mhj AS ({mh_sql}),
+        shj AS ({sh_sql}),
         u AS (
-            SELECT doc_a, doc_b, 1 AS m FROM ex
-            UNION ALL SELECT doc_a, doc_b, 2 AS m FROM mh
-            UNION ALL SELECT doc_a, doc_b, 4 AS m FROM sh
+            SELECT doc_a, doc_b, 1 AS m FROM exj
+            UNION ALL SELECT doc_a, doc_b, 2 AS m FROM mhj
+            UNION ALL SELECT doc_a, doc_b, 4 AS m FROM shj
         ),
         masks AS (SELECT doc_a, doc_b, sum(m) AS mask FROM u GROUP BY 1, 2)
         SELECT CAST(mask AS INT) AS mask,

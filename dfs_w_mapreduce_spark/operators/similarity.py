@@ -785,7 +785,32 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the query block is a constant (N_QUERIES), so cost is
     linear in corpus size at any SF — this is the evaluation harness
     (like ann_recall); the serving path at scale is the LSH/IVF/PQ
-    tiers over the truncated column."""
+    tiers over the truncated column. The per-dim top-K table
+    (dims x Q x K <= 400 rows, driver-scale) is localCheckpoint-pinned
+    so the recall rollup's three consumers read it instead of each
+    re-deriving the corpus join."""
+    topk = _matryoshka_topk(spark, sf_dir).localCheckpoint()
+    full = topk.filter(F.col("dim") == 0).select("query_id", "neighbor_id")
+    tot = full.agg(F.count("*").alias("n_total"))
+    return (
+        topk.filter(F.col("dim") != 0)
+        .join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count("*").alias("n_hits"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "n_hits",
+            "n_total",
+            F.round(F.try_divide(F.col("n_hits"), F.col("n_total")), 4).alias("recall"),
+        )
+    )
+
+
+def _matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE corpus pass: q x corpus join scoring the full vector
+    plus every prefix dim through a stacked explode, ranked per
+    (dim, query). Output is dims x Q x K rows."""
     v = _vecs(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = v.alias("c")
@@ -821,25 +846,10 @@ def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.col("e.dim").alias("dim"), F.col("e.cos").alias("cos"))
     )
     w = W.partitionBy("dim", "query_id").orderBy(F.desc("cos"), "neighbor_id")
-    topk = (
+    return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("dim", "query_id", "neighbor_id")
-    )
-    full = topk.filter(F.col("dim") == 0).select("query_id", "neighbor_id")
-    tot = full.agg(F.count("*").alias("n_total"))
-    return (
-        topk.filter(F.col("dim") != 0)
-        .join(full, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("dim")
-        .agg(F.count("*").alias("n_hits"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "dim",
-            "n_hits",
-            "n_total",
-            F.round(F.try_divide(F.col("n_hits"), F.col("n_total")), 4).alias("recall"),
-        )
     )
 
 

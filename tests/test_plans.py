@@ -294,3 +294,77 @@ def test_heartbeat_horizon_is_broadcast(spark, sf_dir):
 
     plan = formatted_plan(q_heartbeat_liveness(spark, sf_dir))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_perceptron_round_is_partial_aggregate_only(spark, sf_dir):
+    """Each perceptron round must be ONE partial+final aggregate over
+    the feature scan with the weights as literals — no join, no
+    window, no shuffle beyond the 1-row agg exchange. (The registry
+    query's returned frame is a createDataFrame of driver rows, so the
+    plan to assert is a single round's aggregate.)"""
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.pipeline import _perceptron_feats
+
+    feats = _perceptron_feats(load_table(spark, sf_dir, "documents"))
+    mis = (F.col("y") * (F.lit(3) * F.col("b") + F.lit(5) * F.col("tc"))) <= 0
+    rnd = feats.agg(F.sum(F.when(mis, F.col("y") * F.col("tc")).otherwise(F.lit(0))))
+    plan = formatted_plan(rnd)
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan
+    read = set(scan_read_schema(rnd))
+    assert read <= {"lang", "text", "n_chars"}, read
+
+
+def test_matryoshka_single_corpus_join(spark, sf_dir):
+    """All prefix dims score through ONE q x corpus join (2 parquet
+    scans: query block + corpus) with one stacked explode — never a
+    per-dim rescan. The recall rollup consumes the localCheckpointed
+    dims x Q x K table, so the registry query's final plan reads the
+    pinned RDD, not parquet."""
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        _matryoshka_topk,
+        q_embedding_matryoshka,
+    )
+
+    import re
+
+    plan = formatted_plan(_matryoshka_topk(spark, sf_dir))
+    # formatted explain lists each scan in the tree AND the details
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, n_scans
+    assert "explode" in plan
+    final = formatted_plan(q_embedding_matryoshka(spark, sf_dir))
+    assert "Scan parquet" not in final
+
+
+def test_resize_has_no_shuffle(spark, sf_dir):
+    """Decode+resize is embarrassingly parallel: manifest scan ->
+    Arrow map, zero exchanges."""
+    from dfs_w_mapreduce_spark.operators.multimodal import q_multimodal_resize
+    from dfs_w_mapreduce_spark.plans.explain import exchange_count
+
+    df = q_multimodal_resize(spark, sf_dir)
+    assert exchange_count(df) == 0
+    assert set(scan_read_schema(df)) == {"doc_id", "n_chars"}
+
+
+def test_semdedup_join_is_cluster_partitioned(spark, sf_dir):
+    """The within-cluster self-join must be keyed on cid via the
+    explicit repartition (AQE coalesce-to-1 defense), and the member/
+    dropped rollups must aggregate on cid — no corpus-wide pairwise
+    join appears anywhere (the join condition is cid equality)."""
+    from dfs_w_mapreduce_spark.operators.similarity import q_semdedup_prune
+
+    plan = formatted_plan(q_semdedup_prune(spark, sf_dir))
+    assert "hashpartitioning(cid" in plan, plan[:3000]
+
+
+def test_importance_resample_is_takeordered_with_broadcast_lr(spark, sf_dir):
+    """DSIR's top-K must run as TakeOrderedAndProject (per-partition
+    heaps, no global sort) and the 64-row log-ratio table must reach
+    the per-doc sum via broadcast."""
+    from dfs_w_mapreduce_spark.operators.corpus import q_importance_resample
+
+    plan = formatted_plan(q_importance_resample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan

@@ -135,6 +135,22 @@ def test_dedup_agreement_consistency(spark, sf_dir):
     ex = {(r.doc_a, r.doc_b) for r in D.q_dedup_ngram_pairs(spark, sf_dir).collect()}
     mh = {(r.doc_a, r.doc_b) for r in D.q_dedup_minhash_pairs(spark, sf_dir).collect()}
     sh = {(r.doc_a, r.doc_b) for r in D.q_dedup_simhash_pairs(spark, sf_dir).collect()}
+    # each method's per-pair verdict is doc-local, so the sampled
+    # table must equal the full member sets restricted to the sample
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    hh = D._h31_spark(F.col("doc_id").cast("string"))
+    ids = {
+        r.doc_id
+        for r in d.select("doc_id", hh.alias("hh"))
+        .orderBy("hh", "doc_id")
+        .limit(D.AGREEMENT_SAMPLE)
+        .collect()
+    }
+    keep = lambda s: {p for p in s if p[0] in ids and p[1] in ids}  # noqa: E731
+    ex, mh, sh = keep(ex), keep(mh), keep(sh)
     want = Counter(
         (p in ex) + 2 * (p in mh) + 4 * (p in sh) for p in ex | mh | sh
     )

@@ -71,6 +71,15 @@ PROBE_QUERIES = [
     # but the constant is the largest in the repo — certify the decade
     "store_gc",
     "placement_rebalance",
+    # round-7 iterative/curation additions: R corpus aggregations
+    # (perceptron) and one explode + 64-row broadcast + top-K (DSIR).
+    # semdedup_prune is NOT probed: its within-cluster self-join is
+    # SemDeDup's published quadratic cost with k pinned by the
+    # unrolled-CTE oracle contract (the production knob is k ~ n/1000;
+    # see the operator docstring).
+    "quality_perceptron",
+    "importance_resample",
+    "dedup_agreement",
 ]
 
 

@@ -167,6 +167,9 @@ QUERIES = [
     "embedding_matryoshka",
     "multimodal_resize",
     "importance_resample",
+    # dedup_agreement runs all three member methods on a fixed-size
+    # hash-sample, so its cost is one shingle scan + one sketch scan
+    # + bounded joins at any SF
     "dedup_agreement",
 ]
 
