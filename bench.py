@@ -232,15 +232,21 @@ ISOLATED_EXTRA_MAX = 8
 REPS = 3
 
 
-def _prior_bench_queries() -> dict[str, float]:
-    """Timings from the most recent full bench record. Preferred
-    source: BENCH_LOCAL.json (written by this script each run — the
-    driver's BENCH_r*.json stores only a 2000-char stdout tail, which
-    the per-query JSON outgrew in round 6). Fallback: any parseable
-    driver record (`parsed.queries`)."""
+def _prior_bench_queries(sf: float) -> dict[str, float]:
+    """Timings from the most recent full bench record AT THE SAME
+    SCALE FACTOR. Preferred source: BENCH_LOCAL.json (written by this
+    script each run — the driver's BENCH_r*.json stores only a
+    2000-char stdout tail, which the per-query JSON outgrew in round
+    6). Fallback: any parseable driver record (`parsed.queries`).
+    Records whose stored `sf` differs from the current run's are
+    skipped: promotion ratios against a different scale factor are
+    meaningless (a sf0.01 run would read 10x-faster sf0.1 baselines
+    and promote everything)."""
     local = Path(_REPO) / "BENCH_LOCAL.json"
     try:
-        return json.loads(local.read_text())["queries"]
+        d = json.loads(local.read_text())
+        if d.get("sf") == sf:
+            return d["queries"]
     except Exception:
         pass
     files = sorted(Path(_REPO).glob("BENCH_r[0-9]*.json"))
@@ -248,8 +254,8 @@ def _prior_bench_queries() -> dict[str, float]:
         try:
             d = json.loads(f.read_text())
             if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-                return d["parsed"]["queries"]
-            if "queries" in d:
+                d = d["parsed"]
+            if "queries" in d and d.get("sf") == sf:
                 return d["queries"]
         except Exception:
             continue
@@ -311,7 +317,7 @@ def main() -> None:
         "value": total,
     }
     if not only:
-        prior = _prior_bench_queries()
+        prior = _prior_bench_queries(sf)
         promoted = sorted(
             (
                 k
@@ -328,10 +334,14 @@ def main() -> None:
         isolated = _run_isolated(sf_dir, ISOLATED_KEYS + promoted)
         if isolated:
             out["queries_isolated"] = isolated
-        try:
-            (Path(_REPO) / "BENCH_LOCAL.json").write_text(json.dumps(out))
-        except Exception:
-            pass
+        # BENCH_LOCAL.json is the next round's adjudication baseline —
+        # only overwrite it from a run at the adjudication scale
+        # (sf0.1); an ad-hoc run at another SF must not poison it.
+        if sf == 0.1:
+            try:
+                (Path(_REPO) / "BENCH_LOCAL.json").write_text(json.dumps(out))
+            except Exception:
+                pass
     print(json.dumps(out))
     sys.stdout.flush()
 

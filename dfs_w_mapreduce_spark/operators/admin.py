@@ -42,6 +42,54 @@ def _catalog_ls_oracle() -> str:
     )
 
 
+def q_catalog_ls_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-scoped `ls` — the reference's controller lists a
+    DIRECTORY, returning child entries with directories prefixed by
+    '/' (controller.go:131-149: `if file.IsDir() { name = "/" +
+    name }`). The Spark twin models the warehouse as a two-level
+    layout: the root holds one directory per catalog table (a table IS
+    a directory of chunk files in the reference's store), and the
+    `documents` table is partitioned one level deeper by `source`.
+    Output is one row per (parent, entry) with the entry's exact row
+    count — the same fixture-static metric catalog_ls reports, so the
+    listing is oracle-checkable at any SF. At scale each dir row is a
+    metadata-cheap count, and the sub-level is a single groupBy."""
+    root = None
+    for name in TABLES:
+        one = load_table(spark, sf_dir, name).agg(
+            F.lit("/").alias("parent"),
+            F.lit("/" + name).alias("entry"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        root = one if root is None else root.unionByName(one)
+    sub = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("/documents").alias("parent"),
+            F.concat(F.lit("/source="), F.col("source")).alias("entry"),
+            "n_rows",
+        )
+    )
+    return root.unionByName(sub)
+
+
+def _catalog_ls_dirs_oracle() -> str:
+    root = " UNION ALL ".join(
+        f"SELECT '/' AS parent, '/{t}' AS entry,"
+        f" CAST(count(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in TABLES
+    )
+    return (
+        root
+        + " UNION ALL SELECT '/documents' AS parent,"
+          " '/source=' || source AS entry,"
+          " CAST(count(*) AS BIGINT) AS n_rows"
+          " FROM documents GROUP BY source"
+    )
+
+
 def q_engine_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`info`: the engine-contract report. The reference's `info`
     HARDCODES its disk-space figure to "100 TB" (controller.go:151-167)
@@ -69,7 +117,12 @@ _ENGINE_INFO_ROWS: list[tuple[str, str]] = []
 
 def set_engine_info(n_queries: int, n_oracled: int) -> str:
     """Fill the engine-contract rows and return the matching oracle
-    SQL. Called by registry.collect() after assembly."""
+    SQL. Called by registry.collect() after assembly. The n_tables row
+    is computed INDEPENDENTLY on the oracle side — DuckDB counts the
+    registered fixture views from its own information_schema rather
+    than echoing the literal — so a parity run certifies at least one
+    independently-derived fact, not only that collect() ran (round-7
+    advice)."""
     _ENGINE_INFO_ROWS[:] = [
         ("engine", "dfs_w_mapreduce_spark"),
         ("n_tables", str(len(TABLES))),
@@ -78,9 +131,18 @@ def set_engine_info(n_queries: int, n_oracled: int) -> str:
         # the reference's own `info` quirk, kept verbatim
         ("disk_space", "100 TB"),
     ]
-    return " UNION ALL ".join(
-        f"SELECT '{k}' AS key, '{v}' AS value" for k, v in _ENGINE_INFO_ROWS
-    )
+    names = ", ".join(f"'{t}'" for t in TABLES)
+    parts = []
+    for k, v in _ENGINE_INFO_ROWS:
+        if k == "n_tables":
+            parts.append(
+                "SELECT 'n_tables' AS key, CAST(count(*) AS VARCHAR) AS value"
+                " FROM information_schema.tables"
+                f" WHERE table_name IN ({names})"
+            )
+        else:
+            parts.append(f"SELECT '{k}' AS key, '{v}' AS value")
+    return " UNION ALL ".join(parts)
 
 
 PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
@@ -339,6 +401,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("catalog_ls", q_catalog_ls, _catalog_ls_oracle(), ("admin",),
                   "Catalog listing with exact row counts (reference `ls`, "
                   "client.go:788-797); oracled round 7."),
+        QuerySpec("catalog_ls_dirs", q_catalog_ls_dirs, _catalog_ls_dirs_oracle(),
+                  ("admin",),
+                  "Directory-scoped `ls` with '/'-prefixed dir entries over a "
+                  "two-level warehouse layout (reference controller.go:131-149); "
+                  "new round 8."),
         # oracle=None here is a PLACEHOLDER: registry.collect() patches
         # in the generated contract oracle once the registry is
         # assembled (see set_engine_info)

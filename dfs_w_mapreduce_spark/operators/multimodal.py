@@ -270,6 +270,14 @@ def decode_png(b: bytes) -> dict:
     builder emits; raises on signature/CRC/length violations. Returns
     header fields plus the reconstructed-pixel byte sum (the value the
     oracle recomputes arithmetically)."""
+    meta, _ = _decode_png_full(b)
+    return meta
+
+
+def _decode_png_full(b: bytes) -> tuple[dict, bytes]:
+    """Single-pass decode shared by decode_png (metadata consumer) and
+    decode_png_pixels (buffer consumer) — one chunk walk, one inflate,
+    one unfilter."""
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, ihdr, idat = 8, None, b""
@@ -294,7 +302,7 @@ def decode_png(b: bytes) -> dict:
         raise ValueError("unsupported PNG variant (8-bit truecolor only)")
     raw = zlib.decompress(idat)
     pixels = _png_unfilter(raw, width, height)
-    return {
+    meta = {
         "width": width,
         "height": height,
         "bit_depth": depth,
@@ -302,6 +310,7 @@ def decode_png(b: bytes) -> dict:
         "raw_len": len(raw),
         "pixel_sum": sum(pixels),
     }
+    return meta, pixels
 
 
 def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
@@ -342,16 +351,12 @@ def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
 
 def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
     """Full decode returning the reconstructed RGB buffer (the resize
-    input). Same validation path as decode_png."""
-    d = decode_png(b)  # validates signature/CRCs/IHDR variant
-    pos, idat = 8, b""
-    while pos + 12 <= len(b):
-        (clen,) = struct.unpack_from(">I", b, pos)
-        if b[pos + 4 : pos + 8] == b"IDAT":
-            idat += b[pos + 8 : pos + 8 + clen]
-        pos += 12 + clen
-    raw = zlib.decompress(idat)
-    return d["width"], d["height"], _png_unfilter(raw, d["width"], d["height"])
+    input). Same validation path as decode_png — and the same single
+    decode: the chunk walk / inflate / unfilter run once (a prior
+    version re-decoded from scratch after the metadata pass, paying the
+    whole codec twice per multimodal_resize row)."""
+    meta, pixels = _decode_png_full(b)
+    return meta["width"], meta["height"], pixels
 
 
 def resize_nn(b: bytes, tw: int, th: int) -> bytes:

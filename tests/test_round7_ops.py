@@ -5,6 +5,8 @@ monotonicity, resize pixel provenance)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from dfs_w_mapreduce_spark.catalog import load_table
@@ -25,7 +27,10 @@ def test_perceptron_matches_python_replica(spark, sf_dir):
     feats = []
     for r in rows:
         y = 1 if r.lang == "en" else -1
-        tc = len([t for t in (r.text or "").split() if t])
+        # mirror the query's Java-regex split(text, '\\s+') exactly:
+        # ASCII whitespace only (str.split() would also break on
+        # Unicode spaces like NBSP and could diverge on such fixtures)
+        tc = len([t for t in re.split(r"\s+", r.text or "", flags=re.ASCII) if t])
         feats.append((y, 1, tc, int(r.n_chars)))
 
     w = [0, 0, 0]
