@@ -147,18 +147,156 @@ class ChunkedTextWriter(DataSourceWriter):
                     os.remove(p)
 
 
+class BytesChunkPartition(InputPartition):
+    def __init__(self, entries: list):
+        self.entries = entries  # manifest dicts, a bounded batch per task
+
+
+class ChunkedBytesReader(DataSourceReader):
+    """Byte-chunk `get`: plan from the manifest (controller-side chunk
+    map), verify each chunk's SHA-256 against its recorded checksum on
+    read (client.go:606-615 recomputes and compares before accepting a
+    chunk), and yield the raw chunk bytes. Partitions batch
+    `chunks_per_task` manifest entries so task count stays
+    O(chunks/batch), not O(chunks)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.chunks_per_task = int(options.get("chunks_per_task", "256"))
+
+    def partitions(self):
+        import json
+        import os
+
+        entries: list = []
+        for f in sorted(os.listdir(self.path)):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                with open(os.path.join(self.path, f)) as fh:
+                    entries.extend(json.load(fh))
+        entries.sort(key=lambda e: (e["file_name"], e["chunk_idx"]))
+        step = self.chunks_per_task
+        return [
+            BytesChunkPartition(entries[i : i + step])
+            for i in range(0, len(entries), step)
+        ]
+
+    def read(self, partition):
+        import hashlib
+        import os
+
+        if partition is None:  # empty source: Spark calls read() once
+            return
+        for e in partition.entries:
+            with open(os.path.join(self.path, e["chunk_name"]), "rb") as fh:
+                data = fh.read()
+            ck = hashlib.sha256(data).hexdigest()
+            if len(data) != e["n_bytes"] or ck != e["checksum"]:
+                raise ValueError(
+                    f"chunk {e['chunk_name']!r} corrupt: "
+                    f"{len(data)}B/{ck[:12]} vs manifest "
+                    f"{e['n_bytes']}B/{e['checksum'][:12]}"
+                )
+            yield (e["file_name"], e["chunk_idx"], len(data), ck, data)
+
+
+class ChunkedBytesWriter(DataSourceWriter):
+    """The reference's BINARY `put` path (client.go SendByteChunks:
+    335-384, reached via the is-text dispatch at client.go:461-469 —
+    dead in the reference only because IsTextFile is hardcoded true,
+    client.go:70-72): each logical file is split into FIXED-SIZE byte
+    chunks (the last one short), chunk files named
+    `{counter}_{fileName}` exactly as the reference names them, with a
+    per-chunk SHA-256 recorded at put time (check_sum.go:22-29). The
+    checksum map is persisted as one manifest per task — the
+    controller-side metadata the reader plans and verifies from. Rows
+    are (file_name string, payload binary); chunking is per-row, so
+    tasks never coordinate and the file count is row-bounded."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.bytes_per_chunk = int(options.get("bytes_per_chunk", "4096"))
+
+    def write(self, iterator):
+        import hashlib
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        task_id = uuid.uuid4().hex
+        entries: list = []
+        paths: list[str] = []
+        for row in iterator:
+            payload = bytes(row.payload)
+            for counter, off in enumerate(
+                range(0, len(payload), self.bytes_per_chunk)
+            ):
+                chunk = payload[off : off + self.bytes_per_chunk]
+                cname = f"{counter}_{row.file_name}"
+                p = os.path.join(self.path, cname)
+                with open(p, "wb") as fh:
+                    fh.write(chunk)
+                paths.append(p)
+                entries.append(
+                    {
+                        "file_name": row.file_name,
+                        "chunk_idx": counter,
+                        "chunk_name": cname,
+                        "n_bytes": len(chunk),
+                        "checksum": hashlib.sha256(chunk).hexdigest(),
+                    }
+                )
+        mpath = os.path.join(self.path, f"manifest-{task_id}.json")
+        with open(mpath, "w") as fh:
+            json.dump(entries, fh)
+        paths.append(mpath)
+        return ChunkFileCommit(paths, len(entries))
+
+    def commit(self, messages):
+        pass  # files are already in place; nothing to finalize
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.paths:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class ChunkedTextDataSource(DataSource):
+    """`refchunks`: mode=lines (default) is the reference's text path
+    (SendLineChunks); mode=bytes is its binary path (SendByteChunks) —
+    the same dispatch the reference does on IsTextFile
+    (client.go:461-469)."""
+
     @classmethod
     def name(cls) -> str:
         return "refchunks"
 
+    def _mode(self) -> str:
+        # option key is chunk_mode, not mode: `mode` is the
+        # DataFrameWriter save-mode knob and must not be overloaded
+        return self.options.get("chunk_mode", "lines")
+
     def schema(self) -> str:
+        if self._mode() == "bytes":
+            return (
+                "file_name string, chunk_idx int, n_bytes int, "
+                "checksum string, payload binary"
+            )
         return "chunk_id int, line_no int, value string"
 
-    def reader(self, schema) -> ChunkedTextReader:
+    def reader(self, schema) -> DataSourceReader:
+        if self._mode() == "bytes":
+            return ChunkedBytesReader(self.options)
         return ChunkedTextReader(self.options)
 
-    def writer(self, schema, overwrite) -> ChunkedTextWriter:
+    def writer(self, schema, overwrite) -> DataSourceWriter:
+        if self._mode() == "bytes":
+            return ChunkedBytesWriter(self.options)
         return ChunkedTextWriter(self.options)
 
 

@@ -367,6 +367,87 @@ SINK_CHUNKED_ORACLE = """
 """
 
 
+BYTES_PER_CHUNK = 128  # small enough that most payloads span >1 chunk
+BYTE_SAMPLE_MOD = 5  # 20% of docs: bounds chunk-file count at any SF
+
+
+def q_sink_chunked_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's BINARY `put`/`get` pair (SendByteChunks,
+    client.go:335-384; per-chunk SHA-256 at put time, check_sum.go:
+    22-29; recompute-and-verify on get, client.go:606-615) through the
+    `refchunks` DataSource's byte mode. Each sampled document's
+    multimodal payload (its UTF-8 bytes — the same opaque-binary
+    convention operators/multimodal.py uses) is split into fixed
+    128-byte chunks named `{counter}_{fileName}` exactly as the
+    reference names them; the read-back plans from the checksum
+    manifest, verifies every chunk's SHA-256, and the query reassembles
+    each file ordering by chunk index and proves CONTENT identity via
+    md5(reassembled bytes) == md5(original text) in the oracle. Chunk
+    boundaries split multi-byte UTF-8 sequences mid-character, so any
+    non-byte-clean handling (string coercion, escaping) breaks the
+    hash. Per-row chunking: tasks never coordinate, file count is
+    row-bounded, read tasks batch 256 chunks — scale is linear in
+    payload bytes."""
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    src = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % BYTE_SAMPLE_MOD == 0) & (F.length("text") > 0)
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_sink_bytechunks_"), "store")
+    (
+        src.select(
+            F.col("doc_id").cast("string").alias("file_name"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        .write.format("refchunks")
+        .option("path", out)
+        .option("chunk_mode", "bytes")
+        .option("bytes_per_chunk", str(BYTES_PER_CHUNK))
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("refchunks")
+        .option("path", out)
+        .option("chunk_mode", "bytes")
+        .load()
+    )
+    return (
+        back.groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "payload"))
+            ).alias("parts"),
+        )
+        .select(
+            "file_name",
+            "n_chunks",
+            "n_bytes",
+            F.md5(
+                F.aggregate(
+                    F.col("parts").getField("payload"),
+                    F.lit(b""),
+                    lambda acc, x: F.concat(acc, x),
+                )
+            ).alias("content_md5"),
+        )
+    )
+
+
+SINK_CHUNKED_BYTES_ORACLE = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS file_name,
+           CAST((octet_length(encode(text)) + {BYTES_PER_CHUNK - 1})
+                // {BYTES_PER_CHUNK} AS BIGINT) AS n_chunks,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % {BYTE_SAMPLE_MOD} = 0 AND length(text) > 0
+"""
+
+
 def q_chunk_corruption_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's integrity loop, end to end: per-chunk checksums
     recorded at put time (check_sum.go:14-29), verified on get
@@ -485,6 +566,11 @@ def specs() -> list[QuerySpec]:
                   SINK_CHUNKED_ORACLE,
                   ("source", "sink", "datasource-api"),
                   "Custom Python DataSource WRITER: reference-style chunked put."),
+        QuerySpec("sink_chunked_bytes_roundtrip", q_sink_chunked_bytes_roundtrip,
+                  SINK_CHUNKED_BYTES_ORACLE,
+                  ("source", "sink", "datasource-api", "binary"),
+                  "Byte-chunk put/get (reference SendByteChunks) with SHA-256 "
+                  "manifest verify + md5 content-identity proof; new round 8."),
         QuerySpec("source_chunked_scan", q_source_chunked_scan, SOURCE_CHUNKED_ORACLE,
                   ("source", "datasource-api"),
                   "Custom Python DataSource: reference-style line chunks."),

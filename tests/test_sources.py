@@ -137,3 +137,69 @@ def test_chunked_writer_respects_chunk_size(spark, sf_dir):
         assert 0 < n <= 25, (p, n)
         total += n
     assert total == src.count()
+
+
+def test_byte_chunk_roundtrip_and_corruption(spark, sf_dir):
+    """refchunks byte mode (reference SendByteChunks): fixed-size
+    chunks named {counter}_{fileName}, SHA-256 manifest, byte-exact
+    reassembly — and a flipped byte in any chunk file must fail the
+    read with the manifest-verify error (client.go:606-615)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").cast("string").alias("file_name"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    expected = {
+        r.file_name: bytes(r.payload) for r in src.collect() if r.payload
+    }
+    out = os.path.join(tempfile.mkdtemp(prefix="graft_bytechunk_"), "store")
+    (
+        src.write.format("refchunks")
+        .option("path", out)
+        .option("chunk_mode", "bytes")
+        .option("bytes_per_chunk", "64")
+        .mode("append")
+        .save()
+    )
+    # chunk naming contract: {counter}_{fileName}, fixed 64B chunks
+    chunk_files = [f for f in os.listdir(out) if not f.startswith("manifest-")]
+    assert all("_" in f and f.split("_", 1)[0].isdigit() for f in chunk_files)
+    assert all(os.path.getsize(os.path.join(out, f)) <= 64 for f in chunk_files)
+    assert any(f.startswith("1_") for f in chunk_files)  # multi-chunk files exist
+
+    back = (
+        spark.read.format("refchunks")
+        .option("path", out)
+        .option("chunk_mode", "bytes")
+        .load()
+    )
+    rows = back.collect()
+    got: dict = {}
+    for r in sorted(rows, key=lambda r: (r.file_name, r.chunk_idx)):
+        got[r.file_name] = got.get(r.file_name, b"") + bytes(r.payload)
+        assert hashlib.sha256(bytes(r.payload)).hexdigest() == r.checksum
+        assert r.n_bytes == len(r.payload)
+    assert got == expected  # byte-exact reassembly
+
+    # bit-rot one multi-chunk file's chunk 1 and expect the read to die
+    victim = sorted(f for f in chunk_files if f.startswith("1_"))[0]
+    p = os.path.join(out, victim)
+    raw = bytearray(open(p, "rb").read())
+    raw[0] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(Exception, match="corrupt"):
+        back.collect()
