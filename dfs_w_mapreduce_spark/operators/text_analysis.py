@@ -473,6 +473,22 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
     )
+    return _allpairs_cosine(spark, sf_dir, d, toks, TFIDF_COS_T, TFIDF_PRUNE_T)
+
+
+def _allpairs_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    d: DataFrame,
+    toks: DataFrame,
+    cos_t: float,
+    prune_t: float,
+) -> DataFrame:
+    """The AllPairs pipeline body shared by q_tfidf_cosine_pairs and
+    q_tfidf_cosine_zipf: tf/df/df-cap -> weights -> prefix filtering at
+    `prune_t` -> bucketed candidate join -> exact scaled-long verify at
+    `cos_t` -> per-doc rollup. See q_tfidf_cosine_pairs for the full
+    scale rationale."""
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
@@ -507,7 +523,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = (
         u.withColumn("ssq", F.sum(F.col("u") * F.col("u")).over(win))
-        .filter(F.col("ssq") >= TFIDF_PRUNE_T * TFIDF_PRUNE_T)
+        .filter(F.col("ssq") >= prune_t * prune_t)
         .select("doc_id", "term")
     )
     # candidate generation: prefix-entry self-join. Explicit round-robin
@@ -574,7 +590,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine"
             ),
         )
-        .filter(F.col("cosine") >= TFIDF_COS_T)
+        .filter(F.col("cosine") >= cos_t)
     )
     # compact per-document summary: the tiny-vocab fixture makes most
     # doc pairs cosine-similar, so the raw pair set is O(n^2) rows —
@@ -629,6 +645,119 @@ TFIDF_COSINE_ORACLE = f"""
         JOIN norms na ON num.doc_a = na.doc_id
         JOIN norms nb ON num.doc_b = nb.doc_id
         WHERE round(num / (na.nrm * nb.nrm), 4) >= {TFIDF_COS_T}
+    )
+    GROUP BY 1
+"""
+
+
+TFIDF_ZIPF_COS_T = 0.2
+# strict lower bound for prefix pruning, 1e-3 margin under the
+# threshold for the 4-dp rounding slack (same derivation as
+# TFIDF_PRUNE_T at 0.5)
+TFIDF_ZIPF_PRUNE_T = 0.199
+ZIPF_HOT, ZIPF_MID, ZIPF_TAIL = 4, 32, 2048
+
+
+def q_tfidf_cosine_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AllPairs plan on a SKEWED vocabulary — the workload the
+    prefix-filter design exists for (the base fixture's 31-term
+    near-uniform vocabulary is its worst case; SCALING_100X.md §2
+    measured a 203x candidate reduction on a Zipf corpus, and this
+    query makes that shape a driver-verified CORRECTNESS row rather
+    than probe-only evidence).
+
+    The skewed corpus derives deterministically from the fixture: each
+    document re-tokenizes to one synthetic term per original token
+    position via the cross-engine md5 hash of (doc_id, pos) —
+    3/8 of occurrences land on 4 HOT terms (df ~ 0.96 of the corpus:
+    above TFIDF_DF_CAP_FRAC, so the df cap provably fires), 3/8 on 32
+    MID terms (df ~ 0.45: in the similarity space, low idf), 2/8 on
+    2048 TAIL terms (df ~ 0.002-0.01: high idf, they dominate norms and
+    sort FIRST in the rarest-first prefix order). Prefix filtering
+    therefore keeps mostly tail entries and the candidate join runs on
+    df<=~50 terms instead of the df~2300 mid head — the Zipf win,
+    exercised under the driver's hash check at threshold 0.2 (chosen so
+    the fixture yields a meaningful result mass: 67 pairs/52 docs at
+    sf0.01, ~10k pairs/3000 docs at sf0.1). Same exact scaled-long
+    verify and identically-capped oracle as q_tfidf_cosine_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens_col(F.lower(F.col("text"))))
+    pos = (
+        d.select("doc_id", n_toks.alias("nt"))
+        .filter(F.col("nt") > 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.col("nt") - 1)).alias("pos"))
+    )
+    hashed = pos.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", "pos")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    toks = hashed.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN h % 8 < 3 THEN concat('h', CAST((h div 8) % {ZIPF_HOT} AS STRING))"
+            f" WHEN h % 8 < 6 THEN concat('m', CAST((h div 8) % {ZIPF_MID} AS STRING))"
+            f" ELSE concat('t', CAST((h div 8) % {ZIPF_TAIL} AS STRING)) END"
+        ).alias("term"),
+    )
+    return _allpairs_cosine(
+        spark, sf_dir, d, toks, TFIDF_ZIPF_COS_T, TFIDF_ZIPF_PRUNE_T
+    )
+
+
+TFIDF_ZIPF_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS n_toks
+        FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(range(0, n_toks)) AS pos FROM base),
+    toks AS (
+        SELECT doc_id,
+               CASE WHEN h % 8 < 3 THEN 'h' || CAST((h // 8) % {ZIPF_HOT} AS VARCHAR)
+                    WHEN h % 8 < 6 THEN 'm' || CAST((h // 8) % {ZIPF_MID} AS VARCHAR)
+                    ELSE 't' || CAST((h // 8) % {ZIPF_TAIL} AS VARCHAR) END AS term
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                              || CAST(pos AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS h
+              FROM pos)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, term, round(tf * ln(n_docs * 1.0 / df), 6) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE round(tf * ln(n_docs * 1.0 / df), 6) > 0
+          AND df <= (SELECT CAST(floor({TFIDF_DF_CAP_FRAC} * count(*)) AS BIGINT)
+                     FROM documents)
+    ),
+    norms AS (
+        SELECT doc_id,
+               sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(28,8))) AS DOUBLE))
+                   AS nrm
+        FROM w GROUP BY 1
+    ),
+    num AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(CAST(round(round(a.w * b.w, 8) * 100000000, 0) AS BIGINT))
+                    AS DOUBLE) / 100000000 AS num
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a AS doc_id, count(*) AS n_similar,
+           max(cosine) AS max_cosine, min(cosine) AS min_cosine
+    FROM (
+        SELECT doc_a, doc_b,
+               round(num / (na.nrm * nb.nrm), 4) AS cosine
+        FROM num
+        JOIN norms na ON num.doc_a = na.doc_id
+        JOIN norms nb ON num.doc_b = nb.doc_id
+        WHERE round(num / (na.nrm * nb.nrm), 4) >= {TFIDF_ZIPF_COS_T}
     )
     GROUP BY 1
 """
@@ -1176,6 +1305,11 @@ def specs() -> list[QuerySpec]:
                   "Sparse TF-IDF threshold cosine, AllPairs shape: df cap "
                   "(exact-within-cap, oracle-mirrored) + lossless prefix-"
                   "filtered candidates + map-merge exact verify."),
+        QuerySpec("tfidf_cosine_zipf", q_tfidf_cosine_zipf, TFIDF_ZIPF_ORACLE,
+                  ("text", "llm", "similarity"),
+                  "AllPairs cosine on a derived Zipf-skewed vocabulary: df cap "
+                  "provably fires on the hot head, prefix filtering prunes on "
+                  "the rare tail; new round 8."),
         QuerySpec("text_repetition", q_text_repetition, TEXT_REPETITION_ORACLE,
                   ("text", "llm", "quality"),
                   "Gopher-style repetition filters: top unigram/bigram fractions."),
