@@ -208,6 +208,10 @@ HEADLINE = [
     "semdedup_prune",
     "importance_resample",
     "dedup_agreement",
+    # round-8 additions
+    "catalog_ls_dirs",
+    "sink_chunked_bytes_roundtrip",
+    "tfidf_cosine_zipf",
 ]
 
 
