@@ -412,6 +412,11 @@ TFIDF_DF_CAP_FRAC = 0.9
 # ~1e-6 relative on fixture-shaped norms — 0.499 leaves a 1e-3 margin
 # over both, so the prune is lossless for the final predicate.
 TFIDF_PRUNE_T = 0.499
+# Strategy-pick boundary: entry-weighted mean df fraction above which
+# the vocabulary is "dense" (prefixes can't prune; direct inverted-
+# index aggregation is cheaper). The two measured workloads sit far on
+# either side: the 31-term fixture at ~0.78, the Zipf corpus at ~0.23.
+TFIDF_DENSE_FRAC = 0.5
 
 
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,9 +514,100 @@ def _allpairs_cosine(
     )
     from dfs_w_mapreduce_spark.catalog import gated_broadcast
 
-    # prefix selection: suffix squared norm of the NORMALIZED vector in
-    # global rarest-first term order; window order (df, term) is unique
-    # per doc (term is unique per doc).
+    par = spark.sparkContext.defaultParallelism * 2
+    pair_parts = spark.sparkContext.defaultParallelism * 8
+
+    # Cost-based strategy pick (round 8) — the engine's own AQE-style
+    # runtime-stats decision, from ONE plan-parameter scalar: the
+    # entry-weighted mean df fraction of the capped weight matrix.
+    #   - DENSE vocabulary (mean > TFIDF_DENSE_FRAC): nearly every
+    #     entry is a hot term, prefixes cannot prune (the fixture's
+    #     31-term corpus: ~80% of entries survive into prefixes and
+    #     every pair is a candidate), so prefix+verify pays the map
+    #     merge on top of the unavoidable Theta(sum df^2) — the direct
+    #     inverted-index aggregation is strictly cheaper (measured
+    #     25.5s -> ~18s at sf0.1).
+    #   - SKEWED vocabulary (the 100 TB reality): prefix filtering
+    #     collapses the candidate mass (measured 203x on the Zipf
+    #     corpus, SCALING_100X.md) — AllPairs wins unboundedly.
+    # Both paths compute the IDENTICAL scaled-long pair sum, so the
+    # strategy flip can never change the answer (same oracle).
+    mean_df_frac = (
+        w.agg(F.avg(F.col("df") / F.lit(float(n_docs)))).first()[0] or 0.0
+    )
+    if mean_df_frac > TFIDF_DENSE_FRAC:
+        # direct inverted-index aggregation: per-term pair fan-out,
+        # pre-repartitioned on the pair key BEFORE the aggregate (the
+        # distinct-over-fan-out OOM discipline), scaled-long sums.
+        wa = w.select(
+            F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+        ).repartition(par)
+        wb = w.select(
+            F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+        ).repartition(par)
+        num = (
+            wa.join(wb, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.round(F.col("w_a") * F.col("w_b"), 8) * 100000000, 0
+                ).cast("long").alias("p8"),
+            )
+            .repartition(pair_parts, "doc_a", "doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg((F.sum("p8").cast("double") / 100000000).alias("num"))
+        )
+    else:
+        num = _prefix_filtered_num(spark, sf_dir, w, norms, prune_t, par, pair_parts)
+
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    # The norms are corpus-cardinality (one row per doc), so an
+    # unconditional broadcast hint is an OOM risk at scale; gate it on
+    # the documents table size instead — hinted while broadcast-sized,
+    # AQE's choice beyond (the pair frame is already shuffled on ids).
+    pairs = (
+        num.join(gated_broadcast(na, sf_dir, "documents"), "doc_a")
+        .join(gated_broadcast(nb, sf_dir, "documents"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("num") / (F.col("nrm_a") * F.col("nrm_b")), 4).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= cos_t)
+    )
+    # compact per-document summary: the tiny-vocab fixture makes most
+    # doc pairs cosine-similar, so the raw pair set is O(n^2) rows —
+    # the registry row aggregates it (full pair computation still runs
+    # and is hash-verified through these counts/extrema)
+    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("n_similar"),
+        F.max("cosine").alias("max_cosine"),
+        F.min("cosine").alias("min_cosine"),
+    )
+
+
+def _prefix_filtered_num(
+    spark: SparkSession,
+    sf_dir: str,
+    w: DataFrame,
+    norms: DataFrame,
+    prune_t: float,
+    par: int,
+    pair_parts: int,
+) -> DataFrame:
+    """The AllPairs prefix-filter candidate path: lossless prefix
+    selection (suffix squared norm of the normalized vector in global
+    rarest-first term order), bucketed prefix self-join, then exact
+    per-candidate verification via weight-map merges. Returns the
+    (doc_a, doc_b, num) pair frame. See q_tfidf_cosine_pairs for the
+    pruning proof and the AQE/OOM shuffle discipline."""
+    from dfs_w_mapreduce_spark.catalog import gated_broadcast
+
     u = w.join(
         gated_broadcast(norms.withColumnRenamed("doc_id", "nd"), sf_dir, "documents"),
         F.col("doc_id") == F.col("nd"),
@@ -530,8 +626,6 @@ def _allpairs_cosine(
     # on BOTH sides (AQE coalesce-to-1 defense, build-side flips), then
     # explicit hash repartition on the pair key BEFORE the dedupe so the
     # fan-out never builds partial maps sized by itself.
-    par = spark.sparkContext.defaultParallelism * 2
-    pair_parts = spark.sparkContext.defaultParallelism * 8
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("term").alias("term")
     ).repartition(par)
@@ -567,39 +661,12 @@ def _allpairs_cosine(
     # not the 64MB compressed-size gate (see dedup.SHINGLE_BROADCAST_CAP)
     from dfs_w_mapreduce_spark.operators.dedup import _merge_join
 
-    num = (
+    return (
         cand.join(_merge_join(va, sf_dir), "doc_a")
         .join(_merge_join(vb, sf_dir), "doc_b")
         .select(
             "doc_a", "doc_b", (dot8.cast("double") / 100000000).alias("num")
         )
-    )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
-    # The norms are corpus-cardinality (one row per doc), so an
-    # unconditional broadcast hint is an OOM risk at scale; gate it on
-    # the documents table size instead — hinted while broadcast-sized,
-    # AQE's choice beyond (the pair frame is already shuffled on ids).
-    pairs = (
-        num.join(gated_broadcast(na, sf_dir, "documents"), "doc_a")
-        .join(gated_broadcast(nb, sf_dir, "documents"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("num") / (F.col("nrm_a") * F.col("nrm_b")), 4).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= cos_t)
-    )
-    # compact per-document summary: the tiny-vocab fixture makes most
-    # doc pairs cosine-similar, so the raw pair set is O(n^2) rows —
-    # the registry row aggregates it (full pair computation still runs
-    # and is hash-verified through these counts/extrema)
-    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count("*").alias("n_similar"),
-        F.max("cosine").alias("max_cosine"),
-        F.min("cosine").alias("min_cosine"),
     )
 
 
