@@ -357,9 +357,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # df derived from tf (one row per (doc, term) already), not from a
+    # separate toks.distinct() pass — tf's shuffle exchange is reused
+    # by both branches instead of re-scanning/re-tokenizing the corpus.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar driver value (metadata-sized, not data)
     from pyspark.sql import Window as W
 
@@ -495,9 +496,10 @@ def _allpairs_cosine(
     `cos_t` -> per-doc rollup. See q_tfidf_cosine_pairs for the full
     scale rationale."""
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    # df derived from tf (one row per (doc, term) already), not from a
+    # separate toks.distinct() pass — tf's shuffle exchange is reused
+    # by both branches instead of re-scanning/re-tokenizing the corpus.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()
     df_cap = int(TFIDF_DF_CAP_FRAC * n_docs)  # plan-parameter scalar
     w = tf.join(F.broadcast(df_), "term").filter(F.col("df") <= df_cap).select(
@@ -532,9 +534,21 @@ def _allpairs_cosine(
     #     corpus, SCALING_100X.md) — AllPairs wins unboundedly.
     # Both paths compute the IDENTICAL scaled-long pair sum, so the
     # strategy flip can never change the answer (same oracle).
-    mean_df_frac = (
-        w.agg(F.avg(F.col("df") / F.lit(float(n_docs)))).first()[0] or 0.0
-    )
+    #
+    # The stat runs on the vocabulary-sized df frame, not on w: each
+    # capped term contributes exactly df entries of value df/n to the
+    # entry-weighted mean (the post-cap w > 0 filter is vacuous — cap
+    # 0.9n bounds idf >= ln(1/0.9) ~ 0.105, tf >= 1, so every entry
+    # rounds positive at 6 dp), hence mean = sum(df^2) / (n * sum(df)).
+    # Same number, but the stat job stops at the tiny per-term
+    # aggregate instead of materializing the doc x term join.
+    stat = df_.filter(F.col("df") <= df_cap).agg(
+        F.try_divide(
+            F.sum(F.col("df") * F.col("df")),
+            F.sum("df") * F.lit(float(n_docs)),
+        ).alias("m")
+    ).first()[0]
+    mean_df_frac = float(stat or 0.0)
     if mean_df_frac > TFIDF_DENSE_FRAC:
         # direct inverted-index aggregation: per-term pair fan-out,
         # pre-repartitioned on the pair key BEFORE the aggregate (the
@@ -717,11 +731,16 @@ TFIDF_COSINE_ORACLE = f"""
 """
 
 
-TFIDF_ZIPF_COS_T = 0.2
+TFIDF_ZIPF_COS_T = 0.3
 # strict lower bound for prefix pruning, 1e-3 margin under the
 # threshold for the 4-dp rounding slack (same derivation as
-# TFIDF_PRUNE_T at 0.5)
-TFIDF_ZIPF_PRUNE_T = 0.199
+# TFIDF_PRUNE_T at 0.5). 0.3 sits on the measured candidate cliff:
+# at 0.2 the suffix-norm bound keeps 68% of entries and the candidate
+# set is 6.77M of the 12.5M possible pairs (1.85x — the filter is
+# nominal); at 0.3 it is 1.28M (9.8x) while the fixture still yields
+# a meaningful result mass (9 pairs at sf0.01, 795 at sf0.1) — the
+# regime the prefix filter exists for.
+TFIDF_ZIPF_PRUNE_T = 0.299
 ZIPF_HOT, ZIPF_MID, ZIPF_TAIL = 4, 32, 2048
 
 
@@ -743,9 +762,10 @@ def q_tfidf_cosine_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort FIRST in the rarest-first prefix order). Prefix filtering
     therefore keeps mostly tail entries and the candidate join runs on
     df<=~50 terms instead of the df~2300 mid head — the Zipf win,
-    exercised under the driver's hash check at threshold 0.2 (chosen so
-    the fixture yields a meaningful result mass: 67 pairs/52 docs at
-    sf0.01, ~10k pairs/3000 docs at sf0.1). Same exact scaled-long
+    exercised under the driver's hash check at threshold 0.3 (the
+    measured candidate cliff: 9.8x candidate reduction vs 1.85x at
+    0.2, while the fixture still yields a meaningful result mass —
+    9 pairs at sf0.01, 795 at sf0.1). Same exact scaled-long
     verify and identically-capped oracle as q_tfidf_cosine_pairs."""
     d = load_table(spark, sf_dir, "documents")
     n_toks = F.size(tokens_col(F.lower(F.col("text"))))
