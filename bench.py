@@ -224,6 +224,10 @@ HEADLINE = [
     "catalog_ls_dirs",
     "sink_chunked_bytes_roundtrip",
     "tfidf_cosine_zipf",
+    "decontaminate_minhash",
+    "graph_label_prop",
+    "multimodal_audio_frames",
+    "knn_ivfpq",
 ]
 
 

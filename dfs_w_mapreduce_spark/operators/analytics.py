@@ -212,6 +212,111 @@ def _pagerank_oracle() -> str:
     )
 
 
+LPA_ITERS = 3
+
+
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the customer<->part co-purchase graph — a
+    DIFFERENT graph primitive from the connected-components family
+    (dedup._min_label_components finds maximal connected pieces; LPA
+    finds densely-linked communities INSIDE one connected piece).
+
+    Deterministic contract so both engines agree exactly: labels start
+    as the node id; each of LPA_ITERS synchronous rounds replaces a
+    node's label by the most frequent label among its neighbors, ties
+    broken by smallest label. Fixed round count (not run-to-
+    convergence) is the oracle-able choice and the standard practice
+    at scale (LPA oscillates on bipartite graphs under synchronous
+    updates, so production runs cap rounds).
+
+    At 100 TB: each round shuffles only the edge list joined to
+    node-sized labels (never corpus payloads), the per-round mode is
+    one partial-aggregated groupBy + a per-node window over its
+    distinct neighbor labels, and round count is a constant. The edge
+    list is cached once (reused by all rounds)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_partkey"
+    )
+    pairs = (
+        o.join(li, "ok")
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .withColumnsRenamed({"a": "src", "b": "dst"})
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # (c, label) is unique within a node partition: label is the
+        # grouping key, so the tie-break order is total
+        w = W.partitionBy("n2").orderBy(F.desc("c"), F.col("label").asc())
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("n2").alias("node"), "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )
+
+
+def _label_prop_oracle() -> str:
+    body = [
+        """
+        pairs AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            'p' || CAST(l_partkey AS VARCHAR) AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+        """
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        body.append(f"""
+        n{i} AS (
+            SELECT e.dst AS node, l.label, count(*) AS c
+            FROM edges e JOIN l{i - 1} l ON e.src = l.node
+            GROUP BY 1, 2
+        ),
+        l{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rk
+                FROM n{i}
+            ) WHERE rk = 1
+        )""")
+    return (
+        "WITH " + ",".join(body)
+        + f""",
+        sizes AS (SELECT label, count(*) AS community_size
+                  FROM l{LPA_ITERS} GROUP BY 1)
+        SELECT node, label AS community, community_size
+        FROM l{LPA_ITERS} JOIN sizes USING (label)"""
+    )
+
+
 Z_THRESHOLD = 3.0
 
 
@@ -1689,6 +1794,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("graph_pagerank", q_graph_pagerank, _pagerank_oracle(),
                   ("analytics", "graph", "iterative"),
                   "5-iter integer-exact PageRank over user<->type edges."),
+        QuerySpec("graph_label_prop", q_graph_label_prop, _label_prop_oracle(),
+                  ("analytics", "graph", "iterative"),
+                  "Synchronous label-propagation communities (3 rounds, "
+                  "deterministic mode tie-break) over the customer<->part "
+                  "co-purchase graph."),
         QuerySpec("anomaly_mad", q_anomaly_mad, ANOMALY_MAD_ORACLE,
                   ("analytics", "quality", "robust"),
                   "Median/MAD robust outliers (exact percentile passes)."),

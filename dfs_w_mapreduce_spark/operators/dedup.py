@@ -276,20 +276,20 @@ def _minhash_cols() -> list[Column]:
     ]
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exactly reproducible in the oracle:
-    md5-based hash family -> 16 minhashes -> 4 bands x 4 rows ->
-    band-bucket self-join for candidates -> exact-Jaccard verify.
+def minhash_band_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(sh, bands): the non-empty shingle sets and the banded signature
+    rows (doc_id, band, sig) — the LSH candidate generator shared by
+    the self-join dedup path (q_dedup_minhash_pairs) and the
+    cross-corpus fuzzy decontamination path (pipeline.
+    q_decontaminate_minhash).
 
-    At 100 TB this is THE dedup path: signatures are ~128 bytes/doc,
-    the band join shuffles only (band_sig -> doc_id) pairs, and
-    verification touches only colliding candidates. AQE handles the
-    skew when a band bucket gets hot."""
+    Bands carry ONLY (doc_id, band, sig): the shuffle payload of the
+    candidate join is ~3 small columns per row, never the shingle
+    arrays — at 100 TB that's the difference between shuffling
+    signatures (~100 B/doc) and shuffling the corpus."""
     sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0).cache()
-    # Bands carry ONLY (doc_id, band, sig): the shuffle payload of the
-    # candidate join is ~3 small columns per row, never the shingle
-    # arrays — at 100 TB that's the difference between shuffling
-    # signatures (~100 B/doc) and shuffling the corpus.
     sig = sh.select(
         "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
     ).select("doc_id", *_minhash_cols())
@@ -310,6 +310,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "sig"),
     )
+    return sh, bands
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exactly reproducible in the oracle:
+    md5-based hash family -> 16 minhashes -> 4 bands x 4 rows ->
+    band-bucket self-join for candidates -> exact-Jaccard verify.
+
+    At 100 TB this is THE dedup path: signatures are ~128 bytes/doc,
+    the band join shuffles only (band_sig -> doc_id) pairs, and
+    verification touches only colliding candidates. AQE handles the
+    skew when a band bucket gets hot."""
+    sh, bands = minhash_band_frames(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -336,7 +349,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_ctes() -> str:
+    """The shs/sig/bands CTE chain (DuckDB) mirroring
+    minhash_band_frames — shared by the self-join dedup oracle and the
+    cross-corpus decontamination oracle."""
     mh_exprs = ",\n".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {P31})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -350,15 +366,19 @@ def _minhash_oracle() -> str:
             FROM sig"""
         for b in range(N_BANDS)
     )
-    return f"""
-        WITH shs AS (SELECT * FROM ({_DOC_SHINGLES_SQL}) WHERE len(sh) > 0),
+    return f"""shs AS (SELECT * FROM ({_DOC_SHINGLES_SQL}) WHERE len(sh) > 0),
         sig AS (
             SELECT doc_id, sh, {mh_exprs}
             FROM (SELECT doc_id, sh,
                          list_transform(sh, s -> {_h31_sql('s')}) AS hs
                   FROM shs)
         ),
-        bands AS ({band_rows}),
+        bands AS ({band_rows})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_bands_ctes()},
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b

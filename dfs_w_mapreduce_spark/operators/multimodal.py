@@ -141,12 +141,13 @@ def decode_wav(b: bytes) -> dict:
     return out
 
 
-def decode_wav_pcm(b: bytes) -> dict:
-    """REAL PCM decode: walks the RIFF chunks to the data chunk,
-    unpacks the int16 little-endian samples, and returns per-file
-    signal statistics (count, sum of |s|, max |s|, sum of s^2) —
-    the feature-extraction step done on actual decoded audio, not a
-    stand-in. Raises on malformed containers."""
+def decode_wav_samples(b: bytes) -> tuple:
+    """REAL PCM decode: walks the RIFF chunks to the data chunk and
+    unpacks the int16 little-endian samples (interleaved across
+    channels). Raises on malformed containers. Shared by the per-file
+    statistics path (decode_wav_pcm) and the frame-level feature
+    extractor (q_multimodal_audio_frames) so the bytes are unpacked
+    once per consumer call, never re-walked."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -156,15 +157,22 @@ def decode_wav_pcm(b: bytes) -> dict:
             raw = b[pos + 8 : pos + 8 + csize]
             if len(raw) != csize or csize % 2:
                 raise ValueError("truncated data chunk")
-            vals = struct.unpack(f"<{csize // 2}h", raw)
-            return {
-                "n_values": len(vals),
-                "sum_abs": sum(abs(v) for v in vals),
-                "max_abs": max((abs(v) for v in vals), default=0),
-                "sq_sum": sum(v * v for v in vals),
-            }
+            return struct.unpack(f"<{csize // 2}h", raw)
         pos += 8 + csize + (csize & 1)
     raise ValueError("missing data chunk")
+
+
+def decode_wav_pcm(b: bytes) -> dict:
+    """Per-file signal statistics (count, sum of |s|, max |s|, sum of
+    s^2) over the actually-decoded PCM samples — the feature-
+    extraction step done on real decoded audio, not a stand-in."""
+    vals = decode_wav_samples(b)
+    return {
+        "n_values": len(vals),
+        "sum_abs": sum(abs(v) for v in vals),
+        "max_abs": max((abs(v) for v in vals), default=0),
+        "sq_sum": sum(v * v for v in vals),
+    }
 
 
 def build_bmp(width: int, height: int) -> bytes:
@@ -1029,6 +1037,112 @@ MULTIMODAL_FRAMES_ORACLE = f"""
 """
 
 
+AUDIO_FRAME = 256  # samples per analysis frame (interleaved stream)
+
+AUDIO_FRAMES_SCHEMA = (
+    "doc_id long, n_frames int, total_zcr long, "
+    "max_frame_sq long, max_frame_idx int"
+)
+
+
+def _build_audio_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-level audio feature extraction on REAL decoded PCM: build
+    each document's WAV (same params as the decode battery), chunk-walk
+    and unpack the actual bytes back (decode_wav_samples), then compute
+    per-frame energy and zero-crossing counts vectorized in numpy —
+    the VAD/segmentation features a speech-data pipeline computes per
+    audio frame, done on decoded samples, not a stand-in."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            rate = 8000 * (1 + doc_id % 3)
+            ch = 1 + doc_id % 2
+            n_samples = n_chars % 1000 + 1
+            vals = decode_wav_samples(build_wav(rate, ch, n_samples, doc_id))
+            v = np.asarray(vals, dtype=np.int64)
+            offs = np.arange(0, len(v), AUDIO_FRAME)
+            fsq = np.add.reduceat(v * v, offs)
+            # zero crossings between consecutive samples of the SAME
+            # frame (sign convention: s >= 0 is non-negative)
+            if len(v) > 1:
+                sgn = v >= 0
+                within = (np.arange(1, len(v)) % AUDIO_FRAME) != 0
+                total_zcr = int(((sgn[1:] != sgn[:-1]) & within).sum())
+            else:
+                total_zcr = 0
+            # np.argmax returns the FIRST max — the (energy DESC,
+            # frame ASC) tie-break the oracle mirrors
+            mi = int(np.argmax(fsq))
+            rows.append((doc_id, len(offs), total_zcr, int(fsq[mi]), mi))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "total_zcr",
+                "max_frame_sq", "max_frame_idx",
+            ],
+        )
+
+
+def q_multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio analysis over real decoded PCM: per document,
+    split the decoded int16 stream into AUDIO_FRAME-sample analysis
+    frames and emit frame count, total in-frame zero-crossings, and
+    the peak-energy frame (sum of squares; ties -> first frame).
+
+    Scale shape: one Arrow-batched mapInPandas pass over (doc_id,
+    n_chars) — the same plumbing as q_multimodal_decode; per-row work
+    is numpy-vectorized over the sample array and output is one
+    fixed-width row per document (frame features reduce in-UDF, so
+    nothing sample-sized ever hits a shuffle). The oracle recomputes
+    every feature from the closed-form waveform the builder embeds,
+    so builder -> parser -> framer is hash-verified end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").mapInPandas(
+        _build_audio_frames, schema=AUDIO_FRAMES_SCHEMA
+    )
+
+
+MULTIMODAL_AUDIO_FRAMES_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, (n_chars % 1000 + 1) * (1 + doc_id % 2) AS nv
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, i,
+               (doc_id * 7 + i * 13) % 4096 - 2048 AS s,
+               i // {AUDIO_FRAME} AS f
+        FROM base, LATERAL (SELECT unnest(range(0, nv)) AS i) gi
+    ),
+    fr AS (
+        SELECT doc_id, f,
+               SUM(s * s) AS fsq,
+               SUM(CASE WHEN i % {AUDIO_FRAME} > 0 AND
+                        ((s >= 0) <>
+                         (((doc_id * 7 + (i - 1) * 13) % 4096 - 2048) >= 0))
+                   THEN 1 ELSE 0 END) AS zcr
+        FROM samp GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+               CAST(SUM(zcr) AS BIGINT) AS total_zcr
+        FROM fr GROUP BY 1
+    ),
+    ranked AS (
+        SELECT doc_id, f, fsq,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY fsq DESC, f) AS rk
+        FROM fr
+    )
+    SELECT a.doc_id, a.n_frames, a.total_zcr,
+           CAST(r.fsq AS BIGINT) AS max_frame_sq,
+           CAST(r.f AS INT) AS max_frame_idx
+    FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rk = 1
+"""
+
+
 # --- Animated GIF: real LZW codec path (GIF89a, public spec) --------
 #
 # The animation/video cell done honestly without codec libraries: a
@@ -1346,6 +1460,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("multimodal_frames", q_multimodal_frames, MULTIMODAL_FRAMES_ORACLE,
                   ("multimodal", "llm"),
                   "Every-5th frame sampling with per-frame fingerprints."),
+        QuerySpec("multimodal_audio_frames", q_multimodal_audio_frames,
+                  MULTIMODAL_AUDIO_FRAMES_ORACLE,
+                  ("multimodal", "llm", "pandas", "audio"),
+                  "Frame-level energy + zero-crossing features over real "
+                  "decoded PCM (256-sample frames, peak-energy frame)."),
         QuerySpec("multimodal_decode", q_multimodal_decode, MULTIMODAL_DECODE_ORACLE,
                   ("multimodal", "llm", "pandas"),
                   "Real WAV/BMP/PNG/baseline-JPEG build->parse roundtrips, "

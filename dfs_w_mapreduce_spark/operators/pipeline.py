@@ -114,6 +114,130 @@ def _decontaminate_oracle() -> str:
     """
 
 
+# Fuzzy decontamination: benchmark set = doc_id % 50 == 0 (~2% of the
+# corpus, mirroring similarity.SEMDECON_MOD for the embedding variant),
+# flagged at Jaccard >= 0.35 — BELOW the dedup path's 0.5, because a
+# training doc that shares a third of its shingle set with a benchmark
+# item is already a leak even though it isn't a near-duplicate.
+DECON_MINHASH_MOD = 50
+DECON_MINHASH_T = 0.35
+
+
+def q_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY n-gram decontamination — the third decontamination
+    modality, between the exact-blocklist anti-join (q_decontaminate:
+    misses any rephrasing) and the embedding path
+    (similarity.q_decontaminate_semantic: needs vectors): flag corpus
+    documents whose shingle set is Jaccard-similar to a held-out
+    benchmark document, with candidates from the SAME MinHash band
+    machinery as the dedup path (dedup.minhash_band_frames) filtered
+    to pairs that CROSS the corpus/benchmark boundary.
+
+    At 100 TB: band join shuffles (band, sig, doc_id) only; the
+    crossing filter runs before the candidate distinct (benchmark-side
+    rows are ~2% of bands, so crossing candidates are a sliver of the
+    self-join's); exact-Jaccard verify touches crossing survivors
+    only. Per flagged corpus doc: hit count and the strongest
+    benchmark match (ties -> lowest benchmark id)."""
+    from pyspark.sql import Window as W
+
+    from dfs_w_mapreduce_spark.operators.dedup import (
+        _merge_join,
+        minhash_band_frames,
+    )
+
+    sh, bands = minhash_band_frames(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    is_bench_a = F.col("a.doc_id") % DECON_MINHASH_MOD == 0
+    is_bench_b = F.col("b.doc_id") % DECON_MINHASH_MOD == 0
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (is_bench_a != is_bench_b),  # crossing pairs only
+        )
+        .select(
+            F.when(is_bench_a, F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id"))
+            .alias("corpus_id"),
+            F.when(is_bench_a, F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("bench_id"),
+        )
+        # pre-repartition on the pair key BEFORE the dedupe: a distinct
+        # over a band-join fan-out is the partial-aggregate OOM class
+        .repartition(
+            spark.sparkContext.defaultParallelism * 4, "corpus_id", "bench_id"
+        )
+        .distinct()
+    )
+    sa = _merge_join(sh, sf_dir).alias("sa")
+    sb = _merge_join(sh, sf_dir).alias("sb")
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    union = F.size("sa.sh") + F.size("sb.sh") - inter
+    scored = (
+        cand.join(sa, F.col("corpus_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("bench_id") == F.col("sb.doc_id"))
+        .select(
+            "corpus_id", "bench_id", F.round(inter / union, 4).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= DECON_MINHASH_T)
+    )
+    win = W.partitionBy("corpus_id").orderBy(
+        F.desc("jaccard"), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .withColumn("n_hits", F.count("*").over(W.partitionBy("corpus_id")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "corpus_id", "bench_id", F.col("jaccard").alias("max_jaccard"), "n_hits"
+        )
+    )
+
+
+def _decontaminate_minhash_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import _minhash_bands_ctes
+
+    return f"""
+        WITH {_minhash_bands_ctes()},
+        cand AS (
+            SELECT DISTINCT
+                   CASE WHEN a.doc_id % {DECON_MINHASH_MOD} = 0
+                        THEN b.doc_id ELSE a.doc_id END AS corpus_id,
+                   CASE WHEN a.doc_id % {DECON_MINHASH_MOD} = 0
+                        THEN a.doc_id ELSE b.doc_id END AS bench_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig
+             AND a.doc_id <> b.doc_id
+             AND (a.doc_id % {DECON_MINHASH_MOD} = 0)
+                 <> (b.doc_id % {DECON_MINHASH_MOD} = 0)
+        ),
+        scored AS (
+            SELECT corpus_id, bench_id,
+                   round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                         (len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+            FROM cand
+            JOIN shs sa ON corpus_id = sa.doc_id
+            JOIN shs sb ON bench_id = sb.doc_id
+        )
+        SELECT corpus_id, bench_id, jaccard AS max_jaccard,
+               CAST(n_hits AS BIGINT) AS n_hits
+        FROM (
+            SELECT corpus_id, bench_id, jaccard,
+                   row_number() OVER (PARTITION BY corpus_id
+                                      ORDER BY jaccard DESC, bench_id) AS rk,
+                   count(*) OVER (PARTITION BY corpus_id) AS n_hits
+            FROM scored
+            WHERE jaccard >= {DECON_MINHASH_T}
+        )
+        WHERE rk = 1
+    """
+
+
 STRATA_K = 25
 
 
@@ -1237,6 +1361,12 @@ def specs() -> list[QuerySpec]:
                   ("pipeline", "llm", "tokenizer"),
                   "Encode the corpus with the learned BPE merges: per-source "
                   "token totals + compression, vocab-sized application."),
+        QuerySpec("decontaminate_minhash", q_decontaminate_minhash,
+                  _decontaminate_minhash_oracle(),
+                  ("pipeline", "llm", "decontamination", "scale"),
+                  "Fuzzy n-gram decontamination: MinHash band candidates "
+                  "crossing the corpus/benchmark boundary, exact-Jaccard "
+                  "verified at 0.35; per-doc hit report."),
         QuerySpec("sample_weighted", q_sample_weighted, _sample_weighted_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact one-pass weighted sampling without replacement "

@@ -767,6 +767,203 @@ def _knn_pq_oracle() -> str:
     """
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the canonical billion-scale ANN layout (Jegou et al.,
+    'Product Quantization for Nearest Neighbor Search', TPAMI 2011;
+    the FAISS IVFPQ index): a coarse inverted file narrows the scan to
+    N_PROBE cells, and inside the cells distances come from
+    product-quantized RESIDUALS (v - centroid) — composing the two
+    scale tiers this module already verifies separately (knn_ivf's
+    cell pruning, knn_pq's 64x compression) into the structure
+    production systems actually deploy.
+
+    Deterministic contract (both engines reproduce it exactly):
+    centroids = every N_CENTROIDS_MOD-th vector, assignment by L2
+    (expanded to dot products, rounded at 6 dp before ranking);
+    PQ codebook = the first PQ_K seed vectors' RESIDUAL subvectors;
+    queries probe their N_PROBE nearest cells and build one ADC
+    distance table per (query, probed cell) — the per-cell query
+    residual is what distinguishes IVFADC from flat PQ. Per-subspace
+    distances re-add in fixed j order via conditional sums.
+
+    At 100 TB: the corpus pass is one broadcast-join encode (8 nibbles
+    per vector); a query touches nprobe/nlist of the CODES (never the
+    vectors) against a 2*8*16-row broadcast distance table; the final
+    top-K is a per-query window over probed candidates only."""
+    v = _vecs(spark, sf_dir)
+
+    def _d2(a, b):
+        return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
+
+    cent = v.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    vc = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", "cv",
+        F.round(_d2(F.col("v"), F.col("cv")), 6).alias("cd2"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("cd2", "cid")
+    assigned = vc.withColumn("crk", F.row_number().over(w_assign))
+    resid = F.zip_with("v", "cv", lambda x, y: x - y)
+    members = assigned.filter(F.col("crk") == 1).select(
+        "vec_id", F.col("cid").alias("list_id"), resid.alias("r")
+    )
+    probes = assigned.filter(
+        (F.col("crk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("list_id"),
+        resid.alias("qr"),
+    )
+
+    def _subspaces(df, vcol, out):
+        return df.select(
+            *[c for c in df.columns if c != vcol],
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_SUB - 1)),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        F.slice(vcol, j * PQ_SUBDIM + 1, PQ_SUBDIM).alias(out),
+                    ),
+                )
+            ).alias("s"),
+        ).select(
+            *[c for c in df.columns if c != vcol],
+            F.col("s.j").alias("j"),
+            F.col(f"s.{out}").alias(out),
+        )
+
+    rsub = _subspaces(members, "r", "sv")
+    seed_w = W.orderBy("vec_id")
+    seeds = (
+        v.filter(F.col("vec_id") % PQ_SEED_MOD == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id", (F.row_number().over(seed_w) - 1).alias("code_id"))
+    )
+    codebook = rsub.join(F.broadcast(seeds), "vec_id").select(
+        "code_id", "j", F.col("sv").alias("cw")
+    )
+    enc = rsub.join(F.broadcast(codebook), "j").select(
+        "vec_id", "list_id", "j", "code_id",
+        F.round(_d2(F.col("sv"), F.col("cw")), 6).alias("d2"),
+    )
+    w_enc = W.partitionBy("vec_id", "j").orderBy("d2", "code_id")
+    codes = (
+        enc.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "list_id", "j", "code_id")
+    )
+    qsub = _subspaces(probes, "qr", "qsv")
+    dtable = qsub.join(F.broadcast(codebook), "j").select(
+        "query_id", "list_id", "j", "code_id",
+        _d2(F.col("qsv"), F.col("cw")).alias("qd"),
+    )
+    joined = codes.join(
+        F.broadcast(dtable), ["list_id", "j", "code_id"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    parts = joined.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("j") == k, F.col("qd"))).alias(f"_d{k}")
+            for k in range(PQ_SUB)
+        ]
+    )
+    total = F.col("_d0")
+    for k in range(1, PQ_SUB):
+        total = total + F.col(f"_d{k}")
+    scored = parts.select(
+        "query_id", "neighbor_id", F.round(total, 6).alias("approx_d2")
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "approx_d2",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def _knn_ivfpq_oracle() -> str:
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    cond = " + ".join(f"sum(CASE WHEN j = {k} THEN qd END)" for k in range(PQ_SUB))
+    resid = "[{v}[i] - {c}[i] FOR i IN range(1, len({v}) + 1)]"
+    return f"""
+        WITH v AS ({_VECS_SQL}),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM v
+                 WHERE vec_id % {N_CENTROIDS_MOD} = 0),
+        vc AS (
+            SELECT v.vec_id, v.v, cent.cid, cent.cv,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({d2.format(a='v.v', b='cent.cv')}, 6),
+                                cent.cid) AS crk
+            FROM v CROSS JOIN cent
+        ),
+        members AS (SELECT vec_id, cid AS list_id,
+                           {resid.format(v='v', c='cv')} AS r
+                    FROM vc WHERE crk = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS list_id,
+                          {resid.format(v='v', c='cv')} AS qr
+                   FROM vc WHERE crk <= {N_PROBE} AND vec_id < {N_QUERIES}),
+        rsub AS (
+            SELECT vec_id, list_id, CAST(j AS INT) AS j,
+                   r[(j * {PQ_SUBDIM} + 1):(j * {PQ_SUBDIM} + {PQ_SUBDIM})] AS sv
+            FROM (SELECT vec_id, list_id, r, unnest(range(0, {PQ_SUB})) AS j
+                  FROM members)
+        ),
+        seeds AS (
+            SELECT vec_id, rn - 1 AS code_id FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+                FROM v WHERE vec_id % {PQ_SEED_MOD} = 0
+            ) WHERE rn <= {PQ_K}
+        ),
+        codebook AS (
+            SELECT seeds.code_id, rsub.j, rsub.sv AS cw
+            FROM rsub JOIN seeds USING (vec_id)
+        ),
+        enc AS (
+            SELECT vec_id, list_id, j, code_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id, j
+                       ORDER BY round({d2.format(a='sv', b='cw')}, 6), code_id
+                   ) AS rk
+            FROM rsub JOIN codebook USING (j)
+        ),
+        codes AS (SELECT vec_id, list_id, j, code_id FROM enc WHERE rk = 1),
+        qsub AS (
+            SELECT query_id, list_id, CAST(j AS INT) AS j,
+                   qr[(j * {PQ_SUBDIM} + 1):(j * {PQ_SUBDIM} + {PQ_SUBDIM})] AS qsv
+            FROM (SELECT query_id, list_id, qr, unnest(range(0, {PQ_SUB})) AS j
+                  FROM probes)
+        ),
+        dtable AS (
+            SELECT query_id, qsub.list_id, j, code_id,
+                   {d2.format(a='qsv', b='cw')} AS qd
+            FROM qsub JOIN codebook USING (j)
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id, round({cond}, 6) AS approx_d2
+            FROM codes JOIN dtable USING (list_id, j, code_id)
+            WHERE vec_id <> query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, approx_d2, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY approx_d2, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
 MATRYOSHKA_DIMS = (8, 16, 32)
 
 
@@ -1585,4 +1782,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("knn_pq", q_knn_pq, _knn_pq_oracle(),
                   ("similarity", "llm", "pq", "compression"),
                   "Product-quantization ANN (8x4-bit codes, ADC distance tables)."),
+        QuerySpec("knn_ivfpq", q_knn_ivfpq, _knn_ivfpq_oracle(),
+                  ("similarity", "llm", "pq", "ivf", "scale"),
+                  "IVFADC: coarse cell probe + residual-PQ ADC distance "
+                  "tables — the canonical billion-scale ANN layout."),
     ]

@@ -1,0 +1,174 @@
+"""Invariant tests for the round-8 operator batch — semantic
+properties the oracle-parity hash check cannot express (LPA against a
+plain-Python replica, IVFADC cell-membership structure, audio frame
+features against the closed-form waveform, crossing-pair laws of the
+fuzzy decontaminator)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dfs_w_mapreduce_spark.catalog import load_table
+
+
+def test_label_prop_matches_python_replica(spark, sf_dir):
+    """The distributed synchronous LPA must compute EXACTLY the same
+    label trajectory as a from-scratch Python replica of the contract:
+    label0 = node id; each round, most frequent neighbor label, ties
+    to the smallest label."""
+    from dfs_w_mapreduce_spark.operators.analytics import (
+        LPA_ITERS,
+        q_graph_label_prop,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    rows = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        a, b = f"c{r.o_custkey}", f"p{r.l_partkey}"
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts: dict[str, int] = {}
+            for m in nbrs:
+                lab = labels[m]
+                counts[lab] = counts.get(lab, 0) + 1
+            # most frequent, ties -> smallest label
+            nxt[n] = min(counts, key=lambda lab: (-counts[lab], lab))
+        labels = nxt
+    sizes: dict[str, int] = {}
+    for lab in labels.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    expect = {(n, lab, sizes[lab]) for n, lab in labels.items()}
+    got = {
+        (r.node, r.community, r.community_size)
+        for r in q_graph_label_prop(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_ivfpq_structure(spark, sf_dir):
+    """Every reported neighbor must live in one of its query's probed
+    cells (the inverted-file contract), ranks must be 1..K with
+    nondecreasing ADC distance, and no query may be its own
+    neighbor."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        N_CENTROIDS_MOD,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        _vecs,
+        q_knn_ivfpq,
+    )
+
+    vecs = {
+        r.vec_id: r.v for r in _vecs(spark, sf_dir).select("vec_id", "v").collect()
+    }
+    cents = sorted(c for c in vecs if c % N_CENTROIDS_MOD == 0)
+
+    def d2_6(x, y):
+        # mirror the query's left-fold + HALF_UP 6-dp round exactly
+        xx = xy = yy = 0.0
+        for a, b in zip(x, y):
+            xx += a * a
+            xy += a * b
+            yy += b * b
+        return Decimal(repr(xx + yy - 2 * xy)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    assign: dict[int, list[int]] = {}
+    for vid in vecs:
+        ranked = sorted(cents, key=lambda c: (d2_6(vecs[vid], vecs[c]), c))
+        assign[vid] = ranked
+    member_list = {vid: assign[vid][0] for vid in vecs}
+    probed = {q: set(assign[q][:N_PROBE]) for q in vecs if q < N_QUERIES}
+
+    out = q_knn_ivfpq(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) <= set(probed)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        d2s = [r.approx_d2 for r in rs]
+        assert d2s == sorted(d2s)
+        for r in rs:
+            assert r.neighbor_id != q
+            # the IVF contract: candidates come from probed cells only
+            assert member_list[r.neighbor_id] in probed[q]
+
+
+def test_audio_frames_match_closed_form(spark, sf_dir):
+    """Frame features computed from the REAL decoded bytes must equal
+    the closed-form waveform recomputation, row by row."""
+    from dfs_w_mapreduce_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        _wav_sample,
+        q_multimodal_audio_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    expect = {}
+    for r in d:
+        doc_id, n_chars = int(r.doc_id), int(r.n_chars)
+        nv = (n_chars % 1000 + 1) * (1 + doc_id % 2)
+        s = [_wav_sample(doc_id, i) for i in range(nv)]
+        nf = math.ceil(nv / AUDIO_FRAME)
+        fsq = [
+            sum(x * x for x in s[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME])
+            for f in range(nf)
+        ]
+        zcr = sum(
+            1
+            for i in range(1, nv)
+            if i % AUDIO_FRAME != 0 and (s[i] >= 0) != (s[i - 1] >= 0)
+        )
+        mi = max(range(nf), key=lambda f: (fsq[f], -f))
+        expect[doc_id] = (nf, zcr, fsq[mi], mi)
+    got = {
+        r.doc_id: (r.n_frames, r.total_zcr, r.max_frame_sq, r.max_frame_idx)
+        for r in q_multimodal_audio_frames(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_decontaminate_minhash_laws(spark, sf_dir):
+    """Crossing-pair laws: corpus side is never a benchmark doc, the
+    benchmark side always is, and every reported max_jaccard equals
+    the exact shingle-set Jaccard recomputed in Python (and clears the
+    threshold)."""
+    from dfs_w_mapreduce_spark.operators.dedup import _doc_shingles
+    from dfs_w_mapreduce_spark.operators.pipeline import (
+        DECON_MINHASH_MOD,
+        DECON_MINHASH_T,
+        q_decontaminate_minhash,
+    )
+
+    sh = {
+        r.doc_id: set(r.sh) for r in _doc_shingles(spark, sf_dir).collect()
+    }
+    out = q_decontaminate_minhash(spark, sf_dir).collect()
+    for r in out:
+        assert r.corpus_id % DECON_MINHASH_MOD != 0
+        assert r.bench_id % DECON_MINHASH_MOD == 0
+        assert r.n_hits >= 1
+        a, b = sh[r.corpus_id], sh[r.bench_id]
+        jac = round(len(a & b) / (len(a) + len(b) - len(a & b)), 4)
+        assert jac == r.max_jaccard
+        assert r.max_jaccard >= DECON_MINHASH_T
