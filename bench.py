@@ -228,6 +228,9 @@ HEADLINE = [
     "graph_label_prop",
     "multimodal_audio_frames",
     "knn_ivfpq",
+    "hilbert_layout",
+    "postings_build",
+    "embedding_pca_power",
 ]
 
 

@@ -964,6 +964,161 @@ def _knn_ivfpq_oracle() -> str:
     """
 
 
+PCA_DIMS = 64     # fixture embedding dimensionality (PQ_SUB * PQ_SUBDIM)
+PCA_ROUNDS = 5
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION — the whitening/anisotropy-removal step embedding
+    pipelines run before semantic dedup and retrieval (dominant-
+    direction removal, ABTT 'all-but-the-top'): PCA_ROUNDS rounds of
+    v <- normalize(C v) from v0 = 1/8 (exact binary, unit 64-norm).
+
+    Exactness follows the kmeans recipe (quantize every cross-
+    iteration artifact): the centered covariance accumulates
+    12-dp-scaled LONG products (order-invariant, exact) and stores
+    6-dp entries; each matvec re-accumulates scaled longs; the norm is
+    an 8-dp round of a sqrt whose input is an exact scaled sum; the
+    next vector is an 8-dp round (+0.0 kills -0.0 drift). Nothing
+    unrounded crosses an iteration boundary, so both engines walk the
+    identical trajectory and the oracle just unrolls the rounds as
+    CTEs.
+
+    At 100 TB the ONLY corpus-scale work is the one covariance pass
+    (a dims^2-per-row fan-out into a 4096-group map-side-combined
+    aggregate); every iteration then runs on the 64x64 matrix —
+    localCheckpointed once so rounds never re-touch the corpus. The
+    driver holds no data (cov stays a DataFrame; rounds are tiny
+    distributed jobs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vecs = e.count()  # scalar plan parameter (metadata-sized)
+    ex = e.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("i", "x")
+    )
+    sl6 = F.round(F.round(F.col("x"), 6) * 1000000, 0).cast("long")
+    mu = ex.groupBy("i").agg(
+        (
+            F.round(
+                F.sum(sl6).cast("double") / 1000000 / F.lit(float(n_vecs)), 8
+            )
+            + 0.0
+        ).alias("mu")
+    )
+    cd = ex.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("mu")).alias("d")
+    )
+    a = cd.select("vec_id", F.col("i").alias("ci"), F.col("d").alias("da"))
+    b = cd.select("vec_id", F.col("i").alias("cj"), F.col("d").alias("db"))
+    p12 = F.round(F.round(F.col("da") * F.col("db"), 12) * 1000000000000, 0).cast(
+        "long"
+    )
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ci").alias("i"), F.col("cj").alias("j"))
+        .agg(
+            (
+                F.round(
+                    F.sum(p12).cast("double") / 1000000000000 / F.lit(float(n_vecs)),
+                    6,
+                )
+                + 0.0
+            ).alias("c")
+        )
+        # 4096 rows; eager-materialize so the 5 rounds never re-run
+        # the corpus-scale covariance pass
+        .localCheckpoint()
+    )
+    v = spark.range(PCA_DIMS).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).cast("double").alias("x")
+    )
+    w12 = F.round(F.round(F.col("c") * F.col("x"), 12) * 1000000000000, 0).cast(
+        "long"
+    )
+    nrm_frame = None
+    for _ in range(PCA_ROUNDS):
+        w = (
+            cov.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg((F.sum(w12).cast("double") / 1000000000000).alias("w"))
+            .localCheckpoint()
+        )
+        sq12 = F.round(F.round(F.col("w") * F.col("w"), 12) * 1000000000000, 0).cast(
+            "long"
+        )
+        nrm_frame = w.agg(
+            F.round(
+                F.sqrt(F.sum(sq12).cast("double") / 1000000000000), 8
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm_frame)).select(
+            "i",
+            F.when(
+                F.col("nrm") > 0, F.round(F.col("w") / F.col("nrm"), 8) + 0.0
+            )
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+        )
+    return v.crossJoin(F.broadcast(nrm_frame)).select(
+        F.col("i").alias("pos"),
+        F.col("x").alias("loading"),
+        F.col("nrm").alias("eigenvalue"),
+    )
+
+
+def _pca_power_oracle() -> str:
+    sl = "CAST(round(round({expr}, 12) * 1000000000000, 0) AS BIGINT)"
+    body = [
+        f"""
+        ex AS (
+            SELECT vec_id, CAST(pos - 1 AS INT) AS i,
+                   CAST(embedding[pos] AS DOUBLE) AS x
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) g
+        ),
+        n AS (SELECT count(*) AS nv FROM embeddings),
+        mu AS (
+            SELECT i, round(CAST(SUM(CAST(round(round(x, 6) * 1000000, 0) AS BIGINT))
+                                 AS DOUBLE) / 1000000 / nv, 8) + 0.0 AS mu
+            FROM ex CROSS JOIN n GROUP BY i, nv
+        ),
+        cd AS (SELECT vec_id, ex.i, x - mu AS d FROM ex JOIN mu USING (i)),
+        cov AS (
+            SELECT a.i AS i, b.i AS j,
+                   round(CAST(SUM({sl.format(expr='a.d * b.d')}) AS DOUBLE)
+                         / 1000000000000 / nv, 6) + 0.0 AS c
+            FROM cd a JOIN cd b ON a.vec_id = b.vec_id CROSS JOIN n
+            GROUP BY 1, 2, nv
+        ),
+        v0 AS (SELECT CAST(i AS INT) AS i, CAST(0.125 AS DOUBLE) AS x
+               FROM range(0, {PCA_DIMS}) t(i))"""
+    ]
+    for r in range(1, PCA_ROUNDS + 1):
+        body.append(f"""
+        w{r} AS (
+            SELECT cov.i AS i,
+                   CAST(SUM({sl.format(expr='cov.c * v.x')}) AS DOUBLE)
+                   / 1000000000000 AS w
+            FROM cov JOIN v{r - 1} v ON cov.j = v.i GROUP BY 1
+        ),
+        nrm{r} AS (
+            SELECT round(sqrt(CAST(SUM({sl.format(expr='w * w')}) AS DOUBLE)
+                              / 1000000000000), 8) AS nrm
+            FROM w{r}
+        ),
+        v{r} AS (
+            SELECT i, CASE WHEN nrm > 0 THEN round(w / nrm, 8) + 0.0
+                           ELSE 0.0 END AS x
+            FROM w{r} CROSS JOIN nrm{r}
+        )""")
+    return (
+        "WITH " + ",".join(body)
+        + f"""
+        SELECT v.i AS pos, v.x AS loading, nrm.nrm AS eigenvalue
+        FROM v{PCA_ROUNDS} v CROSS JOIN nrm{PCA_ROUNDS} nrm"""
+    )
+
+
 MATRYOSHKA_DIMS = (8, 16, 32)
 
 
@@ -1786,4 +1941,9 @@ def specs() -> list[QuerySpec]:
                   ("similarity", "llm", "pq", "ivf", "scale"),
                   "IVFADC: coarse cell probe + residual-PQ ADC distance "
                   "tables — the canonical billion-scale ANN layout."),
+        QuerySpec("embedding_pca_power", q_embedding_pca_power,
+                  _pca_power_oracle(),
+                  ("similarity", "llm", "iterative", "scale"),
+                  "Top principal component by quantized power iteration "
+                  "(5 exact rounds over a one-pass covariance)."),
     ]

@@ -1359,6 +1359,106 @@ def _quality_sweep_oracle() -> str:
     """
 
 
+def q_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BUILD — the materialization step bm25_search
+    consumes implicitly: per term, the doc-id-sorted posting list with
+    term frequencies, emitted as (df, cf, first_doc, delta+varint size
+    accounting, stream fingerprint).
+
+    The posting stream is delta-encoded (gap = doc_id - previous) and
+    costed at varint bytes per gap — the standard index compression
+    (Lucene/ES postings) whose win over raw 8-byte ids
+    (8*df - varint_bytes) is the number a capacity planner needs. The
+    md5 fingerprint of the 'gap:tf' stream pins the exact sorted list
+    content cross-engine without shipping the list itself through the
+    driver compare.
+
+    At 100 TB: one tf aggregation (map-side combined), one per-term
+    aggregation whose value size is the posting list — the same
+    distribution any index builder has (hot terms make big postings;
+    the df cap story lives in the tfidf family, an index build must
+    keep them). Everything after collect_list is per-row array math,
+    no further shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    pl = tf.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("pl")
+    )
+    docs = F.transform("pl", lambda x: x["doc_id"])
+    tfs = F.transform("pl", lambda x: x["tf"])
+    n1 = F.greatest(F.size("pl") - 1, F.lit(0))
+    # gaps[0] = doc_id[0] (delta from 0), gaps[i] = doc[i] - doc[i-1]
+    gaps = F.concat(
+        F.slice(docs, 1, 1),
+        F.zip_with(
+            F.slice(docs, 2, n1), F.slice(docs, 1, n1), lambda a, b: a - b
+        ),
+    )
+    varint = F.aggregate(
+        gaps,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.when(g < 128, 1).when(g < 16384, 2).when(g < 1 << 21, 3).otherwise(4),
+    )
+    stream = F.array_join(
+        F.zip_with(
+            gaps, tfs,
+            lambda g, t: F.concat_ws(":", g.cast("string"), t.cast("string")),
+        ),
+        ",",
+    )
+    return pl.select(
+        "term",
+        F.size("pl").cast("long").alias("df"),
+        F.aggregate(tfs, F.lit(0).cast("long"), lambda a, t: a + t).alias("cf"),
+        F.element_at(docs, 1).alias("first_doc"),
+        varint.alias("varint_bytes"),
+        (8 * F.size("pl").cast("long") - varint).alias("bytes_saved"),
+        F.md5(stream).alias("postings_fp"),
+    )
+
+
+POSTINGS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    pl AS (
+        SELECT term,
+               list(doc_id ORDER BY doc_id) AS docs,
+               list(tf ORDER BY doc_id) AS tfs
+        FROM tf GROUP BY term
+    ),
+    enc AS (
+        SELECT term, docs, tfs,
+               [docs[i] - (CASE WHEN i = 1 THEN 0 ELSE docs[i - 1] END)
+                FOR i IN range(1, len(docs) + 1)] AS gaps
+        FROM pl
+    )
+    SELECT term,
+           CAST(len(docs) AS BIGINT) AS df,
+           CAST(list_sum(tfs) AS BIGINT) AS cf,
+           docs[1] AS first_doc,
+           CAST(list_sum(list_transform(gaps,
+                g -> CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                          WHEN g < 2097152 THEN 3 ELSE 4 END)) AS BIGINT)
+               AS varint_bytes,
+           CAST(8 * len(docs) - list_sum(list_transform(gaps,
+                g -> CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                          WHEN g < 2097152 THEN 3 ELSE 4 END)) AS BIGINT)
+               AS bytes_saved,
+           md5(array_to_string(
+               [CAST(gaps[i] AS VARCHAR) || ':' || CAST(tfs[i] AS VARCHAR)
+                FOR i IN range(1, len(gaps) + 1)], ',')) AS postings_fp
+    FROM enc
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -1412,4 +1512,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(),
                   ("text", "llm", "retrieval"),
                   "BM25 top-5 retrieval for fixed queries via filtered inverted index."),
+        QuerySpec("postings_build", q_postings_build, POSTINGS_ORACLE,
+                  ("text", "llm", "retrieval", "scale"),
+                  "Inverted-index build: sorted postings, delta+varint "
+                  "size accounting, stream fingerprint per term."),
     ]

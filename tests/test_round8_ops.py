@@ -172,3 +172,119 @@ def test_decontaminate_minhash_laws(spark, sf_dir):
         jac = round(len(a & b) / (len(a) + len(b) - len(a & b)), 4)
         assert jac == r.max_jaccard
         assert r.max_jaccard >= DECON_MINHASH_T
+
+
+def test_hilbert_matches_python_replica(spark, sf_dir):
+    """The unrolled in-engine Hilbert walk must agree with the classic
+    xy2d reference exactly, bucket report included."""
+    from dfs_w_mapreduce_spark.operators.layout import (
+        ZBITS,
+        ZBUCKET_SHIFT,
+        q_hilbert_layout,
+    )
+
+    def xy2d(x, y):
+        d = 0
+        s = 1 << (ZBITS - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * (3 * rx + ry * (1 - 2 * rx))
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rows = li.collect()
+    pmin = min(r.l_partkey for r in rows); pmax = max(r.l_partkey for r in rows)
+    smin = min(r.l_suppkey for r in rows); smax = max(r.l_suppkey for r in rows)
+    buckets: dict[int, list] = {}
+    for r in rows:
+        x = (r.l_partkey - pmin) * (1 << ZBITS) // (pmax - pmin + 1)
+        y = (r.l_suppkey - smin) * (1 << ZBITS) // (smax - smin + 1)
+        buckets.setdefault(xy2d(x, y) >> ZBUCKET_SHIFT, []).append((x, y))
+    expect = {
+        b: (
+            len(pts),
+            min(x for x, _ in pts), max(x for x, _ in pts),
+            min(y for _, y in pts), max(y for _, y in pts),
+        )
+        for b, pts in buckets.items()
+    }
+    got = {
+        r.bucket: (r.n_rows, r.min_x, r.max_x, r.min_y, r.max_y)
+        for r in q_hilbert_layout(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # sanity: the curve is a bijection on the visited cells
+    seen = {}
+    for b, pts in buckets.items():
+        for x, y in pts:
+            d = xy2d(x, y)
+            assert seen.setdefault(d, (x, y)) == (x, y)
+
+
+def test_postings_build_matches_python_replica(spark, sf_dir):
+    """Posting lists, delta gaps, varint byte accounting, and the
+    stream fingerprint must equal a from-scratch Python index build."""
+    import hashlib
+
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_postings_build
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tf: dict[str, dict[int, int]] = {}
+    for r in d:
+        for t in (r.text or "").lower().split():
+            tf.setdefault(t, {}).setdefault(int(r.doc_id), 0)
+            tf[t][int(r.doc_id)] += 1
+    expect = {}
+    for term, posting in tf.items():
+        docs = sorted(posting)
+        gaps = [docs[0]] + [b - a for a, b in zip(docs, docs[1:])]
+        varint = sum(1 if g < 128 else 2 if g < 16384 else 3 if g < 1 << 21 else 4
+                     for g in gaps)
+        stream = ",".join(f"{g}:{posting[doc]}" for g, doc in zip(gaps, docs))
+        expect[term] = (
+            len(docs), sum(posting.values()), docs[0], varint,
+            8 * len(docs) - varint,
+            hashlib.md5(stream.encode()).hexdigest(),
+        )
+    got = {
+        r.term: (r.df, r.cf, r.first_doc, r.varint_bytes, r.bytes_saved,
+                 r.postings_fp)
+        for r in q_postings_build(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_pca_power_matches_unquantized_replica(spark, sf_dir):
+    """The quantized in-engine power iteration must land within
+    rounding distance of the same 5-round iteration run unquantized in
+    numpy (per-round drift is ~1e-8), and the loading must be unit
+    norm up to the 8-dp rounding."""
+    import numpy as np
+
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        PCA_ROUNDS,
+        q_embedding_pca_power,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in e], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    v = np.full(X.shape[1], 0.125)
+    lam = 0.0
+    for _ in range(PCA_ROUNDS):
+        w = C @ v
+        lam = float(np.sqrt(w @ w))
+        v = w / lam
+    out = sorted(q_embedding_pca_power(spark, sf_dir).collect(),
+                 key=lambda r: r.pos)
+    loading = np.array([r.loading for r in out])
+    assert abs(np.linalg.norm(loading) - 1.0) < 1e-6
+    assert abs(float(np.dot(loading, v))) > 0.9999
+    assert abs(out[0].eigenvalue - lam) / lam < 1e-4
