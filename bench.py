@@ -231,6 +231,8 @@ HEADLINE = [
     "hilbert_layout",
     "postings_build",
     "embedding_pca_power",
+    "sample_coreset",
+    "kmv_set_ops",
 ]
 
 

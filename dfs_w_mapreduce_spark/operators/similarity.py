@@ -1119,6 +1119,115 @@ def _pca_power_oracle() -> str:
     )
 
 
+CORESET_K = 5
+
+
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-based data selection: greedy k-center (farthest-point
+    traversal, the 2-approximation of Gonzalez 1985) over the
+    embedding corpus — the coreset construction data-pruning pipelines
+    use to pick a maximally-diverse training subset. Seed = smallest
+    vec_id; each round adds the point FARTHEST from the chosen set
+    (ties -> smallest id) and reports the k-center objective (the
+    coverage radius = max distance of any point to its nearest chosen
+    center) after the pick — a decreasing curve that IS the coreset
+    quality report.
+
+    Deterministic contract: squared L2 distances rounded at 6 dp
+    (+0.0) before every min/argmax, so both engines walk the identical
+    selection path. Per round the corpus does ONE broadcast-join
+    min-update pass (running min distance to the chosen set is kept as
+    a localCheckpointed (vec_id, md) frame — the standard incremental
+    farthest-point trick, O(n) per round, not O(n*k)); the argmax is a
+    1-row TakeOrdered; the driver holds k ids, never data. At 100 TB:
+    k linear passes, each map-side only."""
+    v = _vecs(spark, sf_dir).select("vec_id", "v")
+
+    def _d2(a, b):
+        return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
+
+    seed = v.orderBy("vec_id").limit(1)
+    srow = seed.first()
+    if srow is None:  # empty corpus: nothing to select
+        return spark.createDataFrame([], "sel_rank int, vec_id long, radius double")
+    seed_id = srow[0]
+    md = (
+        v.crossJoin(F.broadcast(seed.select(F.col("v").alias("cv"))))
+        .select(
+            "vec_id", "v",
+            (F.round(_d2(F.col("v"), F.col("cv")), 6) + 0.0).alias("md"),
+        )
+        .localCheckpoint()
+    )
+    rows = [(1, int(seed_id))]
+    radii = [md.agg(F.max("md")).first()[0]]
+    for k in range(2, CORESET_K + 1):
+        pick = md.orderBy(F.desc("md"), F.col("vec_id").asc()).limit(1).first()
+        rows.append((k, int(pick["vec_id"])))
+        pv = v.filter(F.col("vec_id") == int(pick["vec_id"])).select(
+            F.col("v").alias("cv")
+        )
+        md = (
+            md.crossJoin(F.broadcast(pv))
+            .select(
+                "vec_id", "v",
+                F.least(
+                    F.col("md"),
+                    F.round(_d2(F.col("v"), F.col("cv")), 6) + 0.0,
+                ).alias("md"),
+            )
+            .localCheckpoint()
+        )
+        radii.append(md.agg(F.max("md")).first()[0])
+    out = [
+        (k, vid, float(r)) for (k, vid), r in zip(rows, radii)
+    ]
+    return spark.createDataFrame(
+        out, "sel_rank int, vec_id long, radius double"
+    )
+
+
+def _coreset_oracle() -> str:
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    body = [
+        f"""
+        v AS ({_VECS_SQL}),
+        p1 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
+        r1 AS (
+            SELECT v.vec_id, v.v,
+                   round({d2.format(a='v.v', b='p.v')}, 6) + 0.0 AS md
+            FROM v CROSS JOIN p1 p
+        )"""
+    ]
+    for k in range(2, CORESET_K + 1):
+        body.append(f"""
+        p{k} AS (
+            SELECT v.vec_id, v.v
+            FROM (SELECT vec_id FROM r{k - 1}
+                  ORDER BY md DESC, vec_id LIMIT 1) s JOIN v USING (vec_id)
+        ),
+        r{k} AS (
+            SELECT r.vec_id, r.v,
+                   LEAST(r.md,
+                         round({d2.format(a='r.v', b='p.v')}, 6) + 0.0) AS md
+            FROM r{k - 1} r CROSS JOIN p{k} p
+        )""")
+    selects = [
+        "SELECT 1 AS sel_rank, (SELECT vec_id FROM p1) AS vec_id,"
+        " (SELECT max(md) FROM r1) AS radius"
+    ] + [
+        f"SELECT {k}, (SELECT vec_id FROM p{k}),"
+        f" (SELECT max(md) FROM r{k})"
+        for k in range(2, CORESET_K + 1)
+    ]
+    return (
+        "WITH " + ",".join(body) + " " + " UNION ALL ".join(selects)
+    )
+
+
 MATRYOSHKA_DIMS = (8, 16, 32)
 
 
@@ -1946,4 +2055,8 @@ def specs() -> list[QuerySpec]:
                   ("similarity", "llm", "iterative", "scale"),
                   "Top principal component by quantized power iteration "
                   "(5 exact rounds over a one-pass covariance)."),
+        QuerySpec("sample_coreset", q_sample_coreset, _coreset_oracle(),
+                  ("similarity", "llm", "sampling", "iterative"),
+                  "Greedy k-center coreset selection (farthest-point "
+                  "traversal) with the coverage-radius quality curve."),
     ]

@@ -366,12 +366,170 @@ KMV_DISTINCT_ORACLE = f"""
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH ALGEBRA over source pairs: estimate every pair's token
+    union / intersection / Jaccard from the per-source KMV sketches
+    alone — the cross-corpus OVERLAP MATRIX a mixing/dedup planner
+    wants at 100 TB, where the exact answer needs a pairwise distinct
+    join over the corpus but the sketch answer touches n_sources * k
+    rows (union sketch = k smallest of the two sketches' union;
+    intersection by inclusion-exclusion, clamped at 0).
+
+    The exact per-pair Jaccard is carried alongside as the calibration
+    column (same pattern as ann_recall / kmv_distinct's rel_err): at
+    fixture scale it is cheap and pins the estimator's honesty in the
+    hash; at 100 TB a user would drop it and keep the sketch side.
+    Every field is deterministic (md5-derived 60-bit hashes), so the
+    oracle reproduces the sketches exactly."""
+    from pyspark.sql import Window as W
+
+    from dfs_w_mapreduce_spark.operators.text_analysis import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    hh = d.select(
+        "source",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("token"),
+    ).select(
+        "source",
+        F.expr(
+            "cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    ).distinct()
+    rk = F.row_number().over(W.partitionBy("source").orderBy("h"))
+    sk = hh.withColumn("rk", rk).filter(F.col("rk") <= KMV_K).select("source", "h")
+
+    def est(n, kth):
+        return F.when(n < KMV_K, n).otherwise(
+            F.round(F.lit((KMV_K - 1) * _KMV_SCALE) / kth, 0).cast("long")
+        )
+
+    stats = sk.groupBy("source").agg(
+        F.max("h").alias("kth"), F.count("*").alias("n")
+    ).select("source", est(F.col("n"), F.col("kth")).alias("est"))
+    srcs = hh.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    # union sketch per pair: k smallest of the two sketches' union —
+    # pair count is domain-bounded (sources), rows are sketch-sized
+    psk = F.broadcast(pairs).join(
+        sk, (sk.source == F.col("src_a")) | (sk.source == F.col("src_b"))
+    ).select("src_a", "src_b", "h").distinct()
+    urk = F.row_number().over(W.partitionBy("src_a", "src_b").orderBy("h"))
+    u = psk.withColumn("rk", urk).filter(F.col("rk") <= KMV_K)
+    ustats = u.groupBy("src_a", "src_b").agg(
+        F.max("h").alias("u_kth"), F.count("*").alias("u_n")
+    ).select(
+        "src_a", "src_b", est(F.col("u_n"), F.col("u_kth")).alias("union_est")
+    )
+    # exact calibration side
+    ex = hh.groupBy("source").agg(F.count("*").alias("ex"))
+    pex = F.broadcast(pairs).join(
+        hh, (hh.source == F.col("src_a")) | (hh.source == F.col("src_b"))
+    ).select("src_a", "src_b", "h").distinct().groupBy("src_a", "src_b").agg(
+        F.count("*").alias("ex_union")
+    )
+    sa = stats.select(F.col("source").alias("src_a"), F.col("est").alias("est_a"))
+    sb = stats.select(F.col("source").alias("src_b"), F.col("est").alias("est_b"))
+    ea = ex.select(F.col("source").alias("src_a"), F.col("ex").alias("ex_a"))
+    eb = ex.select(F.col("source").alias("src_b"), F.col("ex").alias("ex_b"))
+    inter_est = F.greatest(
+        F.lit(0).cast("long"), F.col("est_a") + F.col("est_b") - F.col("union_est")
+    )
+    inter_ex = F.col("ex_a") + F.col("ex_b") - F.col("ex_union")
+    return (
+        ustats.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .join(pex, ["src_a", "src_b"])
+        .join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .select(
+            "src_a", "src_b", "union_est",
+            inter_est.alias("inter_est"),
+            (F.round(F.try_divide(inter_est, F.col("union_est")), 4) + 0.0)
+            .alias("jaccard_est"),
+            (F.round(F.try_divide(inter_ex, F.col("ex_union")), 4) + 0.0)
+            .alias("jaccard_exact"),
+        )
+    )
+
+
+KMV_SET_OPS_ORACLE = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    hh AS (SELECT DISTINCT source,
+                  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+           FROM toks),
+    sk AS (SELECT source, h FROM (
+               SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM hh) WHERE rk <= {KMV_K}),
+    stats AS (
+        SELECT source,
+               CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS BIGINT)
+                    ELSE CAST(round({(KMV_K - 1)} * {_KMV_SCALE} / max(h), 0)
+                              AS BIGINT) END AS est
+        FROM sk GROUP BY 1
+    ),
+    srcs AS (SELECT DISTINCT source FROM hh),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    u AS (
+        SELECT src_a, src_b, h,
+               row_number() OVER (PARTITION BY src_a, src_b
+                                  ORDER BY h) AS rk
+        FROM (SELECT DISTINCT p.src_a, p.src_b, s.h
+              FROM pairs p JOIN sk s
+                ON s.source = p.src_a OR s.source = p.src_b)
+    ),
+    ustats AS (
+        SELECT src_a, src_b,
+               CASE WHEN count(*) < {KMV_K}
+                    THEN CAST(count(*) AS BIGINT)
+                    ELSE CAST(round({(KMV_K - 1)} * {_KMV_SCALE}
+                                    / max(h), 0) AS BIGINT) END AS union_est
+        FROM u WHERE rk <= {KMV_K} GROUP BY 1, 2
+    ),
+    ex AS (SELECT source, CAST(count(*) AS BIGINT) AS ex FROM hh GROUP BY 1),
+    pex AS (
+        SELECT p.src_a, p.src_b, CAST(count(DISTINCT e.h) AS BIGINT) AS ex_union
+        FROM pairs p JOIN hh e ON e.source = p.src_a OR e.source = p.src_b
+        GROUP BY 1, 2
+    )
+    SELECT us.src_a, us.src_b, us.union_est,
+           GREATEST(CAST(0 AS BIGINT),
+                    sa.est + sb.est - us.union_est) AS inter_est,
+           round(GREATEST(CAST(0 AS BIGINT), sa.est + sb.est - us.union_est)
+                 * 1.0 / NULLIF(us.union_est, 0), 4) + 0.0 AS jaccard_est,
+           round((ea.ex + eb.ex - px.ex_union) * 1.0
+                 / NULLIF(px.ex_union, 0), 4) + 0.0 AS jaccard_exact
+    FROM ustats us
+    JOIN stats sa ON sa.source = us.src_a
+    JOIN stats sb ON sb.source = us.src_b
+    JOIN pex px ON px.src_a = us.src_a AND px.src_b = us.src_b
+    JOIN ex ea ON ea.source = us.src_a
+    JOIN ex eb ON eb.source = us.src_b
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("kmv_distinct", q_kmv_distinct, KMV_DISTINCT_ORACLE,
                   ("sketch", "approx", "llm"),
                   "KMV k-minimum-values sketch: exact deterministic state, "
                   "estimate, and merge law pinned TRUE — fully oracled."),
+        QuerySpec("kmv_set_ops", q_kmv_set_ops, KMV_SET_OPS_ORACLE,
+                  ("sketch", "approx", "llm", "scale"),
+                  "Cross-source overlap matrix from KMV sketch algebra "
+                  "(union/intersection/Jaccard estimates + exact calibration)."),
         QuerySpec("hll_union", q_hll_union, HLL_UNION_ORACLE,
                   ("sketch", "approx", "llm"),
                   "Mergeable per-source HLL sketches + union, bounded-error verdict."),

@@ -288,3 +288,52 @@ def test_pca_power_matches_unquantized_replica(spark, sf_dir):
     assert abs(np.linalg.norm(loading) - 1.0) < 1e-6
     assert abs(float(np.dot(loading, v))) > 0.9999
     assert abs(out[0].eigenvalue - lam) / lam < 1e-4
+
+
+def test_coreset_greedy_law(spark, sf_dir):
+    """Coverage radius must be non-increasing, ranks 1..K, picks
+    distinct, and each reported radius must equal (to rounding) the
+    true max-min distance to the chosen prefix recomputed in numpy."""
+    import numpy as np
+
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        CORESET_K,
+        q_sample_coreset,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in e])
+    X = np.array([r.embedding for r in e], dtype=np.float64)
+    out = sorted(q_sample_coreset(spark, sf_dir).collect(), key=lambda r: r.sel_rank)
+    assert [r.sel_rank for r in out] == list(range(1, CORESET_K + 1))
+    assert len({r.vec_id for r in out}) == CORESET_K
+    radii = [r.radius for r in out]
+    assert radii == sorted(radii, reverse=True)
+    assert out[0].vec_id == int(ids.min())
+    by_id = {int(i): X[k] for k, i in enumerate(ids)}
+    chosen = []
+    for r in out:
+        chosen.append(by_id[r.vec_id])
+        C = np.array(chosen)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        assert abs(d2.max() - r.radius) < 1e-4
+
+
+def test_kmv_set_ops_laws(spark, sf_dir):
+    """The exact-calibration column must equal a Python recomputation
+    of per-pair token Jaccard, and the sketch algebra must obey
+    inter <= union and jaccard in [0, 1]."""
+    from dfs_w_mapreduce_spark.operators.sketches import q_kmv_set_ops
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    toks: dict[str, set] = {}
+    for r in d:
+        toks.setdefault(r.source, set()).update((r.text or "").lower().split())
+    out = q_kmv_set_ops(spark, sf_dir).collect()
+    assert len(out) == len(toks) * (len(toks) - 1) // 2
+    for r in out:
+        a, b = toks[r.src_a], toks[r.src_b]
+        exact = round(len(a & b) / len(a | b), 4)
+        assert abs(r.jaccard_exact - exact) < 1e-9
+        assert 0 <= r.inter_est <= r.union_est
+        assert 0.0 <= r.jaccard_est <= 1.0
