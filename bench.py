@@ -38,6 +38,25 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
+Adjudicated r8 (round-ending record, 109 keys): shared-key sum 161.3s
+vs the r7 record's 158.9s (+1.5%, noise). The auto-promotion rule
+fired on 8 sub-second keys (sample_weighted, hierarchy_closure,
+chunk_placement, recovery_plan, grouped_linear_fit, scd2_build,
+tpch_q3, question_pct): none changed this round, absolute deltas are
+70-270 ms, and the fresh-JVM isolated numbers scatter BOTH directions
+around the prior record (tpch_q3 isolated 0.567s vs prior main
+0.854s; question_pct isolated 0.254s vs prior 0.381s) — the
+late-suite heap/codegen-pressure class the r3->r4 note documents,
+amplified by the suite growing 97 -> 109 keys; machine noise, not
+regressions. dedup_embedding_clusters/dedup_embedding_pairs_lsh
+isolated drifted 8.37->10.31s / 2.85->3.32s with zero code change —
+the same machine-state shift adjudicated below for r7's
+multimodal_decode/recursive_cte (identical code re-measured higher on
+this machine). Real deltas this round: tfidf_cosine_pairs 23.7->18.9s
+isolated (the dense-vocabulary strategy pick) and tfidf_cosine_zipf
+15.7->7.2s (threshold moved onto the candidate cliff), both
+code-attributed improvements.
+
 Adjudicated r7 -> r8: the two escaped 1.25x drifts from round 7
 (`multimodal_decode` 3.46->4.38s, `recursive_cte` 1.85->2.34s, neither
 isolated that round because the promotion gate read the r05 baseline —
