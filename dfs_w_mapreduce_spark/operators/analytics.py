@@ -265,13 +265,18 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("n2"), "label")
             .agg(F.count("*").alias("c"))
         )
-        # (c, label) is unique within a node partition: label is the
-        # grouping key, so the tie-break order is total
-        w = W.partitionBy("n2").orderBy(F.desc("c"), F.col("label").asc())
+        # mode with min-label tie-break as a HASH aggregate, not a
+        # sort window: min(struct(-c, label)) orders lexicographically
+        # by (count DESC, label ASC) — map-side combining, no per-node
+        # sort, and the struct ordering is total so the pick is
+        # deterministic (same pick as the oracle's row_number form)
         labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("n2").alias("node"), "label")
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("label")))
+                .getField("label")
+                .alias("label")
+            )
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     return labels.join(sizes, "label").select(

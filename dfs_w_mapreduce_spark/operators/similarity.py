@@ -1005,25 +1005,75 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("mu")
     )
-    cd = ex.join(F.broadcast(mu), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("mu")).alias("d")
+    # Outer products WITHOUT a self-join: broadcast the dims-sized mean
+    # as one array, center each row once (its own projection, so the
+    # nested transform below references a materialized column — an
+    # element_at over an ATTRIBUTE is a cheap lookup, where indexing
+    # into the centering EXPRESSION inside the lambda would re-evaluate
+    # it per (i, j): the Catalyst quadratic trap), then explode the
+    # dims^2 (i, j, product) structs row-locally. One corpus pass, the
+    # only shuffle is the 4096-group aggregate's map-side-combined
+    # exchange — the previous formulation shuffled the exploded corpus
+    # TWICE through an n*dims x n*dims self-join.
+    mua = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda s: s["mu"],
+        ).alias("mu_arr")
     )
-    a = cd.select("vec_id", F.col("i").alias("ci"), F.col("d").alias("da"))
-    b = cd.select("vec_id", F.col("i").alias("cj"), F.col("d").alias("db"))
-    p12 = F.round(F.round(F.col("da") * F.col("db"), 12) * 1000000000000, 0).cast(
-        "long"
+    seq = F.sequence(F.lit(1), F.lit(PCA_DIMS))
+    # the outer-product pass does dims^2 work per ROW, so a
+    # small-file scan that arrives as one split serializes the whole
+    # pass onto one core (measured 9.4s -> 1.2s at sf0.1); widen only
+    # when the scan is narrower than the cluster — at real scale the
+    # scan already has >= par splits and no shuffle is added
+    par = spark.sparkContext.defaultParallelism
+    src = e.repartition(par) if e.rdd.getNumPartitions() < par else e
+    centered = src.crossJoin(F.broadcast(mua)).select(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("mu_arr"),
+            lambda x, m: x - m,
+        ).alias("cd")
+    )
+    # primitive long array of the dims^2 scaled products in fixed
+    # row-major order; posexplode's index IS (i, j) — structs here
+    # cost 1.5x the whole pass in allocation (measured)
+    pairs = centered.select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    seq,
+                    lambda i: F.transform(
+                        seq,
+                        lambda j: F.round(
+                            F.round(
+                                F.element_at("cd", i) * F.element_at("cd", j),
+                                12,
+                            )
+                            * 1000000000000,
+                            0,
+                        ).cast("long"),
+                    ),
+                )
+            )
+        ).alias("pos", "p")
     )
     cov = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("ci").alias("i"), F.col("cj").alias("j"))
+        pairs.groupBy("pos")
         .agg(
             (
                 F.round(
-                    F.sum(p12).cast("double") / 1000000000000 / F.lit(float(n_vecs)),
+                    F.sum("p").cast("double") / 1000000000000 / F.lit(float(n_vecs)),
                     6,
                 )
                 + 0.0
             ).alias("c")
+        )
+        .select(
+            (F.col("pos") / PCA_DIMS).cast("int").alias("i"),
+            (F.col("pos") % PCA_DIMS).cast("int").alias("j"),
+            "c",
         )
         # 4096 rows; eager-materialize so the 5 rounds never re-run
         # the corpus-scale covariance pass
