@@ -1273,8 +1273,13 @@ def _coreset_oracle() -> str:
         f" (SELECT max(md) FROM r{k})"
         for k in range(2, CORESET_K + 1)
     ]
+    # wrap so an EMPTY corpus yields 0 rows (matching the engine's
+    # early return) — scalar subqueries over empty relations would
+    # otherwise produce CORESET_K rows of NULLs
     return (
-        "WITH " + ",".join(body) + " " + " UNION ALL ".join(selects)
+        "WITH " + ",".join(body)
+        + " SELECT * FROM (" + " UNION ALL ".join(selects)
+        + ") WHERE vec_id IS NOT NULL"
     )
 
 

@@ -426,9 +426,15 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact calibration side
     ex = hh.groupBy("source").agg(F.count("*").alias("ex"))
+    # pre-repartition on the group key BEFORE the dedupe: unlike the
+    # sketch-sized psk above, this fan-out is corpus-scale (distinct
+    # hashes x ~n_sources) and a distinct over it is the
+    # partial-aggregate OOM class
     pex = F.broadcast(pairs).join(
         hh, (hh.source == F.col("src_a")) | (hh.source == F.col("src_b"))
-    ).select("src_a", "src_b", "h").distinct().groupBy("src_a", "src_b").agg(
+    ).select("src_a", "src_b", "h").repartition(
+        spark.sparkContext.defaultParallelism * 4, "src_a", "src_b", "h"
+    ).distinct().groupBy("src_a", "src_b").agg(
         F.count("*").alias("ex_union")
     )
     sa = stats.select(F.col("source").alias("src_a"), F.col("est").alias("est_a"))

@@ -495,10 +495,14 @@ def _allpairs_cosine(
     `prune_t` -> bucketed candidate join -> exact scaled-long verify at
     `cos_t` -> per-doc rollup. See q_tfidf_cosine_pairs for the full
     scale rationale."""
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # df derived from tf (one row per (doc, term) already), not from a
-    # separate toks.distinct() pass — tf's shuffle exchange is reused
-    # by both branches instead of re-scanning/re-tokenizing the corpus.
+    # tf is consumed by TWO jobs — the strategy-pick stat action below
+    # and the main query execution — and ReuseExchange only spans one
+    # plan, so persist it (MEMORY_AND_DISK, the sparse doc x term
+    # matrix; spills gracefully) so the corpus is tokenized and
+    # tf-shuffled exactly once across both. df derives from tf (one
+    # row per (doc, term) already), not from a separate
+    # toks.distinct() pass.
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()
     df_cap = int(TFIDF_DF_CAP_FRAC * n_docs)  # plan-parameter scalar

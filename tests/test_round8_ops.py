@@ -328,7 +328,9 @@ def test_kmv_set_ops_laws(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("source", "text").collect()
     toks: dict[str, set] = {}
     for r in d:
-        toks.setdefault(r.source, set()).update((r.text or "").lower().split())
+        ws = (r.text or "").lower().split()
+        if ws:  # the query's source set comes from hh (>=1 token)
+            toks.setdefault(r.source, set()).update(ws)
     out = q_kmv_set_ops(spark, sf_dir).collect()
     assert len(out) == len(toks) * (len(toks) - 1) // 2
     for r in out:
