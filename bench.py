@@ -252,6 +252,9 @@ HEADLINE = [
     "embedding_pca_power",
     "sample_coreset",
     "kmv_set_ops",
+    "embedding_abtt",
+    "tfidf_plan_pick",
+    "text_readability",
 ]
 
 

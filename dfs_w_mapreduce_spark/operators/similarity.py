@@ -991,6 +991,20 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed once so rounds never re-touch the corpus. The
     driver holds no data (cov stays a DataFrame; rounds are tiny
     distributed jobs)."""
+    v, nrm_frame = _pca_top_component(spark, sf_dir)
+    return v.crossJoin(F.broadcast(nrm_frame)).select(
+        F.col("i").alias("pos"),
+        F.col("x").alias("loading"),
+        F.col("nrm").alias("eigenvalue"),
+    )
+
+
+def _pca_top_component(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The quantized power iteration shared by q_embedding_pca_power
+    (which reports it) and q_embedding_abtt (which projects it out):
+    returns (v: (i, x) unit top component, nrm: 1-row eigenvalue)."""
     e = load_table(spark, sf_dir, "embeddings")
     n_vecs = e.count()  # scalar plan parameter (metadata-sized)
     ex = e.select(
@@ -1109,14 +1123,12 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("x"),
         )
-    return v.crossJoin(F.broadcast(nrm_frame)).select(
-        F.col("i").alias("pos"),
-        F.col("x").alias("loading"),
-        F.col("nrm").alias("eigenvalue"),
-    )
+    return v, nrm_frame
 
 
-def _pca_power_oracle() -> str:
+def _pca_rounds_ctes() -> str:
+    """The CTE chain through v{PCA_ROUNDS}/nrm{PCA_ROUNDS}, shared by
+    the pca_power oracle and the ABTT oracle."""
     sl = "CAST(round(round({expr}, 12) * 1000000000000, 0) AS BIGINT)"
     body = [
         f"""
@@ -1161,11 +1173,125 @@ def _pca_power_oracle() -> str:
                            ELSE 0.0 END AS x
             FROM w{r} CROSS JOIN nrm{r}
         )""")
+    return ",".join(body)
+
+
+def _pca_power_oracle() -> str:
     return (
-        "WITH " + ",".join(body)
+        "WITH " + _pca_rounds_ctes()
         + f"""
         SELECT v.i AS pos, v.x AS loading, nrm.nrm AS eigenvalue
         FROM v{PCA_ROUNDS} v CROSS JOIN nrm{PCA_ROUNDS} nrm"""
+    )
+
+
+def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath, ICLR 2018): remove the corpus'
+    dominant principal direction from every embedding — the isotropy
+    correction retrieval/semantic-dedup pipelines apply because a few
+    dominant directions otherwise swamp cosine similarity. Composes
+    the quantized power iteration (_pca_top_component) with a single
+    projection pass and reports, per label, the mean |cosine to the
+    top component| BEFORE and AFTER removal — the before column is the
+    measured anisotropy, the after column its near-zero residual
+    (nonzero only through the 8-dp quantization of the projection).
+
+    Exactness: the component vector is the hash-proven quantized
+    trajectory; the projection coefficient rounds at 8 dp before the
+    subtraction; per-row cosines round at 8 dp and aggregate as
+    1e8-scaled longs (order-invariant), and the per-label means round
+    at 6 dp. At 100 TB: one broadcast of a dims-sized vector, one
+    corpus pass, one label-cardinality aggregate."""
+    v, _ = _pca_top_component(spark, sf_dir)
+    varr = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "x"))), lambda s: s["x"]
+        ).alias("v_arr")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    # each projection stage is its own projection so every reused
+    # array/scalar is a materialized attribute, never a re-evaluated
+    # expression inside a lambda (the Catalyst quadratic trap)
+    ed = e.crossJoin(F.broadcast(varr)).select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        "v_arr",
+    )
+    dotted = ed.select(
+        "label", "ed", "v_arr",
+        F.round(_dot(F.col("ed"), F.col("v_arr")), 8).alias("d8"),
+        F.sqrt(_dot(F.col("ed"), F.col("ed"))).alias("nrm_e"),
+    )
+    resid = dotted.select(
+        "label", "v_arr", "d8", "nrm_e",
+        F.zip_with(
+            "ed", "v_arr", lambda x, w: x - F.col("d8") * w
+        ).alias("rd"),
+    )
+    cos_b = F.when(
+        F.col("nrm_e") > 0,
+        F.round(F.abs(F.col("d8")) / F.col("nrm_e"), 8) + 0.0,
+    ).otherwise(F.lit(0.0))
+    nrm_r = F.sqrt(_dot(F.col("rd"), F.col("rd")))
+    cos_a = F.when(
+        nrm_r > 0,
+        F.round(F.abs(_dot(F.col("rd"), F.col("v_arr"))) / nrm_r, 8) + 0.0,
+    ).otherwise(F.lit(0.0))
+    scored = resid.select(
+        "label",
+        F.round(cos_b * 100000000, 0).cast("long").alias("cb8"),
+        F.round(cos_a * 100000000, 0).cast("long").alias("ca8"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("cb8").cast("double") / 100000000 / F.count("*"), 6)
+        .alias("mean_cos_before"),
+        F.round(F.sum("ca8").cast("double") / 100000000 / F.count("*"), 6)
+        .alias("mean_cos_after"),
+    )
+
+
+def _abtt_oracle() -> str:
+    rng = f"range(1, {PCA_DIMS} + 1)"
+    return (
+        "WITH " + _pca_rounds_ctes()
+        + f""",
+        varr AS (SELECT list(x ORDER BY i) AS v_arr FROM v{PCA_ROUNDS}),
+        ed AS (
+            SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed,
+                   v_arr
+            FROM embeddings CROSS JOIN varr
+        ),
+        dotted AS (
+            SELECT label, ed, v_arr,
+                   round(list_dot_product(ed, v_arr), 8) AS d8,
+                   sqrt(list_dot_product(ed, ed)) AS nrm_e
+            FROM ed
+        ),
+        resid AS (
+            SELECT label, v_arr, d8, nrm_e,
+                   [ed[i] - d8 * v_arr[i] FOR i IN {rng}] AS rd
+            FROM dotted
+        ),
+        scored AS (
+            SELECT label,
+                   CAST(round((CASE WHEN nrm_e > 0
+                               THEN round(abs(d8) / nrm_e, 8) + 0.0
+                               ELSE 0.0 END) * 100000000, 0) AS BIGINT) AS cb8,
+                   CAST(round((CASE WHEN sqrt(list_dot_product(rd, rd)) > 0
+                               THEN round(abs(list_dot_product(rd, v_arr))
+                                          / sqrt(list_dot_product(rd, rd)), 8)
+                                    + 0.0
+                               ELSE 0.0 END) * 100000000, 0) AS BIGINT) AS ca8
+            FROM resid
+        )
+        SELECT label, count(*) AS n,
+               round(CAST(SUM(cb8) AS DOUBLE) / 100000000 / count(*), 6)
+                   AS mean_cos_before,
+               round(CAST(SUM(ca8) AS DOUBLE) / 100000000 / count(*), 6)
+                   AS mean_cos_after
+        FROM scored GROUP BY 1"""
     )
 
 
@@ -2114,4 +2240,8 @@ def specs() -> list[QuerySpec]:
                   ("similarity", "llm", "sampling", "iterative"),
                   "Greedy k-center coreset selection (farthest-point "
                   "traversal) with the coverage-radius quality curve."),
+        QuerySpec("embedding_abtt", q_embedding_abtt, _abtt_oracle(),
+                  ("similarity", "llm", "iterative"),
+                  "All-but-the-top isotropy correction: project out the "
+                  "top component, report per-label anisotropy before/after."),
     ]

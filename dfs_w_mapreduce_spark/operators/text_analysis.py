@@ -772,6 +772,14 @@ def q_tfidf_cosine_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 pairs at sf0.01, 795 at sf0.1). Same exact scaled-long
     verify and identically-capped oracle as q_tfidf_cosine_pairs."""
     d = load_table(spark, sf_dir, "documents")
+    return _allpairs_cosine(
+        spark, sf_dir, d, _zipf_toks(d), TFIDF_ZIPF_COS_T, TFIDF_ZIPF_PRUNE_T
+    )
+
+
+def _zipf_toks(d: DataFrame) -> DataFrame:
+    """The derived Zipf-skewed (doc_id, term) stream — shared by
+    q_tfidf_cosine_zipf and q_tfidf_plan_pick."""
     n_toks = F.size(tokens_col(F.lower(F.col("text"))))
     pos = (
         d.select("doc_id", n_toks.alias("nt"))
@@ -784,7 +792,7 @@ def q_tfidf_cosine_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    toks = hashed.select(
+    return hashed.select(
         "doc_id",
         F.expr(
             f"CASE WHEN h % 8 < 3 THEN concat('h', CAST((h div 8) % {ZIPF_HOT} AS STRING))"
@@ -792,13 +800,11 @@ def q_tfidf_cosine_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE concat('t', CAST((h div 8) % {ZIPF_TAIL} AS STRING)) END"
         ).alias("term"),
     )
-    return _allpairs_cosine(
-        spark, sf_dir, d, toks, TFIDF_ZIPF_COS_T, TFIDF_ZIPF_PRUNE_T
-    )
 
 
-TFIDF_ZIPF_ORACLE = f"""
-    WITH base AS (
+# the derived Zipf corpus as CTEs (base/pos/toks) — shared by
+# TFIDF_ZIPF_ORACLE and the plan-pick oracle
+_ZIPF_TOKS_CTES = f"""base AS (
         SELECT doc_id,
                len(list_filter(string_split_regex(lower(text), '\\s+'),
                                t -> t <> '')) AS n_toks
@@ -815,7 +821,11 @@ TFIDF_ZIPF_ORACLE = f"""
                                               || CAST(pos AS VARCHAR)), 1, 15))
                           AS BIGINT) AS h
               FROM pos)
-    ),
+    )"""
+
+
+TFIDF_ZIPF_ORACLE = f"""
+    WITH {_ZIPF_TOKS_CTES},
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     df AS (SELECT term, count(*) AS df
            FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
@@ -1363,6 +1373,159 @@ def _quality_sweep_oracle() -> str:
     """
 
 
+def q_tfidf_plan_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-IDF cosine STRATEGY PICK as its own driver-verified row:
+    for both corpora the engine serves (the fixture's near-uniform
+    vocabulary and the derived Zipf corpus), emit the runtime stat the
+    optimizer computes — the entry-weighted mean df fraction
+    sum(df^2)/(n*sum(df)) over the capped vocabulary — and the plan it
+    therefore picks. This hash-pins the cost MODEL itself, not just
+    the plans it chooses between (the two workloads sit far on either
+    side of TFIDF_DENSE_FRAC: ~0.78 vs ~0.23)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    df_cap = int(TFIDF_DF_CAP_FRAC * n_docs)
+
+    def stat_frame(name: str, toks: DataFrame) -> DataFrame:
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+        m = F.try_divide(
+            F.sum(F.col("df") * F.col("df")),
+            F.sum("df") * F.lit(float(n_docs)),
+        )
+        return df_.filter(F.col("df") <= df_cap).agg(
+            (F.round(m, 6) + 0.0).alias("mean_df_frac")
+        ).select(
+            F.lit(name).alias("corpus"),
+            "mean_df_frac",
+            F.when(
+                F.col("mean_df_frac") > TFIDF_DENSE_FRAC,
+                F.lit("inverted-index"),
+            ).otherwise(F.lit("prefix-allpairs")).alias("plan"),
+        )
+
+    fixture = d.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    return stat_frame("fixture", fixture).unionByName(
+        stat_frame("zipf", _zipf_toks(d))
+    )
+
+
+TFIDF_PLAN_PICK_ORACLE = f"""
+    WITH ftoks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> t <> '')) AS term
+        FROM documents
+    ),
+    {_ZIPF_TOKS_CTES},
+    n AS (SELECT count(*) AS nd FROM documents),
+    fstat AS (
+        SELECT round(SUM(df * df) * 1.0 / NULLIF(SUM(df) * nd, 0), 6) + 0.0
+                   AS mean_df_frac
+        FROM (SELECT term, count(*) AS df
+              FROM (SELECT doc_id, term, count(*) AS tf FROM ftoks GROUP BY 1, 2)
+              GROUP BY 1) CROSS JOIN n
+        WHERE df <= (SELECT CAST(floor({TFIDF_DF_CAP_FRAC} * nd) AS BIGINT) FROM n)
+        GROUP BY nd
+    ),
+    zstat AS (
+        SELECT round(SUM(df * df) * 1.0 / NULLIF(SUM(df) * nd, 0), 6) + 0.0
+                   AS mean_df_frac
+        FROM (SELECT term, count(*) AS df
+              FROM (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+              GROUP BY 1) CROSS JOIN n
+        WHERE df <= (SELECT CAST(floor({TFIDF_DF_CAP_FRAC} * nd) AS BIGINT) FROM n)
+        GROUP BY nd
+    )
+    SELECT 'fixture' AS corpus, mean_df_frac,
+           CASE WHEN mean_df_frac > {TFIDF_DENSE_FRAC} THEN 'inverted-index'
+                ELSE 'prefix-allpairs' END AS plan
+    FROM fstat
+    UNION ALL
+    SELECT 'zipf', mean_df_frac,
+           CASE WHEN mean_df_frac > {TFIDF_DENSE_FRAC} THEN 'inverted-index'
+                ELSE 'prefix-allpairs' END
+    FROM zstat
+"""
+
+
+# Flesch-style readability contract (documented heuristic variant):
+# words = whitespace tokens; sentences = max(1, runs of [.!?]);
+# syllables = runs of [aeiouy] in the lowercased text.
+FRE_EASY = 60.0
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring — the classic Flesch Reading Ease formula
+    (206.835 - 1.015*words/sentences - 84.6*syllables/words) over a
+    deterministic heuristic syllable counter (vowel-group runs), as
+    LLM quality filters use for surface-complexity pruning. Per-source
+    report: doc count, mean FRE (4-dp per-doc scores aggregated as
+    1e4-scaled longs, order-invariant), and the fraction of 'easy'
+    docs (FRE >= 60, the standard plain-English band).
+
+    One expression-only corpus pass + a source-cardinality aggregate;
+    regex classes are engine-portable ([.!?]+ / [aeiouy]+)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(tokens_col(F.col("text")))
+    sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0)))
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    fre = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * words / sentences
+        - F.lit(84.6) * F.try_divide(syl, words),
+        4,
+    )
+    scored = d.select("source", words.alias("w"), fre.alias("fre")).filter(
+        F.col("w") > 0
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("fre") * 10000, 0).cast("long")).cast("double")
+            / 10000
+            / F.count("*"),
+            4,
+        ).alias("mean_fre"),
+        F.round(
+            F.try_divide(
+                F.count(F.when(F.col("fre") >= FRE_EASY, 1)), F.count("*")
+            ),
+            4,
+        ).alias("easy_frac"),
+    )
+
+
+TEXT_READABILITY_ORACLE = f"""
+    WITH scored AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                   AS w,
+               round(206.835
+                     - 1.015 * len(list_filter(string_split_regex(text, '\\s+'),
+                                               t -> t <> ''))
+                       / GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                     - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       * 1.0
+                       / NULLIF(len(list_filter(string_split_regex(text, '\\s+'),
+                                                t -> t <> '')), 0), 4) AS fre
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(CAST(SUM(CAST(round(fre * 10000, 0) AS BIGINT)) AS DOUBLE)
+                 / 10000 / count(*), 4) AS mean_fre,
+           round(count(*) FILTER (fre >= {FRE_EASY}) * 1.0 / count(*), 4)
+               AS easy_frac
+    FROM scored WHERE w > 0
+    GROUP BY 1
+"""
+
+
 def q_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index BUILD — the materialization step bm25_search
     consumes implicitly: per term, the doc-id-sorted posting list with
@@ -1520,4 +1683,13 @@ def specs() -> list[QuerySpec]:
                   ("text", "llm", "retrieval", "scale"),
                   "Inverted-index build: sorted postings, delta+varint "
                   "size accounting, stream fingerprint per term."),
+        QuerySpec("tfidf_plan_pick", q_tfidf_plan_pick, TFIDF_PLAN_PICK_ORACLE,
+                  ("text", "llm", "optimizer"),
+                  "The cosine strategy pick's cost model as a hash row: "
+                  "mean df fraction + chosen plan for both corpora."),
+        QuerySpec("text_readability", q_text_readability,
+                  TEXT_READABILITY_ORACLE,
+                  ("text", "llm", "quality"),
+                  "Flesch Reading Ease per source (heuristic syllables, "
+                  "scaled-long means, easy-band fraction)."),
     ]

@@ -339,3 +339,83 @@ def test_kmv_set_ops_laws(spark, sf_dir):
         assert abs(r.jaccard_exact - exact) < 1e-9
         assert 0 <= r.inter_est <= r.union_est
         assert 0.0 <= r.jaccard_est <= 1.0
+
+
+def test_abtt_removes_anisotropy(spark, sf_dir):
+    """Projecting out the top component must collapse the mean |cos|
+    to near zero in every label group, and the before column must
+    match a numpy recomputation against the query's own component."""
+    import numpy as np
+
+    from dfs_w_mapreduce_spark.operators.similarity import (
+        q_embedding_abtt,
+        q_embedding_pca_power,
+    )
+
+    v = np.array([
+        r.loading
+        for r in sorted(q_embedding_pca_power(spark, sf_dir).collect(),
+                        key=lambda r: r.pos)
+    ])
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label: dict[str, list[float]] = {}
+    for r in e:
+        x = np.array(r.embedding, dtype=np.float64)
+        nrm = np.linalg.norm(x)
+        if nrm > 0:
+            by_label.setdefault(r.label, []).append(
+                abs(round(float(x @ v), 8)) / nrm
+            )
+    out = {r.label: r for r in q_embedding_abtt(spark, sf_dir).collect()}
+    assert set(out) == set(by_label)
+    for lab, vals in by_label.items():
+        assert abs(out[lab].mean_cos_before - np.mean([round(c, 8) for c in vals])) < 1e-4
+        assert out[lab].mean_cos_after < 1e-4
+        assert out[lab].mean_cos_before > out[lab].mean_cos_after
+
+
+def test_plan_pick_sides(spark, sf_dir):
+    """The cost model must put the fixture corpus on the dense side
+    and the Zipf corpus on the skewed side of the boundary."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        TFIDF_DENSE_FRAC,
+        q_tfidf_plan_pick,
+    )
+
+    out = {r.corpus: r for r in q_tfidf_plan_pick(spark, sf_dir).collect()}
+    assert out["fixture"].plan == "inverted-index"
+    assert out["fixture"].mean_df_frac > TFIDF_DENSE_FRAC
+    assert out["zipf"].plan == "prefix-allpairs"
+    assert out["zipf"].mean_df_frac < TFIDF_DENSE_FRAC
+
+
+def test_readability_matches_python_replica(spark, sf_dir):
+    """Per-source FRE report vs a from-scratch Python replica of the
+    documented heuristic contract."""
+    import re
+
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        FRE_EASY,
+        q_text_readability,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per: dict[str, list[float]] = {}
+    for r in d:
+        t = r.text or ""
+        w = len([x for x in re.split(r"\s+", t) if x])
+        if w == 0:
+            continue
+        s = max(1, len(re.findall(r"[.!?]+", t)))
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        per.setdefault(r.source, []).append(
+            round(206.835 - 1.015 * w / s - 84.6 * syl / w, 4)
+        )
+    out = {r.source: r for r in q_text_readability(spark, sf_dir).collect()}
+    assert set(out) == set(per)
+    for src, fres in per.items():
+        scaled = sum(int(round(f * 10000)) for f in fres)
+        assert abs(out[src].mean_fre - round(scaled / 10000 / len(fres), 4)) < 1e-9
+        assert out[src].n_docs == len(fres)
+        easy = sum(1 for f in fres if f >= FRE_EASY)
+        assert abs(out[src].easy_frac - round(easy / len(fres), 4)) < 1e-9
