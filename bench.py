@@ -38,7 +38,16 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
-Adjudicated r8 (round-ending record, 109 keys): shared-key sum 161.3s
+Adjudicated r8 final record (112 keys, 174.3s): the promotion rule
+fired on 8 more untouched sub-second keys (asof_join_nearest,
+rolling_user_features, grouped_linear_fit, pit_training_join,
+funnel_stages, heartbeat_liveness, watermark_lateness, join_dpp);
+their fresh-JVM isolated numbers land back at or BELOW the prior
+record (join_dpp isolated 1.05s vs prior main 1.17s) — the isolated
+record does not reproduce the drift, so by this file's own rule it is
+machine noise, not regression.
+
+Adjudicated r8 (mid-round record, 109 keys): shared-key sum 161.3s
 vs the r7 record's 158.9s (+1.5%, noise). The auto-promotion rule
 fired on 8 sub-second keys (sample_weighted, hierarchy_closure,
 chunk_placement, recovery_plan, grouped_linear_fit, scd2_build,
