@@ -264,6 +264,16 @@ HEADLINE = [
     "embedding_abtt",
     "tfidf_plan_pick",
     "text_readability",
+    # round-8 second batch
+    "quality_gopher",
+    "text_collocations",
+    "text_entropy",
+    "cms_sketch",
+    "ts_autocorr",
+    "sample_balanced",
+    "anomaly_seasonal",
+    "stream_topk_live",
+    "dedup_containment",
 ]
 
 

@@ -1747,6 +1747,183 @@ ATTRIBUTION_ORACLE = """
 """
 
 
+ACF_MAX_LAG = 3
+
+
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the daily event-count series per
+    event type — the seasonality probe a pipeline runs before picking
+    a forecasting model. The series is zero-filled over a generated
+    day spine (a gap would silently shift every lag pair), then each
+    lag's Pearson r is computed from EXACT integer sums (n, Sx, Sy,
+    Sxx, Syy, Sxy are all longs over integer daily counts), so the
+    only FP ops are two long->double casts, one multiply, sqrt, and
+    the final divide — the identical sequence the oracle runs, making
+    the result bit-deterministic cross-engine.
+
+    Scale posture: the heavy side is one (type, day) hash aggregate
+    over the fact table; everything after operates on the tiny
+    per-day frame (window lag over days, then a 15-row rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    daily = (
+        days.crossJoin(types)
+        .join(
+            ev.groupBy(day, "event_type").agg(F.count("*").alias("n")),
+            ["day", "event_type"],
+            "left",
+        )
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("n"),
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    stack_args = ", ".join(f"{k}, l{k}" for k in range(1, ACF_MAX_LAG + 1))
+    pairs = lagged.select(
+        "event_type", "n",
+        F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) as (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("np"),
+        F.sum("n").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("n") * F.col("y")).alias("sxy"),
+    )
+    vx = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        F.round(F.try_divide(num, F.sqrt(vx * vy)), 4).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+TS_AUTOCORR_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT t.event_type, d.day, coalesce(a.n, 0) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    ),
+    lagged AS (
+        SELECT event_type, n,
+               lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+               lag(n, 3) OVER w AS l3
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    pairs AS (
+        SELECT event_type, 1 AS lag, n, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2 AS lag, n, l2 AS y FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3 AS lag, n, l3 AS y FROM lagged WHERE l3 IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, lag,
+               count(*) AS np,
+               CAST(sum(n) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(n * n) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(n * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, np AS n_pairs,
+           round(CAST(np * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                        * CAST(np * syy - sy * sy AS DOUBLE)), 4) AS acf
+    FROM s
+    ORDER BY event_type, lag
+"""
+
+
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: each (type, day, hour) cell is
+    tested against its OWN seasonal baseline — the (type, hour-of-day)
+    population over the whole span — so a 2am traffic spike isn't
+    hidden by the 2pm mean the way a global z-score (anomaly_zscore)
+    hides it. The 3-sigma verdict is evaluated in PURE INTEGER
+    arithmetic: (n*x - Sx)^2 > 9 * (n*Sxx - Sx^2) is the exact
+    algebraic form of |x - mean| > 3*stddev_pop with every operand a
+    long, so the flag can never drift cross-engine; the reported
+    z-score is the only FP value (exact ints into one sqrt + divide,
+    mirrored in the oracle).
+
+    Scale posture: one (type, day, hour) hash aggregate over the fact
+    table, then a (type, hour) rollup of the 24*types baseline — the
+    baseline join back is broadcast-sized by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("x"))
+    base = cells.groupBy("event_type", "hour").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = cells.join(F.broadcast(base), ["event_type", "hour"])
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.filter(dev * dev > 9 * var_n2)
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "x",
+            F.round(F.try_divide(F.col("sx"), F.col("n")), 4).alias("baseline_mean"),
+            F.round(F.try_divide(dev.cast("double"), F.sqrt(var_n2.cast("double"))), 4)
+            .alias("z"),
+        )
+        .orderBy("event_type", "day", "hour")
+    )
+
+
+ANOMALY_SEASONAL_ORACLE = """
+    WITH cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(hour(ts) AS INT) AS hour, count(*) AS x
+        FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, hour, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.day, c.hour, c.x,
+           round(b.sx * 1.0 / b.n, 4) AS baseline_mean,
+           round(CAST(b.n * c.x - b.sx AS DOUBLE)
+                 / sqrt(CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)), 4) AS z
+    FROM cells c JOIN base b ON b.event_type = c.event_type AND b.hour = c.hour
+    WHERE (b.n * c.x - b.sx) * (b.n * c.x - b.sx)
+          > 9 * (b.n * b.sxx - b.sx * b.sx)
+    ORDER BY c.event_type, c.day, c.hour
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("attribution_last_touch", q_attribution_last_touch,
@@ -1843,4 +2020,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("hierarchy_closure", q_hierarchy_closure, HIERARCHY_ORACLE,
                   ("analytics", "graph", "recursive"),
                   "Pointer-jumping transitive closure (root + depth per node)."),
+        QuerySpec("ts_autocorr", q_ts_autocorr, TS_AUTOCORR_ORACLE,
+                  ("analytics", "timeseries", "statistics"),
+                  "Lag-1..3 Pearson autocorrelation of zero-filled daily "
+                  "counts per event type, from exact integer sums."),
+        QuerySpec("anomaly_seasonal", q_anomaly_seasonal, ANOMALY_SEASONAL_ORACLE,
+                  ("analytics", "timeseries", "anomaly"),
+                  "Hour-of-day seasonal 3-sigma anomaly cells with a "
+                  "pure-integer verdict predicate (no FP drift possible)."),
     ]

@@ -195,10 +195,13 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs_from(_doc_shingles(spark, sf_dir))
 
 
-def _ngram_pairs_from(sh: DataFrame) -> DataFrame:
-    """The exact inverted-index Jaccard join over a given (doc_id, sh)
-    shingle frame — shared by the full-corpus baseline above and the
-    sampled dedup_agreement calibration."""
+def _common_shingle_counts(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, sh) -> ((doc_a, doc_b, common), (doc_id, n)) — the
+    exact inverted-index co-occurrence core shared by the Jaccard
+    baseline, the agreement calibration, and the containment query.
+    Carries the two hard-won OOM guards: shuffle_hash (never
+    broadcast the exploded corpus) and pre-aggregation repartition
+    (no partial-agg map over the quadratic pair stream)."""
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     # Join on a 60-bit md5-derived long, not the shingle string: the
     # inverted-index shuffle and join hash tables then carry 8-byte
@@ -231,6 +234,14 @@ def _ngram_pairs_from(sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
+    return common, sizes
+
+
+def _ngram_pairs_from(sh: DataFrame) -> DataFrame:
+    """The exact inverted-index Jaccard join over a given (doc_id, sh)
+    shingle frame — shared by the full-corpus baseline above and the
+    sampled dedup_agreement calibration."""
+    common, sizes = _common_shingle_counts(sh)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     return (
         common.join(na, F.col("doc_a") == F.col("na.doc_id"))
@@ -262,6 +273,84 @@ DEDUP_NGRAM_ORACLE = f"""
     JOIN sizes na ON doc_a = na.doc_id
     JOIN sizes nb ON doc_b = nb.doc_id
     WHERE round(common * 1.0 / (na.n + nb.n - common), 4) >= {JACCARD_T}
+"""
+
+
+CONTAIN_T = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder's containment coefficient
+    c(A->B) = |A∩B|/|A|): catches a document EMBEDDED inside a longer
+    one — boilerplate-wrapped articles, quote-expansions — which the
+    symmetric Jaccard test dilutes below threshold as the host grows.
+    Emits a DIRECTED row per (sub, super) direction that clears the
+    containment bar, alongside the symmetric jaccard for contrast.
+
+    Scale posture: identical core to dedup_ngram_pairs — one
+    inverted-index co-occurrence join via _common_shingle_counts
+    (shuffle_hash + pre-agg repartition OOM guards) — plus two
+    doc-keyed size joins; the direction fan-out is on the tiny
+    filtered pair set."""
+    common, sizes = _common_shingle_counts(_doc_shingles(spark, sf_dir))
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    j = (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "common",
+            F.col("na.n").alias("n_a"), F.col("nb.n").alias("n_b"),
+        )
+    )
+    jac = F.round(
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4
+    )
+
+    def directed(sub, sup, n_sub, n_sup):
+        return j.select(
+            F.col(sub).alias("doc_sub"),
+            F.col(sup).alias("doc_sup"),
+            F.col(n_sub).cast("long").alias("n_sub"),
+            F.col(n_sup).cast("long").alias("n_sup"),
+            F.round(F.col("common") / F.col(n_sub), 4).alias("containment"),
+            jac.alias("jaccard"),
+        )
+
+    return (
+        directed("doc_a", "doc_b", "n_a", "n_b")
+        .unionByName(directed("doc_b", "doc_a", "n_b", "n_a"))
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS s
+           FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT doc_a, doc_b, c, na.n AS n_a, nb.n AS n_b
+        FROM common
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+    ),
+    directed AS (
+        SELECT doc_a AS doc_sub, doc_b AS doc_sup, n_a AS n_sub, n_b AS n_sup,
+               round(c * 1.0 / n_a, 4) AS containment,
+               round(c * 1.0 / (n_a + n_b - c), 4) AS jaccard
+        FROM j
+        UNION ALL
+        SELECT doc_b, doc_a, n_b, n_a,
+               round(c * 1.0 / n_b, 4),
+               round(c * 1.0 / (n_a + n_b - c), 4)
+        FROM j
+    )
+    SELECT * FROM directed WHERE containment >= {CONTAIN_T}
 """
 
 
@@ -1656,6 +1745,10 @@ def specs() -> list[QuerySpec]:
                   ("dedup", "llm"), "Sorted-token fingerprint near-dup."),
         QuerySpec("dedup_ngram_pairs", q_dedup_ngram_pairs, DEDUP_NGRAM_ORACLE,
                   ("dedup", "llm"), "Exact 2-gram-shingle Jaccard pairs via inverted index."),
+        QuerySpec("dedup_containment", q_dedup_containment, DEDUP_CONTAINMENT_ORACLE,
+                  ("dedup", "llm"),
+                  "Directed Broder containment pairs (|A∩B|/|A| >= 0.6): "
+                  "doc-embedded-in-doc dedup the symmetric Jaccard dilutes."),
         QuerySpec("dedup_minhash_pairs", q_dedup_minhash_pairs, _minhash_oracle(),
                   ("dedup", "llm", "lsh"),
                   "MinHash LSH candidates + exact-Jaccard verify, oracle-identical signatures."),

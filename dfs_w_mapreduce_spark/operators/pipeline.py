@@ -1230,6 +1230,87 @@ SHUFFLE_EPOCHS_ORACLE = f"""
 """
 
 
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balanced downsample: every class keeps exactly
+    min-class-size rows, selected by deterministic md5 rank — the
+    classifier-training rebalance step (a skewed label mix trains a
+    majority-class predictor). Emits one governance row per label:
+    total, kept, the balanced invariant (n_kept == min class size,
+    pinned TRUE), and an order-insensitive fingerprint of the kept id
+    set so the oracle certifies the exact membership, not just the
+    count.
+
+    Scale design: per-label selection is a row_number under a
+    label-partitioned window — WindowGroupLimit-class work with no
+    global sort; the min class size is a one-row broadcast scalar.
+    Output is one row per label regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    m = em.groupBy("label").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("m_min")
+    )
+    rk = F.row_number().over(W.partitionBy("label").orderBy(h.asc(), "vec_id"))
+    kept = (
+        em.withColumn("rk", rk)
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("rk") <= F.col("m_min"))
+    )
+    totals = em.groupBy("label").agg(F.count("*").alias("n_total"))
+    return (
+        kept.groupBy("label", "m_min")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("vec_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_fp"),
+        )
+        .join(totals, "label")
+        .select(
+            "label",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept") == F.col("m_min")).alias("balanced"),
+            "ids_fp",
+        )
+        .orderBy("label")
+    )
+
+
+SAMPLE_BALANCED_ORACLE = """
+    WITH h AS (
+        SELECT label, vec_id,
+               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hk
+        FROM embeddings
+    ),
+    m AS (SELECT CAST(min(n) AS BIGINT) AS m_min
+          FROM (SELECT count(*) AS n FROM h GROUP BY label)),
+    rk AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label ORDER BY hk, vec_id) AS r
+        FROM h
+    ),
+    kept AS (SELECT label, vec_id FROM rk, m WHERE r <= m.m_min)
+    SELECT k.label,
+           (SELECT count(*) FROM h WHERE h.label = k.label) AS n_total,
+           count(*) AS n_kept,
+           count(*) = (SELECT m_min FROM m) AS balanced,
+           md5(array_to_string(list_sort(list(vec_id)), ',')) AS ids_fp
+    FROM kept k GROUP BY k.label
+    ORDER BY k.label
+"""
+
+
 PERCEPTRON_ROUNDS = 3
 
 
@@ -1405,4 +1486,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("pipeline_end_to_end", q_pipeline_end_to_end, _e2e_oracle(),
                   ("pipeline", "llm", "composition"),
                   "Quality->dedup->near-dup->decontaminate->stratify as ONE DAG."),
+        QuerySpec("sample_balanced", q_sample_balanced, SAMPLE_BALANCED_ORACLE,
+                  ("pipeline", "llm", "sampling"),
+                  "Label-balanced downsample to the min class size via "
+                  "md5-rank; per-label fingerprint of the kept id set."),
     ]

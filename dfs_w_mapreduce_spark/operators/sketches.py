@@ -526,8 +526,100 @@ KMV_SET_OPS_ORACLE = f"""
 """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over event
+    user frequencies — the streaming point-frequency sketch. The
+    sketch STATE is fully deterministic (md5-derived row hashes), so
+    every field is exactly oracled: the per-cell counts, the min-over-
+    rows estimate for the top-10 exact-heaviest users, and the
+    structural overestimate guarantee (est >= exact), emitted per row
+    and pinned TRUE.
+
+    Scale design: the sketch build is one hash aggregate over
+    (row, cell) — a key domain BOUNDED at depth*width regardless of
+    corpus size (the entire sketch is 4x128 = 512 cells here), so
+    the aggregate's reduce side is constant-size and the
+    map side combines locally; it never materializes per-user state.
+    The probe side joins candidates to the 512-row sketch broadcast
+    (bounded by construction, exempt from the compressed-size trap).
+    The top-10 candidate list itself comes from an exact groupBy —
+    the expensive path a production use replaces with the sketch; it
+    doubles here as the calibration truth."""
+    e = load_table(spark, sf_dir, "events")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    cell = F.expr(
+        "cast(conv(substr(md5(concat(cast(j as string), ':', "
+        "cast(user_id as string))), 1, 15), 16, 10) as bigint) "
+        f"% {CMS_WIDTH}"
+    )
+    hashed = e.select("user_id", rows).select("user_id", "j", cell.alias("cell"))
+    sketch = hashed.groupBy("j", "cell").agg(F.count("*").alias("cnt"))
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probe = top.select("user_id", "exact_n", rows).select(
+        "user_id", "exact_n", "j", cell.alias("cell")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
+            (F.col("cms_est") - F.col("exact_n")).alias("abs_err"),
+        )
+    )
+
+
+CMS_SKETCH_ORACLE = f"""
+    WITH hashed AS (
+        SELECT user_id, j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                     || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {CMS_WIDTH} AS cell
+        FROM events, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
+    ),
+    sketch AS (
+        SELECT j, cell, count(*) AS cnt FROM hashed GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT user_id, count(*) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probe AS (
+        SELECT t.user_id, t.exact_n, j,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                     || CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {CMS_WIDTH} AS cell
+        FROM top t, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(min(s.cnt) AS BIGINT) AS cms_est,
+           min(s.cnt) >= p.exact_n AS overestimates,
+           CAST(min(s.cnt) - p.exact_n AS BIGINT) AS abs_err
+    FROM probe p JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+    GROUP BY p.user_id, p.exact_n
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("cms_sketch", q_cms_sketch, CMS_SKETCH_ORACLE,
+                  ("sketch", "approx", "scale"),
+                  "Count-min sketch with deterministic md5 row hashes: "
+                  "bounded 4x128 cell state, min-over-rows estimates for "
+                  "the exact top-10, overestimate law pinned per row."),
         QuerySpec("kmv_distinct", q_kmv_distinct, KMV_DISTINCT_ORACLE,
                   ("sketch", "approx", "llm"),
                   "KMV k-minimum-values sketch: exact deterministic state, "

@@ -1626,6 +1626,351 @@ POSTINGS_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style curation verdict (Rae et al. 2021, "Scaling Language
+# Models" §A1.1 — public filter battery), adapted to the fixture's
+# punctuation-free corpus: word-count bounds, mean-word-length bounds,
+# duplicate-2-gram character mass, stop-word presence.
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 1000
+GOPHER_DUP2_CAP = 0.30
+GOPHER_MWL_LO = 2.0
+GOPHER_MWL_HI = 12.0
+GOPHER_MIN_STOP_KINDS = 1
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality verdict battery, aggregated per
+    source: each doc passes iff word count, mean word length,
+    char-weighted duplicate-2-gram mass, and stop-word-kind count all
+    sit inside the published bounds; the per-source keep rate is the
+    governance row a curation run reports.
+
+    Scale design — ZERO doc-keyed shuffle: the duplicate-mass stat
+    only needs per-doc gram multiplicities, which a sorted gram array
+    exposes as adjacent-equal runs — an element is duplicate mass iff
+    it equals its sorted predecessor or successor. That is pure
+    expression work (array_sort + zip_with over slices — no
+    element_at-in-lambda quadratic trap), so the whole battery is an
+    embarrassingly parallel projection followed by ONE hash aggregate
+    on source; the plan is a single corpus scan with no exchange
+    except the tiny per-source rollup. The DuckDB oracle computes the
+    same statistic the independent way (unnest + per-gram GROUP BY),
+    so the run-walk is cross-checked, not mirrored."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id",
+        "source",
+        toks.alias("w"),
+        F.length("text").cast("double").alias("n_chars"),
+    )
+    n1 = F.size("w") - 1
+    grams = F.when(
+        F.size("w") >= 2,
+        F.zip_with(
+            F.slice("w", 1, n1), F.slice("w", 2, n1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = F.array_sort(grams)
+    ns1 = F.size(s) - 1
+    eq = F.when(
+        F.size(s) >= 2,
+        F.zip_with(F.slice(s, 2, ns1), F.slice(s, 1, ns1), lambda a, b: a == b),
+    ).otherwise(F.array().cast("array<boolean>"))
+    pad = F.array(F.lit(False))
+    in_run = F.zip_with(
+        F.concat(pad, eq), F.concat(eq, pad), lambda a, b: a | b
+    )
+    dup_mass = F.aggregate(
+        F.zip_with(
+            s, in_run, lambda g, fl: F.when(fl, F.length(g)).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tot_mass = F.aggregate(
+        s, F.lit(0).cast("long"), lambda acc, g: acc + F.length(g)
+    )
+    n_words = F.size("w")
+    mwl = F.when(n_words > 0, (F.col("n_chars") - (n_words - 1)) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_kinds = F.size(
+        F.array_intersect(F.array_distinct("w"), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    per_doc = base.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        stop_kinds.alias("stop_kinds"),
+        F.coalesce(
+            F.round(F.try_divide(dup_mass, tot_mass), 4), F.lit(0.0)
+        ).alias("dup2_frac"),
+    )
+    pass_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    pass_mwl = (F.col("mwl") >= GOPHER_MWL_LO) & (F.col("mwl") <= GOPHER_MWL_HI)
+    pass_dup = F.col("dup2_frac") <= GOPHER_DUP2_CAP
+    pass_stop = F.col("stop_kinds") >= GOPHER_MIN_STOP_KINDS
+    verdict = pass_words & pass_mwl & pass_dup & pass_stop
+    flag = lambda c: F.sum(F.when(c, 0).otherwise(1))  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(verdict, 1).otherwise(0)).alias("n_pass"),
+            flag(pass_words).alias("n_fail_words"),
+            flag(pass_dup).alias("n_fail_dup"),
+            flag(pass_stop).alias("n_fail_stop"),
+            F.round(F.avg("dup2_frac"), 4).alias("mean_dup2_frac"),
+        )
+        .withColumn(
+            "keep_rate", F.round(F.try_divide(F.col("n_pass"), F.col("n_docs")), 4)
+        )
+    )
+
+
+QUALITY_GOPHER_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    gc AS (
+        SELECT doc_id, g, count(*) AS n
+        FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS g
+              FROM base)
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT doc_id,
+               round(sum(CASE WHEN n > 1 THEN n * len(g) ELSE 0 END) * 1.0
+                     / sum(n * len(g)), 4) AS dup2_frac
+        FROM gc GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT b.source,
+               len(b.w) AS n_words,
+               CASE WHEN len(b.w) > 0
+                    THEN (b.n_chars - (len(b.w) - 1)) * 1.0 / len(b.w)
+                    ELSE 0.0 END AS mwl,
+               len(list_intersect(list_distinct(b.w),
+                   {list(STOPWORDS)!r})) AS stop_kinds,
+               coalesce(d.dup2_frac, 0.0) AS dup2_frac
+        FROM base b LEFT JOIN dup d USING (doc_id)
+    ),
+    v AS (
+        SELECT source, dup2_frac,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS pw,
+               (mwl BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}) AS pm,
+               (dup2_frac <= {GOPHER_DUP2_CAP}) AS pd,
+               (stop_kinds >= {GOPHER_MIN_STOP_KINDS}) AS ps
+        FROM per_doc
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN pw AND pm AND pd AND ps THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN pw THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_words,
+           CAST(sum(CASE WHEN pd THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup,
+           CAST(sum(CASE WHEN ps THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
+           round(avg(dup2_frac), 4) AS mean_dup2_frac,
+           round(sum(CASE WHEN pw AND pm AND pd AND ps THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS keep_rate
+    FROM v GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — the classic corpus-linguistics bigram-association
+# ranking (Church & Hanks 1990, public): PMI(x,y) =
+# log2(p(xy) / (p(x) p(y))) with a minimum-count support filter.
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bigram collocations by PMI with count support >= 5.
+
+    Scale design — ONE corpus pass: each token explodes as a
+    (token, next-token-or-null) pair, aggregated once into pc; the
+    unigram counts (every token appears exactly once as the left
+    element), the bigram counts (pairs with a non-null right), and
+    both corpus totals are all REAGGREGATIONS of pc, so every branch
+    above the corpus-scale shuffle shares one exchange (runtime
+    ReusedExchange) instead of rescanning documents. The unigram
+    side joins back on each bigram component — plain shuffled
+    equi-joins (the unigram frame is vocabulary-sized, which a real
+    web corpus makes too big to blind-broadcast; AQE
+    broadcast-promotes it when it is small, as here). Corpus totals
+    ride along as one-row broadcast scalars. Final top-K is
+    TakeOrderedAndProject (no global sort materialization). PMI is
+    computed as a difference of log2 terms with each ratio divided
+    first — mirrored verbatim in the oracle so both engines walk the
+    same FP path."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    base = d.select("doc_id", toks.alias("w"))
+    n_w = F.size("w")
+    pairs = F.transform(
+        "w",
+        lambda t, i: F.struct(
+            t.alias("t"),
+            F.when(i < n_w - 1, F.element_at("w", i + 2)).alias("nxt"),
+        ),
+    )
+    pc = (
+        base.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.t").alias("t"), F.col("p.nxt").alias("nxt"))
+        .groupBy("t", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = pc.groupBy("t").agg(F.sum("c").alias("c"))
+    big = (
+        pc.filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat_ws(" ", "t", "nxt").alias("g"),
+            F.col("t").alias("w1"),
+            F.col("nxt").alias("w2"),
+            F.col("c").alias("c_xy"),
+        )
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    m_tot = pc.agg(F.sum("c").alias("m_tokens"))
+    n_tot = pc.filter(F.col("nxt").isNotNull()).agg(
+        F.sum("c").alias("n_bigrams")
+    )
+    j = (
+        big.join(uni.select(F.col("t").alias("w1"), F.col("c").alias("n_w1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(m_tot))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    pmi = (
+        F.log2(F.col("c_xy") / F.col("n_bigrams"))
+        - F.log2(F.col("n_w1") / F.col("m_tokens"))
+        - F.log2(F.col("n_w2") / F.col("m_tokens"))
+    )
+    return (
+        j.select(
+            F.col("g").alias("bigram"), "c_xy", "n_w1", "n_w2",
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("c_xy"), "bigram")
+        .limit(PMI_TOP_K)
+    )
+
+
+TEXT_COLLOCATIONS_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT t, count(*) AS c
+        FROM (SELECT unnest(w) AS t FROM base) GROUP BY t
+    ),
+    big AS (
+        SELECT g, count(*) AS c_xy
+        FROM (SELECT unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS g
+              FROM base)
+        GROUP BY g HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS m_tokens,
+               (SELECT CAST(sum(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END)
+                            AS BIGINT) FROM base) AS n_bigrams
+    )
+    SELECT b.g AS bigram,
+           b.c_xy,
+           u1.c AS n_w1,
+           u2.c AS n_w2,
+           round(log2(b.c_xy * 1.0 / t.n_bigrams)
+                 - log2(u1.c * 1.0 / t.m_tokens)
+                 - log2(u2.c * 1.0 / t.m_tokens), 4) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.t = string_split(b.g, ' ')[1]
+    JOIN uni u2 ON u2.t = string_split(b.g, ' ')[2]
+    CROSS JOIN tot t
+    ORDER BY b.c_xy DESC, bigram
+    LIMIT {PMI_TOP_K}
+"""
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy, type/token ratio, hapax fraction —
+    the corpus-diversity datasheet row (a collapsed/duplicated crawl
+    slice shows up as low entropy long before model eval does).
+
+    H = log2(T) - (sum over terms of n*log2(n)) / T, computed from
+    exact integer counts so the only FP ops are the final log2/divide,
+    mirrored in the oracle. One (source, term) hash aggregate, then a
+    source-level rollup; the ALL row reuses the term-level counts
+    (term-keyed re-aggregation, no second corpus scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    tc = (
+        d.select("source", F.explode(toks).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def roll(df, key):
+        T = F.sum("n")
+        V = F.count("*")
+        return df.groupBy(key).agg(
+            T.alias("n_tokens"),
+            V.alias("n_types"),
+            F.round(
+                F.log2(T) - F.try_divide(F.sum(F.col("n") * F.log2("n")), T), 4
+            ).alias("entropy_bits"),
+            F.round(F.try_divide(V, T), 4).alias("type_token_ratio"),
+            F.round(
+                F.try_divide(F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), V), 4
+            ).alias("hapax_frac"),
+        )
+
+    per = roll(tc, "source")
+    allr = roll(
+        tc.groupBy("t").agg(F.sum("n").alias("n")).select(F.lit("ALL").alias("source"), "n"),
+        "source",
+    )
+    return per.unionByName(allr)
+
+
+TEXT_ENTROPY_ORACLE = """
+    WITH tc AS (
+        SELECT source, t, count(*) AS n
+        FROM (SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS t
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    both_lvls AS (
+        SELECT source, n FROM tc
+        UNION ALL
+        SELECT 'ALL' AS source, CAST(sum(n) AS BIGINT) AS n FROM tc GROUP BY t
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(log2(CAST(sum(n) AS DOUBLE))
+                 - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 4) AS entropy_bits,
+           round(count(*) * 1.0 / sum(n), 4) AS type_token_ratio,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS hapax_frac
+    FROM both_lvls GROUP BY source
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -1692,4 +2037,17 @@ def specs() -> list[QuerySpec]:
                   ("text", "llm", "quality"),
                   "Flesch Reading Ease per source (heuristic syllables, "
                   "scaled-long means, easy-band fraction)."),
+        QuerySpec("quality_gopher", q_quality_gopher, QUALITY_GOPHER_ORACLE,
+                  ("text", "llm", "quality", "curation"),
+                  "Gopher filter battery per source: word/mean-word-length "
+                  "bounds, duplicate-2-gram char mass, stop-word kinds; "
+                  "per-source keep rate + per-rule failure counts."),
+        QuerySpec("text_collocations", q_text_collocations,
+                  TEXT_COLLOCATIONS_ORACLE, ("text", "llm"),
+                  "Top-20 PMI bigram collocations with min-count support "
+                  "(Church & Hanks); TakeOrderedAndProject final."),
+        QuerySpec("text_entropy", q_text_entropy, TEXT_ENTROPY_ORACLE,
+                  ("text", "llm", "quality"),
+                  "Per-source unigram entropy / type-token ratio / hapax "
+                  "fraction + ALL row from re-aggregated term counts."),
     ]

@@ -448,6 +448,45 @@ STREAM_DEDUP_LIVE_ORACLE = """
 """
 
 
+def q_stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-K executed live: complete-mode aggregation
+    followed by sort + LIMIT — the one place Structured Streaming
+    permits a sort (after aggregation in complete mode), i.e. a live
+    leaderboard that re-ranks on every micro-batch. availableNow
+    replay of the finite fixture makes the final sink state exactly
+    the batch top-10, which the oracle pins (count ties broken by
+    user_id on both engines).
+
+    Scale posture: state is the per-user running count (bounded by
+    the user domain); the sort runs over the state store output at
+    trigger time, not over the input stream."""
+    ev = stream_events(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+    name = "t_" + uuid.uuid4().hex[:12]
+    q = (
+        top.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+STREAM_TOPK_LIVE_ORACLE = """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
 def q_stream_wmdedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark executed live, with REAL
     duplicates to drop: the event stream unioned with itself (two
@@ -1140,4 +1179,8 @@ def specs() -> list[QuerySpec]:
                   _stream_dedup_incremental_oracle(),
                   ("streaming", "live", "dedup", "llm"),
                   "Live ingest-time near-dup: micro-batches band-join a persisted index."),
+        QuerySpec("stream_topk_live", q_stream_topk_live, STREAM_TOPK_LIVE_ORACLE,
+                  ("streaming", "live", "topk"),
+                  "Live complete-mode top-10 leaderboard (streaming sort+limit), "
+                  "finite-replay oracle-verified."),
     ]

@@ -368,3 +368,100 @@ def test_importance_resample_is_takeordered_with_broadcast_lr(spark, sf_dir):
     plan = formatted_plan(q_importance_resample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_gopher_battery_is_single_scan_single_rollup(spark, sf_dir):
+    """The whole verdict battery (incl. the duplicate-2-gram mass via
+    sorted-run walk) must be a projection + ONE aggregate on source:
+    exactly one parquet scan and the only exchange is the rollup's."""
+    import re
+
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_quality_gopher
+    from dfs_w_mapreduce_spark.plans.explain import exchange_count
+
+    df = q_quality_gopher(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert exchange_count(df) == 1
+    assert set(scan_read_schema(df)) == {"source", "text"}
+
+
+def test_collocations_single_corpus_pass_and_topk(spark, sf_dir):
+    """Unigram counts, bigram counts, and both corpus totals must all
+    derive from the ONE (token, next) aggregate — at runtime every
+    branch above it is a ReusedExchange (one corpus scan) — and the
+    final top-K must be TakeOrderedAndProject, not a global sort."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_collocations
+
+    df = q_text_collocations(spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 3, executed[:3000]
+
+
+def test_entropy_all_row_reuses_term_counts(spark, sf_dir):
+    """The ALL row must re-aggregate the (source, term) counts, not
+    rescan the corpus: the tc exchange is reused at runtime."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_entropy
+
+    df = q_text_entropy(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:3000]
+
+
+def test_cms_probe_joins_broadcast_sketch(spark, sf_dir):
+    """The 512-cell sketch is bounded by construction and must reach
+    the probe side via broadcast; the sketch build itself must be a
+    partial+final aggregate (map-side combine on the bounded cell
+    domain)."""
+    from dfs_w_mapreduce_spark.operators.sketches import q_cms_sketch
+
+    df = q_cms_sketch(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ts_autocorr_spine_is_generated_not_scanned(spark, sf_dir):
+    """The fact table must be scanned with only (ts, event_type) and
+    the day spine must come from sequence+explode (no extra fact
+    scan feeding the spine beyond the min/max bounds row)."""
+    from dfs_w_mapreduce_spark.operators.analytics import q_ts_autocorr
+
+    df = q_ts_autocorr(spark, sf_dir)
+    assert set(scan_read_schema(df)) == {"ts", "event_type"}
+    assert "explode" in formatted_plan(df)
+
+
+def test_sample_balanced_window_is_label_partitioned(spark, sf_dir):
+    """Per-label rank must run under a label-partitioned window (no
+    global sort) and the min-class-size scalar must broadcast."""
+    from dfs_w_mapreduce_spark.operators.pipeline import q_sample_balanced
+
+    plan = formatted_plan(q_sample_balanced(spark, sf_dir))
+    assert "hashpartitioning(label" in plan, plan[:3000]
+    assert "BroadcastExchange" in plan
+
+
+def test_anomaly_seasonal_baseline_broadcasts_and_prunes(spark, sf_dir):
+    """The (type, hour) baseline is 24*|types| rows and must reach the
+    cells via broadcast; the fact scan reads only (ts, event_type)."""
+    from dfs_w_mapreduce_spark.operators.analytics import q_anomaly_seasonal
+
+    df = q_anomaly_seasonal(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert set(scan_read_schema(df)) == {"ts", "event_type"}
+
+
+def test_dedup_containment_keeps_ngram_oom_guards(spark, sf_dir):
+    """The shared co-occurrence core must keep both OOM guards: the
+    shuffled-hash join (never broadcast the exploded corpus) and the
+    pre-aggregation pair repartition."""
+    from dfs_w_mapreduce_spark.operators.dedup import q_dedup_containment
+
+    plan = formatted_plan(q_dedup_containment(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "hashpartitioning(doc_a" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

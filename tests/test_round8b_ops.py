@@ -1,0 +1,297 @@
+"""Invariant tests for the round-8 second operator batch — semantic
+properties the oracle-parity hash check cannot express: from-scratch
+Python replicas of the Gopher verdict battery, PMI ranking, entropy,
+the count-min estimate, lag-k autocorrelation, and the balanced
+sampler's membership."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+from dfs_w_mapreduce_spark.catalog import load_table
+
+
+def _toks(text: str) -> list[str]:
+    # ASCII \s to mirror Java-regex \s+ semantics exactly (round-7
+    # advice: str.split() is Unicode-whitespace and can drift).
+    return [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_gopher_verdict_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        GOPHER_DUP2_CAP,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOP_KINDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI,
+        GOPHER_MWL_LO,
+        STOPWORDS,
+        q_quality_gopher,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per_source: dict[str, list[bool]] = {}
+    for r in docs:
+        w = _toks(r.text)
+        grams = [f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+        cnt = Counter(grams)
+        tot = sum(n * len(g) for g, n in cnt.items())
+        dup = sum(n * len(g) for g, n in cnt.items() if n > 1)
+        dup2 = round(dup / tot, 4) if tot else 0.0
+        nw = len(w)
+        mwl = (len(r.text) - (nw - 1)) / nw if nw else 0.0
+        sk = len(set(w) & set(STOPWORDS))
+        ok = (
+            GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+            and GOPHER_MWL_LO <= mwl <= GOPHER_MWL_HI
+            and dup2 <= GOPHER_DUP2_CAP
+            and sk >= GOPHER_MIN_STOP_KINDS
+        )
+        per_source.setdefault(r.source, []).append(ok)
+    expect = {
+        (src, len(v), sum(v)) for src, v in per_source.items()
+    }
+    got = {
+        (r.source, r.n_docs, r.n_pass)
+        for r in q_quality_gopher(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_collocations_pmi_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        q_text_collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    n_bigrams = 0
+    for r in docs:
+        w = _toks(r.text)
+        uni.update(w)
+        big.update(f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1))
+        n_bigrams += max(len(w) - 1, 0)
+    m_tokens = sum(uni.values())
+    rows = []
+    for g, c in big.items():
+        if c < PMI_MIN_COUNT:
+            continue
+        w1, w2 = g.split(" ")
+        pmi = (
+            math.log2(c / n_bigrams)
+            - math.log2(uni[w1] / m_tokens)
+            - math.log2(uni[w2] / m_tokens)
+        )
+        rows.append((g, c, uni[w1], uni[w2], round(pmi, 4)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    expect = rows[:PMI_TOP_K]
+    got = [
+        (r.bigram, r.c_xy, r.n_w1, r.n_w2, r.pmi)
+        for r in q_text_collocations(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_entropy_bounds_and_all_row(spark, sf_dir):
+    """0 <= H <= log2(n_types) per row, and the ALL row's token mass
+    equals the per-source total (the re-aggregation must lose
+    nothing)."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_entropy
+
+    rows = q_text_entropy(spark, sf_dir).collect()
+    per = [r for r in rows if r.source != "ALL"]
+    alls = [r for r in rows if r.source == "ALL"]
+    assert len(alls) == 1
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_types, 2)) + 1e-9
+        assert 0 < r.type_token_ratio <= 1
+        assert 0 <= r.hapax_frac <= 1
+    assert alls[0].n_tokens == sum(r.n_tokens for r in per)
+    # ALL types <= sum of per-source types (shared vocab collapses)
+    assert alls[0].n_types <= sum(r.n_types for r in per)
+
+
+def test_cms_estimate_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        q_cms_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    users = [r.user_id for r in ev]
+    sketch: Counter = Counter()
+    for u in users:
+        for j in range(CMS_DEPTH):
+            sketch[(j, _md5_int(f"{j}:{u}") % CMS_WIDTH)] += 1
+    exact = Counter(users)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = {}
+    for u, n in top:
+        est = min(sketch[(j, _md5_int(f"{j}:{u}") % CMS_WIDTH)] for j in range(CMS_DEPTH))
+        expect[u] = (n, est)
+    got = {r.user_id: (r.exact_n, r.cms_est) for r in q_cms_sketch(spark, sf_dir).collect()}
+    assert got == expect
+    for n, est in got.values():
+        assert est >= n  # the count-min overestimate law
+
+
+def test_ts_autocorr_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.analytics import (
+        ACF_MAX_LAG,
+        q_ts_autocorr,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    days = sorted({r.day for r in ev})
+    lo, hi = days[0], days[-1]
+    spine = []
+    d = lo
+    while d <= hi:
+        spine.append(d)
+        d = d + __import__("datetime").timedelta(days=1)
+    counts: Counter = Counter((r.event_type, r.day) for r in ev)
+    types = sorted({r.event_type for r in ev})
+    expect = {}
+    for t in types:
+        series = [counts.get((t, d), 0) for d in spine]
+        for k in range(1, ACF_MAX_LAG + 1):
+            xs, ys = series[k:], series[:-k]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+            expect[(t, k)] = (n, round(num / den, 4) if den else None)
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf)
+        for r in q_ts_autocorr(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_sample_balanced_membership(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.pipeline import q_sample_balanced
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    by_label: dict[int, list[int]] = {}
+    for r in em:
+        by_label.setdefault(r.label, []).append(r.vec_id)
+    m = min(len(v) for v in by_label.values())
+    expect = {}
+    for lab, ids in by_label.items():
+        kept = sorted(ids, key=lambda v: (_md5_int(str(v)), v))[:m]
+        fp = hashlib.md5(",".join(str(v) for v in sorted(kept)).encode()).hexdigest()
+        expect[lab] = (len(ids), m, True, fp)
+    got = {
+        r.label: (r.n_total, r.n_kept, r.balanced, r.ids_fp)
+        for r in q_sample_balanced(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_anomaly_seasonal_matches_python_replica(spark, sf_dir):
+    """The integer 3-sigma predicate and the reported z must both
+    match a from-scratch replica over (type, day, hour) cells."""
+    from dfs_w_mapreduce_spark.operators.analytics import q_anomaly_seasonal
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .collect()
+    )
+    cells: Counter = Counter((r.event_type, r.day, r.hour) for r in ev)
+    base: dict[tuple, list[int]] = {}
+    for (t, d, h), x in cells.items():
+        base.setdefault((t, h), []).append(x)
+    expect = {}
+    for (t, d, h), x in cells.items():
+        xs = base[(t, h)]
+        n, sx, sxx = len(xs), sum(xs), sum(v * v for v in xs)
+        dev, var_n2 = n * x - sx, n * sxx - sx * sx
+        if dev * dev > 9 * var_n2:
+            expect[(t, d, h)] = (
+                x,
+                round(sx / n, 4),
+                round(dev / math.sqrt(var_n2), 4),
+            )
+    got = {
+        (r.event_type, r.day, r.hour): (r.x, r.baseline_mean, r.z)
+        for r in q_anomaly_seasonal(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture should produce at least one seasonal anomaly"
+
+
+def test_stream_topk_live_is_streaming_and_matches_batch(spark, sf_dir):
+    """The live leaderboard must equal the batch top-10 with the same
+    tie-break (finite-replay equivalence)."""
+    from dfs_w_mapreduce_spark.streaming.windows import q_stream_topk_live
+    from pyspark.sql import functions as F
+
+    got = [
+        (r.user_id, r.n_events) for r in q_stream_topk_live(spark, sf_dir).collect()
+    ]
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    assert got == [(r.user_id, r.n) for r in batch]
+
+
+def test_dedup_containment_matches_python_replica(spark, sf_dir):
+    """Full replica over exact shingle sets; also pins the law
+    containment >= jaccard on every emitted row."""
+    from dfs_w_mapreduce_spark.operators.dedup import CONTAIN_T, q_dedup_containment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sh = {}
+    for r in docs:
+        w = [t for t in re.split(r"\s+", r.text, flags=re.ASCII) if t]
+        sh[r.doc_id] = {f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)}
+    ids = sorted(sh)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(sh[a] & sh[b])
+            if not c:
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            jac = round(c / (na + nb - c), 4)
+            if round(c / na, 4) >= CONTAIN_T:
+                expect[(a, b)] = (na, nb, round(c / na, 4), jac)
+            if round(c / nb, 4) >= CONTAIN_T:
+                expect[(b, a)] = (nb, na, round(c / nb, 4), jac)
+    got = {
+        (r.doc_sub, r.doc_sup): (r.n_sub, r.n_sup, r.containment, r.jaccard)
+        for r in q_dedup_containment(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for n_sub, n_sup, cont, jac in got.values():
+        assert cont >= jac - 1e-9
