@@ -274,6 +274,9 @@ HEADLINE = [
     "anomaly_seasonal",
     "stream_topk_live",
     "dedup_containment",
+    "join_runtime_bloom",
+    "text_bigram_kn",
+    "text_keyphrases",
 ]
 
 

@@ -748,6 +748,97 @@ TEXT_BIGRAM_LM_ORACLE = """
 """
 
 
+KN_DISCOUNT = 0.75
+
+
+def q_text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document — the
+    smoothing real n-gram LMs use (Chen & Goodman 1999): the add-one
+    model (q_text_bigram_lm) over-penalizes frequent-prefix bigrams,
+    while KN discounts each seen count by D and backs off to the
+    CONTINUATION probability (how many distinct contexts a word
+    follows, not how often it occurs) —
+    P(w2|w1) = (c12 - D)/c1 + ((D * N1+(w1,.))/c1 * N1+(.,w2))/N1+(.,.)
+    with every count an exact integer from two hash aggregates.
+
+    Scale shape mirrors the add-one model: the distinct-bigram frame
+    shuffle-joins back onto occurrences (corpus-sized keys); the
+    prefix counts, continuation counts, and the bigram-type scalar
+    are vocabulary-sized and broadcast. The FP path (one subtract,
+    three divides, two multiplies, ln) is parenthesized identically
+    in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens_col(F.lower(F.col("text")))
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, n1),
+        F.slice(w, 2, n1),
+        lambda x, y: F.struct(
+            x.alias("w1"), y.alias("w2"), F.concat_ws(_BG_SEP, x, y).alias("bg")
+        ),
+    )
+    occ = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+    c12f = occ.groupBy("bg", "w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    n1f = c12f.groupBy("w1").agg(F.count("*").alias("n1f"))
+    n1b = c12f.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nbt = c12f.agg(F.count("*").alias("nbt"))
+    D = F.lit(KN_DISCOUNT)
+    p_kn = (F.col("c12") - D) / F.col("c1") + (
+        (D * F.col("n1f")) / F.col("c1") * F.col("n1b")
+    ) / F.col("nbt")
+    term = F.round(-F.log(p_kn), 10).cast("decimal(28,10)")
+    return (
+        occ.join(c12f.select("bg", "c12"), "bg")
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(n1f), "w1")
+        .join(F.broadcast(n1b), "w2")
+        .crossJoin(F.broadcast(nbt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(term).cast("double") / F.count("*"), 6).alias(
+                "mean_nll_kn"
+            ),
+        )
+    )
+
+
+TEXT_BIGRAM_KN_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2,
+               w[i] || chr(31) || w[i + 1] AS bg
+        FROM docs, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    c12f AS (SELECT bg, w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2, 3),
+    c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1),
+    n1f AS (SELECT w1, count(*) AS n1f FROM c12f GROUP BY 1),
+    n1b AS (SELECT w2, count(*) AS n1b FROM c12f GROUP BY 1),
+    nbt AS (SELECT count(*) AS nbt FROM c12f)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(round(-ln(
+                     (c.c12 - {KN_DISCOUNT}) / c1.c1
+                     + (({KN_DISCOUNT} * n1f.n1f) / c1.c1 * n1b.n1b) / nbt.nbt
+                 ), 10) AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+               AS mean_nll_kn
+    FROM occ o
+    JOIN (SELECT bg, c12 FROM c12f) c USING (bg)
+    JOIN c1 ON c1.w1 = o.w1
+    JOIN n1f ON n1f.w1 = o.w1
+    JOIN n1b ON n1b.w2 = o.w2
+    CROSS JOIN nbt
+    GROUP BY doc_id
+"""
+
+
 # Triangle counting: degree-ordered edge orientation (each edge points
 # low-degree -> high-degree) bounds the wedge join to O(m^1.5) rows —
 # the standard distributed-triangle trick; a naive wedge join on a
@@ -1019,6 +1110,12 @@ def specs() -> list[QuerySpec]:
             "heavy_hitters", q_heavy_hitters, HEAVY_HITTERS_ORACLE,
             ("sketch", "llm", "pandas"),
             "Misra-Gries frequent tokens: sketch candidates + exact recount.",
+        ),
+        QuerySpec(
+            "text_bigram_kn", q_text_bigram_kn, TEXT_BIGRAM_KN_ORACLE,
+            ("text", "llm", "quality"),
+            "Interpolated Kneser-Ney bigram perplexity per doc "
+            "(absolute discount + continuation back-off).",
         ),
         QuerySpec(
             "text_bigram_lm", q_text_bigram_lm, TEXT_BIGRAM_LM_ORACLE,

@@ -1148,6 +1148,75 @@ def _store_gc_oracle() -> str:
     """
 
 
+def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join reduction evidence — the row-level
+    sibling of join_dpp's partition-level pruning: a selective filter
+    lives only on the orders side, so Spark builds a bloom filter
+    over the filtered join keys at runtime and injects
+    `bloom_filter_might_contain` into the LINEITEM scan side,
+    discarding non-matching rows BEFORE the shuffle. At 100 TB this
+    turns a full-fact shuffle into a shuffle of only the ~1/5 of rows
+    that can possibly match, without any physical layout change (DPP
+    needs a partitioned fact; the bloom works on any file). Broadcast
+    is disabled for the demo — a broadcastable build side makes the
+    join itself the filter; the bloom is the mechanism you need when
+    both sides are shuffle-sized. The observed plan bit rides in the
+    result and the oracle pins `bloom_active` TRUE; the aggregate
+    result itself is bloom-independent (false positives are re-checked
+    by the join), which the oracle's plain-join twin proves."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the fixture fact is far below the 10GB default application-
+        # side threshold — force the injection so the mechanism runs
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+        )
+        bloom = "might_contain" in (
+            joined._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        rows = [
+            (r.o_orderpriority, r.n_lines, r.sum_qty, bloom) for r in joined.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "o_orderpriority string, n_lines bigint, sum_qty double, bloom_active boolean",
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+JOIN_RUNTIME_BLOOM_ORACLE = """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           TRUE AS bloom_active
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(),
@@ -1160,6 +1229,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("join_bucketed", q_join_bucketed, JOIN_BUCKETED_ORACLE,
                   ("layout", "scale", "join"),
                   "Co-located bucketed join; Exchange count pinned to 1 in the oracle."),
+        QuerySpec("join_runtime_bloom", q_join_runtime_bloom,
+                  JOIN_RUNTIME_BLOOM_ORACLE, ("layout", "scale", "join"),
+                  "Runtime bloom-filter semi-join reduction on the fact scan "
+                  "side, bloom_active plan bit pinned TRUE in the oracle."),
         QuerySpec("compact_chunks", q_compact_chunks, COMPACT_CHUNKS_ORACLE,
                   ("layout", "scale", "storage"),
                   "Small-chunk compaction with file-count and value conservation."),

@@ -1971,6 +1971,124 @@ TEXT_ENTROPY_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010, public): candidate
+# phrases are maximal stopword-free token runs; each word scores
+# deg(w)/freq(w) where deg counts co-membership mass; a phrase scores
+# the sum over its word occurrences.
+
+RAKE_TOP_K = 15
+RAKE_MAX_WORDS = 4  # candidate cap: unsegmented stopword-free runs are not phrases
+
+
+def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases over the corpus: stopword-delimited candidate
+    runs via gaps-and-islands (running stopword count = island id),
+    word degree/frequency aggregates, top-15 phrases by summed
+    deg/freq score. Runs longer than RAKE_MAX_WORDS are dropped at
+    extraction (a 70-token stopword-free run is a failed segmentation,
+    not a phrase — and its score, a sum over every member word, would
+    dominate the ranking by construction).
+
+    Scale design: the islands window partitions by doc_id (never
+    global); phrase assembly is a (doc, island) hash aggregate with
+    order restored by sorting (pos, token) structs inside the group;
+    word stats are vocabulary-sized and broadcast back onto the
+    DISTINCT phrase frame (score is a function of the phrase alone,
+    so it is computed once per distinct phrase, not per occurrence);
+    final top-K is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    pe = d.select("doc_id", F.posexplode(toks).alias("pos", "t")).withColumn(
+        "is_stop", F.array_contains(stop_arr, F.col("t"))
+    )
+    island = F.sum(F.col("is_stop").cast("int")).over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    runs = (
+        pe.withColumn("island", island)
+        .filter(~F.col("is_stop"))
+        .groupBy("doc_id", "island")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ps"))
+        .select(F.transform("ps", lambda s: s.getField("t")).alias("words"))
+    )
+    occ = runs.filter(F.size("words") <= RAKE_MAX_WORDS).select(
+        F.array_join("words", " ").alias("phrase"),
+        "words",
+        F.size("words").alias("n_words"),
+    )
+    wstats = (
+        occ.select(F.explode("words").alias("t"), "n_words")
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+    )
+    phrases = occ.groupBy("phrase", "words", "n_words").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    score = F.sum(F.col("deg") / F.col("freq"))
+    return (
+        phrases.select(
+            "phrase", "n_words", "n_occurrences", F.explode("words").alias("t")
+        )
+        .join(F.broadcast(wstats), "t")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.round(score, 4).alias("rake_score"))
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP_K)
+    )
+
+
+TEXT_KEYPHRASES_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, i, w[i] AS t,
+               list_contains({list(STOPWORDS)!r}, w[i]) AS is_stop
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS w
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+    ),
+    isl AS (
+        SELECT doc_id, i, t, is_stop,
+               sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM toks
+    ),
+    runs AS (
+        SELECT list(t ORDER BY i) AS words
+        FROM isl WHERE NOT is_stop GROUP BY doc_id, island
+    ),
+    occ AS (
+        SELECT array_to_string(words, ' ') AS phrase, words,
+               len(words) AS n_words
+        FROM runs WHERE len(words) <= {RAKE_MAX_WORDS}
+    ),
+    wstats AS (
+        SELECT t, count(*) AS freq, CAST(sum(n_words) AS BIGINT) AS deg
+        FROM (SELECT unnest(words) AS t, n_words FROM occ)
+        GROUP BY t
+    ),
+    phrases AS (
+        SELECT phrase, words, n_words, count(*) AS n_occurrences
+        FROM occ GROUP BY 1, 2, 3
+    )
+    SELECT p.phrase,
+           CAST(p.n_words AS INT) AS n_words,
+           p.n_occurrences,
+           round(sum(w.deg * 1.0 / w.freq), 4) AS rake_score
+    FROM (SELECT phrase, n_words, n_occurrences, unnest(words) AS t
+          FROM phrases) p
+    JOIN wstats w USING (t)
+    GROUP BY 1, 2, 3
+    ORDER BY rake_score DESC, phrase
+    LIMIT {RAKE_TOP_K}
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("text_tokens", q_text_tokens, TEXT_TOKENS_ORACLE, ("text", "llm"),
@@ -2050,4 +2168,8 @@ def specs() -> list[QuerySpec]:
                   ("text", "llm", "quality"),
                   "Per-source unigram entropy / type-token ratio / hapax "
                   "fraction + ALL row from re-aggregated term counts."),
+        QuerySpec("text_keyphrases", q_text_keyphrases, TEXT_KEYPHRASES_ORACLE,
+                  ("text", "llm"),
+                  "RAKE keyphrases: stopword-island candidate runs, "
+                  "deg/freq word scores, top-15 via TakeOrderedAndProject."),
     ]

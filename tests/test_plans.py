@@ -465,3 +465,24 @@ def test_dedup_containment_keeps_ngram_oom_guards(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "hashpartitioning(doc_a" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_kn_broadcasts_vocab_frames(spark, sf_dir):
+    """Prefix counts, continuation counts, and the bigram-type scalar
+    are vocabulary-sized and must broadcast; only the distinct-bigram
+    frame shuffle-joins the occurrences."""
+    from dfs_w_mapreduce_spark.operators.corpus import q_text_bigram_kn
+
+    plan = formatted_plan(q_text_bigram_kn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 3, plan[:2500]
+    assert "CartesianProduct" not in plan
+
+
+def test_keyphrases_islands_partition_by_doc_and_topk(spark, sf_dir):
+    """The islands window must partition by doc_id (never a global
+    window) and the final top-15 must be TakeOrderedAndProject."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import q_text_keyphrases
+
+    plan = formatted_plan(q_text_keyphrases(spark, sf_dir))
+    assert "hashpartitioning(doc_id" in plan, plan[:2500]
+    assert "TakeOrderedAndProject" in plan

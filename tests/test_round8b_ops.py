@@ -295,3 +295,116 @@ def test_dedup_containment_matches_python_replica(spark, sf_dir):
     assert got == expect
     for n_sub, n_sup, cont, jac in got.values():
         assert cont >= jac - 1e-9
+
+
+def test_bigram_kn_matches_python_replica(spark, sf_dir):
+    """Interpolated KN per-doc mean NLL against a from-scratch
+    replica (counts, continuation counts, identical FP expression
+    order, round-10 term quantization)."""
+    from decimal import Decimal
+
+    from dfs_w_mapreduce_spark.operators.corpus import KN_DISCOUNT, q_text_bigram_kn
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    occ_by_doc: dict[int, list[tuple[str, str]]] = {}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for r in docs:
+        w = _toks(r.text)
+        ps = list(zip(w, w[1:]))
+        occ_by_doc[r.doc_id] = ps
+        c12.update(ps)
+        c1.update(p[0] for p in ps)
+    n1f: Counter = Counter(p[0] for p in c12)
+    n1b: Counter = Counter(p[1] for p in c12)
+    nbt = len(c12)
+    expect = {}
+    for doc, ps in occ_by_doc.items():
+        if not ps:
+            continue
+        terms = []
+        for p in ps:
+            pkn = (c12[p] - KN_DISCOUNT) / c1[p[0]] + (
+                (KN_DISCOUNT * n1f[p[0]]) / c1[p[0]] * n1b[p[1]]
+            ) / nbt
+            terms.append(Decimal(str(round(-math.log(pkn), 10))))
+        expect[doc] = (len(ps), round(float(sum(terms)) / len(ps), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_kn)
+        for r in q_text_bigram_kn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_join_runtime_bloom_plan_bit_and_result(spark, sf_dir):
+    """bloom_active must come back TRUE (the runtime filter really was
+    injected) and the aggregate must equal the plain-join batch twin
+    (bloom false positives re-checked by the join)."""
+    from pyspark.sql import functions as F
+
+    from dfs_w_mapreduce_spark.operators.layout import q_join_runtime_bloom
+
+    rows = q_join_runtime_bloom(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].bloom_active
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    twin = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("s"),
+        )
+        .collect()[0]
+    )
+    assert rows[0].n_lines == twin.n and rows[0].sum_qty == twin.s
+
+
+def test_keyphrases_match_python_replica(spark, sf_dir):
+    """Full RAKE replica: stopword islands, deg/freq, top-15 with the
+    (score desc, phrase) tie-break."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        RAKE_MAX_WORDS,
+        RAKE_TOP_K,
+        STOPWORDS,
+        q_text_keyphrases,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    occ = []
+    for r in docs:
+        run: list[str] = []
+        for t in _toks(r.text):
+            if t in STOPWORDS:
+                if run:
+                    occ.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            occ.append(tuple(run))
+    occ = [w for w in occ if len(w) <= RAKE_MAX_WORDS]
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for words in occ:
+        for t in words:
+            freq[t] += 1
+            deg[t] += len(words)
+    phr: Counter = Counter(occ)
+    rows = [
+        (
+            " ".join(words),
+            len(words),
+            n,
+            round(sum(deg[t] / freq[t] for t in words), 4),
+        )
+        for words, n in phr.items()
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    expect = rows[:RAKE_TOP_K]
+    got = [
+        (r.phrase, r.n_words, r.n_occurrences, r.rake_score)
+        for r in q_text_keyphrases(spark, sf_dir).collect()
+    ]
+    assert got == expect

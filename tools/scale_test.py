@@ -171,6 +171,24 @@ QUERIES = [
     # hash-sample, so its cost is one shingle scan + one sketch scan
     # + bounded joins at any SF
     "dedup_agreement",
+    # round-8 second batch (dedup_containment is excluded for the same
+    # measured reason as tfidf_cosine_pairs / dedup_ngram_pairs: the
+    # 10x sweep replicates documents, so every near-dup family gains
+    # 10 copies and the TRUE containment output grows ~copies^2 —
+    # the output mass, not the plan, is quadratic in replication;
+    # its scale posture is the shared _common_shingle_counts core
+    # already covered by the minhash family rows)
+    "quality_gopher",
+    "text_collocations",
+    "text_entropy",
+    "cms_sketch",
+    "ts_autocorr",
+    "sample_balanced",
+    "anomaly_seasonal",
+    "stream_topk_live",
+    "join_runtime_bloom",
+    "text_bigram_kn",
+    "text_keyphrases",
 ]
 
 
