@@ -277,6 +277,8 @@ HEADLINE = [
     "join_runtime_bloom",
     "text_bigram_kn",
     "text_keyphrases",
+    "multimodal_audio_dft",
+    "source_chunked_stream_live",
 ]
 
 

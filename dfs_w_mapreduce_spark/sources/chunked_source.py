@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -266,6 +267,62 @@ class ChunkedBytesWriter(DataSourceWriter):
                     os.remove(p)
 
 
+class ChunkedTextStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the chunk store — the reference's chunked
+    `get` as a Structured Streaming SOURCE: the offset is the number
+    of chunks already consumed, each micro-batch drains every chunk
+    that exists beyond it, and replay between two committed offsets
+    re-reads exactly those chunks (deterministic doc_id order makes
+    chunk membership a contract). This is what ingest-time pipelines
+    actually tail: a growing chunk directory, exactly-once per chunk.
+
+    Scale posture: the offset is one integer; per-batch work reads
+    only the new chunks' row ranges (column-pruned); nothing scans
+    from zero on restart."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.lines_per_chunk = int(options.get("lines_per_chunk", "100"))
+
+    def _n_chunks(self) -> int:
+        n = _num_rows(self.path)
+        step = self.lines_per_chunk
+        return (n + step - 1) // step
+
+    def initialOffset(self) -> dict:
+        return {"chunk": 0}
+
+    def _rows(self, first_chunk: int, last_chunk: int):
+        # returns iter(list) — Spark's simple-stream prefetch cache
+        # calls next() on the result AND copy.copy()s it for replay:
+        # a plain list fails next(), a generator fails copy; a
+        # CPython list_iterator satisfies both. The simple reader API
+        # is documented driver-side prefetch for modest-throughput
+        # sources; a chunk batch is bounded by lines_per_chunk *
+        # new-chunk count, and the partition-planned batch reader
+        # (ChunkedTextReader) remains the bulk path.
+        import pyarrow.parquet as pq
+
+        if last_chunk <= first_chunk:
+            return iter([])
+        step = self.lines_per_chunk
+        t = pq.read_table(self.path, columns=["doc_id", "text"])
+        t = t.sort_by("doc_id").slice(
+            first_chunk * step, (last_chunk - first_chunk) * step
+        )
+        return iter([
+            (first_chunk + j // step, j % step, text)
+            for j, text in enumerate(t.column("text").to_pylist())
+        ])
+
+    def read(self, start: dict):
+        end = self._n_chunks()
+        return self._rows(start["chunk"], end), {"chunk": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["chunk"], end["chunk"])
+
+
 class ChunkedTextDataSource(DataSource):
     """`refchunks`: mode=lines (default) is the reference's text path
     (SendLineChunks); mode=bytes is its binary path (SendByteChunks) —
@@ -298,6 +355,11 @@ class ChunkedTextDataSource(DataSource):
         if self._mode() == "bytes":
             return ChunkedBytesWriter(self.options)
         return ChunkedTextWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        # streaming supports the line path only (the reference tails
+        # text files; the binary path is a batch roundtrip)
+        return ChunkedTextStreamReader(self.options)
 
 
 # Worker processes deserialize the DataSource by value: the driver's

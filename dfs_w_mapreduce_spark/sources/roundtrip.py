@@ -330,6 +330,49 @@ SOURCE_CHUNKED_ORACLE = f"""
 """
 
 
+def q_source_chunked_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk store consumed as a LIVE STREAMING SOURCE: the
+    `refchunks` DataSource's SimpleDataSourceStreamReader
+    (sources/chunked_source.py) tails the chunk map — offset = chunks
+    consumed, exactly-once per chunk — through a real
+    readStream -> complete-mode aggregate -> memory sink execution.
+    The sink state after draining the finite store must equal the
+    batch chunk scan exactly, so this shares SOURCE_CHUNKED_ORACLE
+    with q_source_chunked_scan: one oracle, two execution engines
+    (batch DataSourceReader vs streaming offset reader) — any drift
+    in offset arithmetic, replay slicing, or per-chunk numbering
+    hash-mismatches."""
+    import uuid as _uuid
+
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextDataSource
+
+    spark.dataSource.register(ChunkedTextDataSource)
+    df = (
+        spark.readStream.format("refchunks")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("lines_per_chunk", str(CHUNK_LINES))
+        .load()
+    )
+    checksum = F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+    agg = df.groupBy("chunk_id").agg(
+        F.count("*").alias("n_lines"),
+        F.max("line_no").alias("max_line"),
+        F.sum(checksum).alias("checksum"),
+    )
+    name = "t_" + _uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def q_sink_chunked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `put` through the custom `refchunks` Python
     DataSource WRITER: documents out as line-oriented chunk files (<=
@@ -574,6 +617,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("source_chunked_scan", q_source_chunked_scan, SOURCE_CHUNKED_ORACLE,
                   ("source", "datasource-api"),
                   "Custom Python DataSource: reference-style line chunks."),
+        QuerySpec("source_chunked_stream_live", q_source_chunked_stream_live,
+                  SOURCE_CHUNKED_ORACLE,
+                  ("source", "datasource-api", "streaming", "live"),
+                  "The chunk store tailed as a live streaming source "
+                  "(SimpleDataSourceStreamReader), same oracle as the "
+                  "batch scan."),
         QuerySpec("chunk_corruption_recovery", q_chunk_corruption_recovery,
                   CHUNK_RECOVERY_ORACLE, ("source", "integrity", "fidelity"),
                   "Checksum manifest + corrupt-replica detection + healthy-replica recovery."),

@@ -408,3 +408,67 @@ def test_keyphrases_match_python_replica(spark, sf_dir):
         for r in q_text_keyphrases(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_audio_dft_matches_closed_form_replica(spark, sf_dir):
+    """Exact-bin DFT energies recomputed from the closed-form sample
+    stream (the builder->decoder->DFT path must agree bit-for-bit),
+    plus the Parseval-style bound e_bin <= nv * sum(s^2) per bin."""
+    from dfs_w_mapreduce_spark.operators.multimodal import q_multimodal_audio_dft
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    expect = {}
+    for r in docs:
+        nv = (r.n_chars % 1000 + 1) * (1 + r.doc_id % 2)
+        s = [(r.doc_id * 7 + i * 13) % 4096 - 2048 for i in range(nv)]
+        dc = sum(s)
+        qc = sum(v * (1, 0, -1, 0)[i % 4] for i, v in enumerate(s))
+        qs = sum(v * (0, 1, 0, -1)[i % 4] for i, v in enumerate(s))
+        ny = sum(v * (1, -1)[i % 2] for i, v in enumerate(s))
+        e_q, e_n, e_dc = qc * qc + qs * qs, ny * ny, dc * dc
+        dom = (
+            "dc" if e_dc >= e_q and e_dc >= e_n
+            else ("quarter" if e_q >= e_n else "nyquist")
+        )
+        expect[r.doc_id] = (nv, dc, e_q, e_n, dom)
+        power = nv * sum(v * v for v in s)
+        assert e_q <= power and e_n <= power and e_dc <= power
+    got = {
+        r.doc_id: (r.nv, r.dc, r.e_quarter, r.e_nyquist, r.dominant)
+        for r in q_multimodal_audio_dft(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_chunked_stream_source_equals_batch_scan(spark, sf_dir):
+    """The streaming offset reader must produce exactly the batch
+    DataSourceReader's chunk aggregate (same oracle, two engines),
+    and the reader's offset arithmetic must cover every chunk
+    exactly once."""
+    from dfs_w_mapreduce_spark.sources.chunked_source import ChunkedTextStreamReader
+    from dfs_w_mapreduce_spark.sources.roundtrip import (
+        q_source_chunked_scan,
+        q_source_chunked_stream_live,
+    )
+
+    batch = {
+        (r.chunk_id, r.n_lines, r.max_line, r.checksum)
+        for r in q_source_chunked_scan(spark, sf_dir).collect()
+    }
+    live = {
+        (r.chunk_id, r.n_lines, r.max_line, r.checksum)
+        for r in q_source_chunked_stream_live(spark, sf_dir).collect()
+    }
+    assert live == batch
+    # offset reader unit semantics: one full drain, then empty
+    rd = ChunkedTextStreamReader(
+        {"path": f"{sf_dir}/documents.parquet", "lines_per_chunk": "100"}
+    )
+    rows, off = rd.read(rd.initialOffset())
+    rows = list(rows)
+    assert off == {"chunk": rd._n_chunks()} and len(rows) > 0
+    again, off2 = rd.read(off)
+    assert list(again) == [] and off2 == off
+    # replay of a committed range is deterministic
+    replay = list(rd.readBetweenOffsets({"chunk": 0}, off))
+    assert replay == rows

@@ -189,6 +189,8 @@ QUERIES = [
     "join_runtime_bloom",
     "text_bigram_kn",
     "text_keyphrases",
+    "multimodal_audio_dft",
+    "source_chunked_stream_live",
 ]
 
 
