@@ -38,6 +38,19 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
+Adjudicated r8 second-session record (126 keys, 227.8s): shared-key
+sum vs the prior r8 record is 174.3s -> 205.6s (+18%) spread
+uniformly across keys whose code did not change this session (the 14
+new operators are pure additions; git shows zero edits to any drifted
+key's path). Fresh-JVM adjudication of the largest absolute movers:
+tfidf_cosine_pairs 21.9s/23.4s across two isolated JVMs (prior
+isolated 16.6s), dedup_span_apply 2.17s (prior 1.55s),
+dedup_minhash_pairs 1.25-1.62s (prior 1.23s) — identical code
+re-measuring uniformly higher, i.e. the machine-state shift class the
+r7->r8 worktree experiment proved (identical r6 code re-measured at
+the higher level on this machine). Cross-round deltas should be read
+against THIS record's levels; no regression, no fix owed.
+
 Adjudicated r8 final record (112 keys, 174.3s): the promotion rule
 fired on 8 more untouched sub-second keys (asof_join_nearest,
 rolling_user_features, grouped_linear_fit, pit_training_join,
