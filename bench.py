@@ -292,6 +292,7 @@ HEADLINE = [
     "text_keyphrases",
     "multimodal_audio_dft",
     "source_chunked_stream_live",
+    "multimodal_scene_cuts",
 ]
 
 

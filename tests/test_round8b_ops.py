@@ -472,3 +472,34 @@ def test_chunked_stream_source_equals_batch_scan(spark, sf_dir):
     # replay of a committed range is deterministic
     replay = list(rd.readBetweenOffsets({"chunk": 0}, off))
     assert replay == rows
+
+
+def test_scene_cuts_match_closed_form_replica(spark, sf_dir):
+    """Histogram L1 distances recomputed from the closed-form pixel
+    generator; the decoded path must agree exactly, and is_cut must
+    be the quarter-mass rule."""
+    from dfs_w_mapreduce_spark.operators.multimodal import (
+        GIF_COLORS,
+        q_multimodal_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    expect = {}
+    for r in docs:
+        w, h = r.doc_id % 5 + 4, r.n_chars % 4 + 3
+        nf = r.doc_id % 3 + 2
+        hists = []
+        for f in range(nf):
+            hist = [0] * GIF_COLORS
+            for pp in range(w * h):
+                hist[(r.doc_id * 7 + f * 13 + (pp % w) * 3 + (pp // w) * 5) % GIF_COLORS] += 1
+            hists.append(hist)
+        for f in range(1, nf):
+            d = sum(abs(hists[f][c] - hists[f - 1][c]) for c in range(GIF_COLORS))
+            expect[(r.doc_id, f)] = (d, w * h, d * 4 > w * h)
+    got = {
+        (r.doc_id, r.frame_idx): (r.l1_dist, r.n_pixels, r.is_cut)
+        for r in q_multimodal_scene_cuts(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[2] for v in got.values()) and not all(v[2] for v in got.values())

@@ -191,6 +191,7 @@ QUERIES = [
     "text_keyphrases",
     "multimodal_audio_dft",
     "source_chunked_stream_live",
+    "multimodal_scene_cuts",
 ]
 
 
