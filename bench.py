@@ -293,6 +293,7 @@ HEADLINE = [
     "multimodal_audio_dft",
     "source_chunked_stream_live",
     "multimodal_scene_cuts",
+    "ts_holt_forecast",
 ]
 
 

@@ -1924,6 +1924,134 @@ ANOMALY_SEASONAL_ORACLE = """
 """
 
 
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per event type —
+    the level+trend forecaster one step up from EWMA: level_t =
+    a*x_t + (1-a)*(level+trend), trend_t = g*(level_t - level) +
+    (1-g)*trend, initialized l0=x1, b0=x2-x1, updated from x2 on.
+    The recursion is inherently sequential, so it runs as a FOLD over
+    the per-type day-ordered array (Spark F.aggregate / DuckDB
+    list_reduce) — per-key state never leaves the row, and the fold
+    step's FP expression is textually mirrored in the oracle (the
+    level term is deliberately recomputed inside the trend update on
+    BOTH engines so the operation sequence is bit-identical).
+
+    Scale posture: one (type, day) hash aggregate over the fact
+    table, then a per-type collect into a bounded array (days in
+    range — 30 here; a year is 365 doubles) folded in a single
+    expression. The series array is bounded by the date span, never
+    by the fact-row count."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = (
+        days.crossJoin(ev.select("event_type").distinct())
+        .join(
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+                F.count("*").alias("n")
+            ),
+            ["day", "event_type"],
+            "left",
+        )
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).cast("double").alias("x"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+    n = F.size(xs)
+    l0 = F.element_at(xs, 1)
+    b0 = F.when(n >= 2, F.element_at(xs, 2) - F.element_at(xs, 1)).otherwise(
+        F.lit(0.0)
+    )
+    a, g = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+    ca, cg = F.lit(1.0 - HOLT_ALPHA), F.lit(1.0 - HOLT_BETA)
+    zero = F.struct(l0.alias("l"), b0.alias("b"))
+    rest = F.slice(xs, 2, F.greatest(n - 1, F.lit(0)))
+    state = F.aggregate(
+        rest,
+        zero,
+        lambda acc, x: F.struct(
+            (a * x + ca * (acc.getField("l") + acc.getField("b"))).alias("l"),
+            (
+                g
+                * (
+                    (a * x + ca * (acc.getField("l") + acc.getField("b")))
+                    - acc.getField("l")
+                )
+                + cg * acc.getField("b")
+            ).alias("b"),
+        ),
+    )
+    return ser.select(
+        "event_type",
+        n.alias("n_days"),
+        F.round(state.getField("l"), 4).alias("level"),
+        F.round(state.getField("b"), 4).alias("trend"),
+        F.round(state.getField("l") + state.getField("b"), 4).alias("forecast_1d"),
+        F.round(state.getField("l") + 7 * state.getField("b"), 4).alias("forecast_7d"),
+    ).orderBy("event_type")
+
+
+TS_HOLT_ORACLE = f"""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    actual AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT t.event_type, d.day,
+               CAST(coalesce(a.n, 0) AS DOUBLE) AS x
+        FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    ),
+    ser AS (
+        SELECT event_type, list(x ORDER BY day) AS xs FROM daily GROUP BY 1
+    ),
+    -- the fold as a recursive CTE: standard SQL row semantics (both
+    -- new fields read the SAME old row), exactly Spark's F.aggregate;
+    -- DuckDB 1.0's list_reduce is unusable here — it assigns struct
+    -- accumulator fields IN PLACE, so a later field's expression sees
+    -- the earlier field's NEW value (probed: (acc,x)->struct(l:=...,
+    -- b:=f(acc.l)) folds with acc.l already overwritten)
+    holt AS (
+        SELECT event_type, xs, 2 AS i,
+               xs[1] AS l,
+               CASE WHEN len(xs) >= 2 THEN xs[2] - xs[1] ELSE 0.0 END AS b
+        FROM ser
+        UNION ALL
+        SELECT event_type, xs, i + 1,
+               {HOLT_ALPHA} * xs[i] + {1.0 - HOLT_ALPHA} * (l + b),
+               {HOLT_BETA} * (({HOLT_ALPHA} * xs[i]
+                   + {1.0 - HOLT_ALPHA} * (l + b)) - l)
+                   + {1.0 - HOLT_BETA} * b
+        FROM holt WHERE i <= len(xs)
+    )
+    SELECT event_type, CAST(len(xs) AS INT) AS n_days,
+           round(l, 4) AS level,
+           round(b, 4) AS trend,
+           round(l + b, 4) AS forecast_1d,
+           round(l + 7 * b, 4) AS forecast_7d
+    FROM holt WHERE i = len(xs) + 1
+    ORDER BY event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("attribution_last_touch", q_attribution_last_touch,
@@ -2028,4 +2156,8 @@ def specs() -> list[QuerySpec]:
                   ("analytics", "timeseries", "anomaly"),
                   "Hour-of-day seasonal 3-sigma anomaly cells with a "
                   "pure-integer verdict predicate (no FP drift possible)."),
+        QuerySpec("ts_holt_forecast", q_ts_holt_forecast, TS_HOLT_ORACLE,
+                  ("analytics", "timeseries", "forecast"),
+                  "Holt level+trend smoothing per type as a bounded-array "
+                  "fold (F.aggregate / list_reduce), FP path mirrored."),
     ]

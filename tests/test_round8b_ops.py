@@ -503,3 +503,45 @@ def test_scene_cuts_match_closed_form_replica(spark, sf_dir):
     }
     assert got == expect
     assert any(v[2] for v in got.values()) and not all(v[2] for v in got.values())
+
+
+def test_holt_forecast_matches_python_replica(spark, sf_dir):
+    """Holt fold replicated sequentially in Python over the same
+    zero-filled series; every output field must match after round-4."""
+    from dfs_w_mapreduce_spark.operators.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        q_ts_holt_forecast,
+    )
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    days = sorted({r.day for r in ev})
+    spine = []
+    d = days[0]
+    while d <= days[-1]:
+        spine.append(d)
+        d += __import__("datetime").timedelta(days=1)
+    counts: Counter = Counter((r.event_type, r.day) for r in ev)
+    expect = {}
+    for t in sorted({r.event_type for r in ev}):
+        xs = [float(counts.get((t, d), 0)) for d in spine]
+        l = xs[0]
+        b = xs[1] - xs[0] if len(xs) >= 2 else 0.0
+        for x in xs[1:]:
+            nl = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (nl - l) + (1.0 - HOLT_BETA) * b
+            l = nl
+        expect[t] = (
+            len(xs), round(l, 4), round(b, 4),
+            round(l + b, 4), round(l + 7 * b, 4),
+        )
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_1d, r.forecast_7d)
+        for r in q_ts_holt_forecast(spark, sf_dir).collect()
+    }
+    assert got == expect

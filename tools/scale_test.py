@@ -192,6 +192,7 @@ QUERIES = [
     "multimodal_audio_dft",
     "source_chunked_stream_live",
     "multimodal_scene_cuts",
+    "ts_holt_forecast",
 ]
 
 
