@@ -294,6 +294,7 @@ HEADLINE = [
     "source_chunked_stream_live",
     "multimodal_scene_cuts",
     "ts_holt_forecast",
+    "ts_changepoint",
 ]
 
 

@@ -2052,6 +2052,109 @@ TS_HOLT_ORACLE = f"""
 """
 
 
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the cumulative sum
+    of deviations from the series mean peaks (in absolute value) at
+    the most likely level-shift point (Page 1954 / Taylor's CUSUM
+    bootstrap, public). Computed in SCALED integers — cusum_t =
+    sum_{i<=t}(n*x_i - Sx) avoids the fractional mean entirely, so
+    the located day and the peak statistic cannot drift cross-engine;
+    the only FP values are the reported before/after means (exact
+    integer ratios, round-4, mirrored).
+
+    Scale shape: one (type, day) hash aggregate, a type-partitioned
+    cumulative window over the tiny day frame, and a WindowGroupLimit
+    rank to pick the peak. Nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = (
+        days.crossJoin(ev.select("event_type").distinct())
+        .join(
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+                F.count("*").alias("n")
+            ),
+            ["day", "event_type"],
+            "left",
+        )
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    wt = W.partitionBy("event_type")
+    stats = daily.withColumn("n_days", F.count("*").over(wt)).withColumn(
+        "sx", F.sum("x").over(wt)
+    )
+    wo = wt.orderBy("day")
+    cus = stats.withColumn(
+        "t", F.row_number().over(wo)
+    ).withColumn(
+        "cusum", F.sum(F.col("n_days") * F.col("x") - F.col("sx")).over(wo)
+    ).withColumn(
+        "csx", F.sum("x").over(wo)
+    )
+    rk = F.row_number().over(wt.orderBy(F.abs(F.col("cusum")).desc(), "day"))
+    peak = cus.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return peak.select(
+        "event_type",
+        F.col("day").alias("change_day"),
+        F.col("t").alias("t_index"),
+        F.col("n_days").cast("int").alias("n_days"),
+        F.abs(F.col("cusum")).alias("max_abs_cusum"),
+        F.round(F.try_divide(F.col("csx"), F.col("t")), 4).alias("mean_before"),
+        F.round(
+            F.try_divide(F.col("sx") - F.col("csx"), F.col("n_days") - F.col("t")), 4
+        ).alias("mean_after"),
+    ).orderBy("event_type")
+
+
+TS_CHANGEPOINT_ORACLE = """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    actual AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT t.event_type, d.day, CAST(coalesce(a.n, 0) AS BIGINT) AS x
+        FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    ),
+    stats AS (
+        SELECT event_type, day, x,
+               count(*) OVER wt AS n_days,
+               CAST(sum(x) OVER wt AS BIGINT) AS sx
+        FROM daily
+        WINDOW wt AS (PARTITION BY event_type)
+    ),
+    cus AS (
+        SELECT event_type, day, x, n_days, sx,
+               CAST(row_number() OVER wo AS INT) AS t,
+               CAST(sum(n_days * x - sx) OVER wo AS BIGINT) AS cusum,
+               CAST(sum(x) OVER wo AS BIGINT) AS csx
+        FROM stats
+        WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(cusum) DESC, day) AS rk
+        FROM cus
+    )
+    SELECT event_type, day AS change_day, t AS t_index,
+           CAST(n_days AS INT) AS n_days,
+           abs(cusum) AS max_abs_cusum,
+           round(csx * 1.0 / t, 4) AS mean_before,
+           round((sx - csx) * 1.0 / (n_days - t), 4) AS mean_after
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("attribution_last_touch", q_attribution_last_touch,
@@ -2159,5 +2262,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("ts_holt_forecast", q_ts_holt_forecast, TS_HOLT_ORACLE,
                   ("analytics", "timeseries", "forecast"),
                   "Holt level+trend smoothing per type as a bounded-array "
-                  "fold (F.aggregate / list_reduce), FP path mirrored."),
+                  "fold (F.aggregate / recursive-CTE oracle), FP mirrored."),
+        QuerySpec("ts_changepoint", q_ts_changepoint, TS_CHANGEPOINT_ORACLE,
+                  ("analytics", "timeseries", "anomaly"),
+                  "CUSUM change-point per type: scaled cumulative deviations "
+                  "stay pure-integer; argmax day + before/after means."),
     ]

@@ -545,3 +545,51 @@ def test_holt_forecast_matches_python_replica(spark, sf_dir):
         for r in q_ts_holt_forecast(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_changepoint_matches_python_replica(spark, sf_dir):
+    """CUSUM peak recomputed in exact integers over the zero-filled
+    series; the located day, the statistic, and both means must
+    match, and cusum_n must telescope to zero."""
+    from dfs_w_mapreduce_spark.operators.analytics import q_ts_changepoint
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    days = sorted({r.day for r in ev})
+    spine = []
+    d = days[0]
+    while d <= days[-1]:
+        spine.append(d)
+        d += __import__("datetime").timedelta(days=1)
+    counts: Counter = Counter((r.event_type, r.day) for r in ev)
+    expect = {}
+    for t in sorted({r.event_type for r in ev}):
+        xs = [counts.get((t, d), 0) for d in spine]
+        n, sx = len(xs), sum(xs)
+        cus, acc, pref = [], 0, 0
+        prefs = []
+        for x in xs:
+            acc += n * x - sx
+            pref += x
+            cus.append(acc)
+            prefs.append(pref)
+        assert cus[-1] == 0
+        best = max(range(n), key=lambda i: (abs(cus[i]), -i))
+        ti = best + 1
+        expect[t] = (
+            spine[best], ti, n, abs(cus[best]),
+            round(prefs[best] / ti, 4),
+            round((sx - prefs[best]) / (n - ti), 4) if n > ti else None,
+        )
+    got = {
+        r.event_type: (
+            r.change_day, r.t_index, r.n_days, r.max_abs_cusum,
+            r.mean_before, r.mean_after,
+        )
+        for r in q_ts_changepoint(spark, sf_dir).collect()
+    }
+    assert got == expect

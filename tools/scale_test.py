@@ -193,6 +193,7 @@ QUERIES = [
     "source_chunked_stream_live",
     "multimodal_scene_cuts",
     "ts_holt_forecast",
+    "ts_changepoint",
 ]
 
 
