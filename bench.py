@@ -295,6 +295,7 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "ts_holt_forecast",
     "ts_changepoint",
+    "markov_entropy",
 ]
 
 

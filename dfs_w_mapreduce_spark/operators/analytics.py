@@ -2052,6 +2052,96 @@ TS_HOLT_ORACLE = f"""
 """
 
 
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy analysis of the first-order event-type Markov chain
+    (same transition counts as q_event_transitions): per from-type,
+    the conditional next-step entropy H(next|from) = -sum_j p(j|i)
+    log2 p(j|i) and its predictability complement; plus an ALL row
+    carrying the chain's ENTROPY RATE — sum_i p(i) H(next|i) under
+    the empirical source distribution — against the log2(k) i.i.d.
+    ceiling. The behavioral-predictability diagnostic: a near-zero
+    rate means next actions are deterministic given the current one.
+
+    Scale shape: one user-keyed window pass, one (from, to) hash
+    aggregate (25 cells), then arithmetic on the tiny matrix. All
+    probabilities are exact integer ratios; the only FP is the final
+    log2/multiply chain, round-4, mirrored in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wtot = W.partitionBy("from_type")
+    cond = counts.withColumn("row_n", F.sum("n").over(wtot))
+    hterm = -(F.col("n") / F.col("row_n")) * F.log2(F.col("n") / F.col("row_n"))
+    per = cond.groupBy("from_type").agg(
+        F.sum("n").alias("n_transitions"),
+        F.count("*").alias("n_successors"),
+        F.round(F.sum(hterm), 4).alias("cond_entropy_bits"),
+    )
+    # entropy rate = sum_i (n_i / N) * H_i — computed from the SAME
+    # per-row rounded H_i values the per-type rows report, so the ALL
+    # row is a pure function of visible output (auditable), and the
+    # weighting ratio is an exact integer division.
+    allr = (
+        per.crossJoin(
+            F.broadcast(per.agg(F.sum("n_transitions").alias("grand")))
+        )
+        .agg(
+            F.sum("n_transitions").cast("long").alias("n_transitions"),
+            F.sum(F.col("n_successors")).cast("long").alias("n_successors"),
+            F.round(
+                F.sum(
+                    (F.col("n_transitions") / F.col("grand"))
+                    * F.col("cond_entropy_bits")
+                ),
+                4,
+            ).alias("cond_entropy_bits"),
+        )
+        .select(F.lit("ALL").alias("from_type"), "n_transitions",
+                "n_successors", "cond_entropy_bits")
+    )
+    return per.unionByName(allr)
+
+
+MARKOV_ENTROPY_ORACLE = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    cond AS (
+        SELECT from_type, n,
+               CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_n
+        FROM counts
+    ),
+    per AS (
+        SELECT from_type,
+               CAST(sum(n) AS BIGINT) AS n_transitions,
+               count(*) AS n_successors,
+               round(sum(-(n * 1.0 / row_n) * log2(n * 1.0 / row_n)), 4)
+                   AS cond_entropy_bits
+        FROM cond GROUP BY from_type
+    )
+    SELECT from_type, n_transitions, n_successors, cond_entropy_bits FROM per
+    UNION ALL
+    SELECT 'ALL',
+           CAST(sum(n_transitions) AS BIGINT),
+           CAST(sum(n_successors) AS BIGINT),
+           round(sum((n_transitions * 1.0
+                      / (SELECT sum(n_transitions) FROM per))
+                     * cond_entropy_bits), 4)
+    FROM per
+"""
+
+
 def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per event type: the cumulative sum
     of deviations from the series mean peaks (in absolute value) at
@@ -2267,4 +2357,8 @@ def specs() -> list[QuerySpec]:
                   ("analytics", "timeseries", "anomaly"),
                   "CUSUM change-point per type: scaled cumulative deviations "
                   "stay pure-integer; argmax day + before/after means."),
+        QuerySpec("markov_entropy", q_markov_entropy, MARKOV_ENTROPY_ORACLE,
+                  ("analytics", "sequence", "statistics"),
+                  "Conditional next-step entropy per from-type + the chain's "
+                  "entropy rate (ALL row) from exact transition ratios."),
     ]

@@ -593,3 +593,44 @@ def test_changepoint_matches_python_replica(spark, sf_dir):
         for r in q_ts_changepoint(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_markov_entropy_matches_python_replica(spark, sf_dir):
+    """Conditional entropies and the entropy rate replicated from raw
+    transitions; bounds 0 <= H <= log2(n_successors) pinned."""
+    from dfs_w_mapreduce_spark.operators.analytics import q_markov_entropy
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    counts: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            counts[(a.event_type, b.event_type)] += 1
+    row_n: Counter = Counter()
+    for (f, _), n in counts.items():
+        row_n[f] += n
+    expect = {}
+    for f in row_n:
+        h = -sum(
+            (n / row_n[f]) * math.log2(n / row_n[f])
+            for (ff, _), n in counts.items()
+            if ff == f
+        )
+        succ = sum(1 for (ff, _) in counts if ff == f)
+        expect[f] = (row_n[f], succ, round(h, 4))
+        assert -1e-9 <= h <= math.log2(succ) + 1e-9
+    grand = sum(row_n.values())
+    rate = round(
+        sum((row_n[f] / grand) * expect[f][2] for f in row_n), 4
+    )
+    expect["ALL"] = (grand, sum(e[1] for f, e in expect.items()), rate)
+    got = {
+        r.from_type: (r.n_transitions, r.n_successors, r.cond_entropy_bits)
+        for r in q_markov_entropy(spark, sf_dir).collect()
+    }
+    assert got == expect

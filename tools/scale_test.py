@@ -194,6 +194,7 @@ QUERIES = [
     "multimodal_scene_cuts",
     "ts_holt_forecast",
     "ts_changepoint",
+    "markov_entropy",
 ]
 
 
