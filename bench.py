@@ -296,6 +296,7 @@ HEADLINE = [
     "ts_holt_forecast",
     "ts_changepoint",
     "markov_entropy",
+    "agg_mode",
 ]
 
 

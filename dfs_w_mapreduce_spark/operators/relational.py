@@ -166,6 +166,51 @@ AGG_STATS_ORACLE = """
 """
 
 
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a deterministic tie-break — the categorical
+    central-tendency aggregate (Spark's native mode() leaves ties
+    unspecified, so the portable form is count + rank, which is also
+    how you get the mode's frequency and share out of the same pass).
+    Two hash aggregates and a WindowGroupLimit rank; no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    tot = W.partitionBy("o_orderstatus")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("grp_n", F.sum("n").over(tot))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+            F.col("grp_n").alias("grp_n"),
+            F.round(F.col("n") / F.col("grp_n"), 4).alias("mode_share"),
+        )
+    )
+
+
+AGG_MODE_ORACLE = """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority) AS rk,
+               CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS grp_n
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           n AS mode_n, grp_n,
+           round(n * 1.0 / grp_n, 4) AS mode_share
+    FROM ranked WHERE rk = 1
+"""
+
+
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1563,6 +1608,9 @@ def specs() -> list[QuerySpec]:
            "100 TB group sizes for 4-dp products; the plan itself is "
            "unchanged (pushed filter, partial+final agg, one exchange)."),
         mk("agg_stats", q_agg_stats, AGG_STATS_ORACLE, ("relational", "agg"), "min/max/avg/stddev/var battery."),
+        mk("agg_mode", q_agg_mode, AGG_MODE_ORACLE, ("relational", "agg"),
+           "Per-group MODE with deterministic tie-break + share (count "
+           "+ WindowGroupLimit rank)."),
         mk("agg_distinct", q_agg_distinct, AGG_DISTINCT_ORACLE, ("relational", "agg"), "COUNT DISTINCT single+multi column."),
         mk("agg_rollup", q_agg_rollup, AGG_ROLLUP_ORACLE, ("relational", "agg"), "ROLLUP hierarchy totals."),
         mk("agg_cube", q_agg_cube, AGG_CUBE_ORACLE, ("relational", "agg"), "CUBE over two dims."),

@@ -195,6 +195,7 @@ QUERIES = [
     "ts_holt_forecast",
     "ts_changepoint",
     "markov_entropy",
+    "agg_mode",
 ]
 
 
