@@ -297,6 +297,14 @@ HEADLINE = [
     "ts_changepoint",
     "markov_entropy",
     "agg_mode",
+    # round-9 additions. dedup_ngram_pairs joins the headline now that
+    # it runs the capped-posting exact-verify core (its round-8 cost
+    # lived only in pytest); band_sweep note: round 9 collapsed the
+    # per-config signature recomputation into one explode.
+    "dedup_ngram_pairs",
+    "dedup_paragraph",
+    "quality_repeated",
+    "multimodal_audio_fbank",
 ]
 
 

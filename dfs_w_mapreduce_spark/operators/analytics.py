@@ -2076,10 +2076,15 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtot = W.partitionBy("from_type")
     cond = counts.withColumn("row_n", F.sum("n").over(wtot))
     hterm = -(F.col("n") / F.col("row_n")) * F.log2(F.col("n") / F.col("row_n"))
+    # quantize each -p*log2(p) term to 10 dp and sum as DECIMAL: exact
+    # order-free summation (the text_bigram_kn discipline) so a ulp of
+    # partition-order drift cannot flip the round-4 boundary
     per = cond.groupBy("from_type").agg(
         F.sum("n").alias("n_transitions"),
         F.count("*").alias("n_successors"),
-        F.round(F.sum(hterm), 4).alias("cond_entropy_bits"),
+        F.round(
+            F.sum(F.round(hterm, 10).cast("decimal(28,10)")).cast("double"), 4
+        ).alias("cond_entropy_bits"),
     )
     # entropy rate = sum_i (n_i / N) * H_i — computed from the SAME
     # per-row rounded H_i values the per-type rows report, so the ALL
@@ -2094,9 +2099,12 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_successors")).cast("long").alias("n_successors"),
             F.round(
                 F.sum(
-                    (F.col("n_transitions") / F.col("grand"))
-                    * F.col("cond_entropy_bits")
-                ),
+                    F.round(
+                        (F.col("n_transitions") / F.col("grand"))
+                        * F.col("cond_entropy_bits"),
+                        10,
+                    ).cast("decimal(28,10)")
+                ).cast("double"),
                 4,
             ).alias("cond_entropy_bits"),
         )
@@ -2126,7 +2134,9 @@ MARKOV_ENTROPY_ORACLE = """
         SELECT from_type,
                CAST(sum(n) AS BIGINT) AS n_transitions,
                count(*) AS n_successors,
-               round(sum(-(n * 1.0 / row_n) * log2(n * 1.0 / row_n)), 4)
+               round(CAST(sum(CAST(round(-(n * 1.0 / row_n)
+                                         * log2(n * 1.0 / row_n), 10)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 4)
                    AS cond_entropy_bits
         FROM cond GROUP BY from_type
     )
@@ -2135,9 +2145,10 @@ MARKOV_ENTROPY_ORACLE = """
     SELECT 'ALL',
            CAST(sum(n_transitions) AS BIGINT),
            CAST(sum(n_successors) AS BIGINT),
-           round(sum((n_transitions * 1.0
-                      / (SELECT sum(n_transitions) FROM per))
-                     * cond_entropy_bits), 4)
+           round(CAST(sum(CAST(round((n_transitions * 1.0
+                                      / (SELECT sum(n_transitions) FROM per))
+                                     * cond_entropy_bits, 10)
+                               AS DECIMAL(28,10))) AS DOUBLE), 4)
     FROM per
 """
 

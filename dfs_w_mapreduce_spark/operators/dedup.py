@@ -188,20 +188,32 @@ DEDUP_FINGERPRINT_ORACLE = """
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs via inverted-index join:
-    explode shingles, equi-join on shingle, count common, filter
-    jaccard >= 0.5. Exact (no approximation) but the join fans out on
-    hot shingles — the baseline the LSH path is measured against."""
-    return _ngram_pairs_from(_doc_shingles(spark, sf_dir))
+    """Exact shingle-Jaccard near-dup pairs: candidate pairs from an
+    inverted-index join over CAPPED posting lists (each shingle
+    contributes at most NGRAM_POSTING_CAP deterministic hash-lowest
+    docs), then EXACT verification of every candidate against the
+    full shingle sets. Candidate mass is <= cap * total shingle
+    occurrences — linear in corpus size — instead of the uncapped
+    Theta(sum df^2), which one boilerplate shingle in 1% of a 100 TB
+    corpus turns into a ~10^16-pair fan-out. Emitted jaccard values
+    are exact (string-set intersection, not hash-collision-prone);
+    the only approximation is coverage inside duplicate clusters
+    larger than the cap, where only the hash-lowest cap members
+    generate pairs (dedup at that scale keeps one representative per
+    cluster anyway, and the cap exceeds every fixture's max df, so
+    fixture results are bit-identical to the uncapped join)."""
+    return _ngram_pairs_from(_capped_common_counts(spark, _doc_shingles(spark, sf_dir), sf_dir))
 
 
 def _common_shingle_counts(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(doc_id, sh) -> ((doc_a, doc_b, common), (doc_id, n)) — the
-    exact inverted-index co-occurrence core shared by the Jaccard
-    baseline, the agreement calibration, and the containment query.
-    Carries the two hard-won OOM guards: shuffle_hash (never
-    broadcast the exploded corpus) and pre-aggregation repartition
-    (no partial-agg map over the quadratic pair stream)."""
+    UNCAPPED exact inverted-index co-occurrence core, now used only
+    where an outer bound already exists (dedup_agreement's fixed-size
+    doc sample); the full-corpus baselines go through
+    _capped_common_counts. Carries the two hard-won OOM guards:
+    shuffle_hash (never broadcast the exploded corpus) and
+    pre-aggregation repartition (no partial-agg map over the
+    quadratic pair stream)."""
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     # Join on a 60-bit md5-derived long, not the shingle string: the
     # inverted-index shuffle and join hash tables then carry 8-byte
@@ -237,11 +249,97 @@ def _common_shingle_counts(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     return common, sizes
 
 
-def _ngram_pairs_from(sh: DataFrame) -> DataFrame:
-    """The exact inverted-index Jaccard join over a given (doc_id, sh)
-    shingle frame — shared by the full-corpus baseline above and the
-    sampled dedup_agreement calibration."""
-    common, sizes = _common_shingle_counts(sh)
+NGRAM_POSTING_CAP = 512  # per-shingle candidate-generation posting cap
+
+
+def _capped_common_counts(
+    spark: SparkSession, sh: DataFrame, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The 100 TB exact-pair core: bounded candidate generation +
+    exact verification.
+
+    1. Candidates come from the inverted-index self-join over CAPPED
+       posting lists: each shingle contributes only its
+       NGRAM_POSTING_CAP hash-lowest (md5(shingle:doc), deterministic
+       and engine-mirrorable) docs, so candidate mass is
+       <= cap * total shingle occurrences — LINEAR in corpus size.
+       The uncapped join is Theta(sum df^2): one boilerplate shingle
+       in 1% of a 10^10-doc corpus alone emits ~10^16 pairs.
+    2. Every candidate pair is then verified EXACTLY against the two
+       full shingle sets (array_intersect on the strings), so emitted
+       common counts are exact — and, unlike the old hashed-key
+       count, immune to 60-bit hash collisions.
+
+    The rank window shuffles the shingle stream once on the shingle
+    key; a mega-hot key sorts in one spilling task (bounded memory,
+    the slow-but-safe path — a df-conditional hkey pre-filter could
+    shrink that task if it ever dominates a real run).
+    Coverage caveat: a duplicate cluster larger than the cap only
+    pairs among its cap hash-lowest members (dedup keeps one
+    representative per cluster, so downstream resolution is
+    unaffected); the cap exceeds every fixture's max df (338 at
+    sf0.1), so fixture results are identical to the uncapped join."""
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+        "doc_id",
+        # 60-bit md5-derived join key: 8-byte shuffle keys, oracle-equal
+        F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
+        F.md5(
+            F.concat_ws(":", F.col("s0"), F.col("doc_id").cast("string"))
+        ).alias("hkey"),
+    )
+    kept = (
+        ex.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("s").orderBy("hkey", "doc_id")),
+        )
+        .filter(F.col("rk") <= NGRAM_POSTING_CAP)
+        .select("doc_id", "s")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    # pair-key partition count scales with the session so each task's
+    # distinct hash map stays bounded when the cap engages (capped
+    # candidate mass is cap * occurrences / 2 — linear, but the
+    # constant is large on heavily duplicated corpora)
+    pair_parts = max(64, spark.sparkContext.defaultParallelism * 8)
+    cand = (
+        # shuffle_hash: the exploded corpus-sized frame must never be
+        # broadcast (see _common_shingle_counts); pair-key repartition
+        # BEFORE distinct — distinct over a join fan-out is a
+        # partial+final aggregate and OOMs un-repartitioned (CLAUDE.md)
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .repartition(pair_parts, "doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification: doc-keyed joins back to the full shingle
+    # sets; the array-carrying side follows the _merge_join broadcast
+    # policy (text-derived arrays deserialize at 50-100x parquet size)
+    sa = _merge_join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), sf_dir
+    )
+    sb = _merge_join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), sf_dir
+    )
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+        )
+        .filter(F.col("common") > 0)  # hash-collision-only candidates
+    )
+    return common, sizes
+
+
+def _ngram_pairs_from(counts: tuple[DataFrame, DataFrame]) -> DataFrame:
+    """Jaccard scoring over a (common, sizes) pair — fed by the capped
+    full-corpus core (_capped_common_counts) or the sample-bounded
+    uncapped core (_common_shingle_counts, dedup_agreement)."""
+    common, sizes = counts
     na, nb = sizes.alias("na"), sizes.alias("nb")
     return (
         common.join(na, F.col("doc_a") == F.col("na.doc_id"))
@@ -257,16 +355,39 @@ def _ngram_pairs_from(sh: DataFrame) -> DataFrame:
     )
 
 
+# Mirrors _capped_common_counts: rank postings per hashed shingle by
+# md5(shingle:doc), keep the cap-lowest, pair within kept, then verify
+# exactly on the full shingle lists.
+_CAPPED_COMMON_SQL = f"""
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS s0 FROM sh),
+    kept AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s,
+                   row_number() OVER (
+                       PARTITION BY CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT)
+                       ORDER BY md5(s0 || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM ex)
+        WHERE rk <= {NGRAM_POSTING_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common
+        FROM cand
+        JOIN sh sa ON doc_a = sa.doc_id
+        JOIN sh sb ON doc_b = sb.doc_id
+    )
+"""
+
 DEDUP_NGRAM_ORACLE = f"""
     WITH sh AS ({_DOC_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    ex AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS s
-           FROM sh),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+    {_CAPPED_COMMON_SQL}
     SELECT doc_a, doc_b,
            round(common * 1.0 / (na.n + nb.n - common), 4) AS jaccard
     FROM common
@@ -287,12 +408,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits a DIRECTED row per (sub, super) direction that clears the
     containment bar, alongside the symmetric jaccard for contrast.
 
-    Scale posture: identical core to dedup_ngram_pairs — one
-    inverted-index co-occurrence join via _common_shingle_counts
-    (shuffle_hash + pre-agg repartition OOM guards) — plus two
+    Scale posture: identical core to dedup_ngram_pairs — capped
+    posting-list candidate generation + exact shingle-set
+    verification via _capped_common_counts (linear candidate mass,
+    shuffle_hash + pre-distinct repartition OOM guards) — plus two
     doc-keyed size joins; the direction fan-out is on the tiny
     filtered pair set."""
-    common, sizes = _common_shingle_counts(_doc_shingles(spark, sf_dir))
+    common, sizes = _capped_common_counts(spark, _doc_shingles(spark, sf_dir), sf_dir)
     na, nb = sizes.alias("na"), sizes.alias("nb")
     j = (
         common.join(na, F.col("doc_a") == F.col("na.doc_id"))
@@ -325,16 +447,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CONTAINMENT_ORACLE = f"""
     WITH sh AS ({_DOC_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    ex AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS s
-           FROM sh),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    {_CAPPED_COMMON_SQL},
     j AS (
-        SELECT doc_a, doc_b, c, na.n AS n_a, nb.n AS n_b
+        SELECT doc_a, doc_b, common AS c, na.n AS n_a, nb.n AS n_b
         FROM common
         JOIN sizes na ON doc_a = na.doc_id
         JOIN sizes nb ON doc_b = nb.doc_id
@@ -742,24 +857,26 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.select(
         "doc_id", F.transform(F.col("sh"), _h31_spark).alias("hs")
     ).select("doc_id", *_minhash_cols())
-    bands = None
-    for nb, rpb in SWEEP_CONFIGS:
-        part = sig.select(
+    # ONE generator emits all 14 (cfg, band, sig) rows per doc: a
+    # per-config union would re-evaluate the 16-minhash transform once
+    # per branch (3 passes over the shingle arrays — measured ~15% of
+    # the sweep's round-8 wall); a single explode computes signatures
+    # exactly once and shuffles the identical band stream.
+    entries = [
+        F.struct(
             F.lit(f"{nb}x{rpb}").alias("cfg"),
-            "doc_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            *[F.col(f"mh{b * rpb + r}") for r in range(rpb)],
-                        )
-                        for b in range(nb)
-                    ]
-                )
-            ).alias("band", "sig"),
+            F.lit(b).cast("int").alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+            ).alias("sig"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for nb, rpb in SWEEP_CONFIGS
+        for b in range(nb)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        F.col("e.cfg").alias("cfg"), "doc_id",
+        F.col("e.band").alias("band"), F.col("e.sig").alias("sig"),
+    )
     # Bound every (cfg, band, sig) bucket: rank members by doc_id (one
     # shuffle keyed on the bucket — each task sorts one bucket, never
     # builds pairs) and keep the first SWEEP_BUCKET_CAP.
@@ -1120,7 +1237,10 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     shp = sh.filter(F.size("sh") > 0)
-    exact = _ngram_pairs_from(sh)
+    # uncapped core: the sample is the bound here (<= AGREEMENT_SAMPLE
+    # docs), and ground truth must not carry the posting cap's
+    # giant-cluster coverage caveat
+    exact = _ngram_pairs_from(_common_shingle_counts(sh))
     # minhash member: bands over the sampled shingles + exact verify
     bands = _bands_of(shp)
     a, b = bands.alias("a"), bands.alias("b")

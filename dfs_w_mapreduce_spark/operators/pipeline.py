@@ -341,14 +341,18 @@ PACK_SEQUENCES_ORACLE = f"""
                CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
         FROM documents
     ), o AS (
+        -- sum(BIGINT) is HUGEINT in DuckDB; duckdb->pandas renders HUGEINT as
+        -- float64 (32.0 vs Spark's 32), failing the driver's value hash even
+        -- though fetchall() shows identical ints. CAST back to BIGINT here and
+        -- on every column derived from it (CORRECTNESS_r08 pack_sequences red).
         SELECT doc_id, n_tokens,
-               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
         FROM per_doc
     )
     SELECT doc_id, n_tokens, start_offset,
            CAST(floor(start_offset / {SEQ_LEN}) AS BIGINT) AS pack_id,
-           start_offset % {SEQ_LEN} AS offset_in_pack,
+           CAST(start_offset % {SEQ_LEN} AS BIGINT) AS offset_in_pack,
            CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / {SEQ_LEN})
                 - floor(start_offset / {SEQ_LEN}) + 1 AS INT) AS packs_spanned
     FROM o

@@ -1063,6 +1063,58 @@ SEG_LEN = 8          # tokens per pseudo-paragraph segment
 SEG_DOC_FREQ_MAX = 2  # keep a segment iff it occurs in <= this many docs
 
 
+def _doc_segments(d: DataFrame, seg_len: int = SEG_LEN) -> DataFrame:
+    """(doc_id, seg_idx, seg) — fixed seg_len-token pseudo-paragraph
+    segmentation (the fixture corpus is single-line, so token windows
+    stand in for lines/paragraphs), shared by corpus-level line
+    dedup, cross-doc paragraph canonicalization, and the within-doc
+    repetition quality signals."""
+    toks = tokens_col(F.col("text"))
+    n_segs = F.ceil(F.size("tk") / seg_len).cast("int")
+    return (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.posexplode(
+                F.when(F.size("tk") > 0, F.sequence(F.lit(0), n_segs - 1))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("seg_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            "seg_idx",
+            F.array_join(
+                F.slice("tk", F.col("seg_idx") * seg_len + 1, seg_len), " "
+            ).alias("seg"),
+        )
+    )
+
+
+def _segs_sql(seg_len: int = SEG_LEN) -> str:
+    """The oracle-side twin of _doc_segments (CTE block, no WITH)."""
+    return f"""
+    tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, tk,
+               unnest(range(0, CAST(ceil(len(tk) / {seg_len}.0) AS INT))) AS seg_idx
+        FROM tk
+    ),
+    segs AS (
+        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+               array_to_string(tk[(seg_idx * {seg_len} + 1):(seg_idx * {seg_len} + {seg_len})], ' ') AS seg
+        FROM idx
+    )
+"""
+
+
+_SEGS_SQL = _segs_sql()
+
+
 def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate removal (CCNet/RefinedWeb line-dedup):
     segment every document into fixed 8-token pseudo-paragraphs (the
@@ -1078,27 +1130,7 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise. The left join from `documents` keeps docs whose every
     segment was boilerplate (cleaned_text = '')."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    n_segs = F.ceil(F.size("tk") / SEG_LEN).cast("int")
-    segs = (
-        d.select("doc_id", toks.alias("tk"))
-        .select(
-            "doc_id",
-            "tk",
-            F.posexplode(
-                F.when(F.size("tk") > 0, F.sequence(F.lit(0), n_segs - 1))
-                .otherwise(F.array().cast("array<int>"))
-            ).alias("seg_idx", "_i"),
-        )
-        .select(
-            "doc_id",
-            "seg_idx",
-            F.array_join(
-                F.slice("tk", F.col("seg_idx") * SEG_LEN + 1, SEG_LEN), " "
-            ).alias("seg"),
-        )
-    )
-    segs = segs.persist()
+    segs = _doc_segments(d).persist()
     freq = segs.groupBy("seg").agg(
         F.count_distinct("doc_id").alias("seg_df")
     )
@@ -1126,21 +1158,7 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_LINE_DEDUP_ORACLE = f"""
-    WITH tk AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
-        FROM documents
-    ),
-    idx AS (
-        SELECT doc_id, tk,
-               unnest(range(0, CAST(ceil(len(tk) / {SEG_LEN}.0) AS INT))) AS seg_idx
-        FROM tk
-    ),
-    segs AS (
-        SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
-               array_to_string(tk[(seg_idx * {SEG_LEN} + 1):(seg_idx * {SEG_LEN} + {SEG_LEN})], ' ') AS seg
-        FROM idx
-    ),
+    WITH {_SEGS_SQL},
     freq AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY 1),
     kept AS (
         SELECT s.* FROM segs s JOIN freq USING (seg)
@@ -1156,6 +1174,140 @@ TEXT_LINE_DEDUP_ORACLE = f"""
            COALESCE(r.n_kept, 0) AS n_kept,
            COALESCE(r.cleaned_text, '') AS cleaned_text
     FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# Cross-doc paragraph canonicalization: seg_idx < 2^20 (docs under
+# ~8M tokens) keeps the (doc, seg) occurrence key exact in a long.
+_SEG_KEY_SHIFT = 1 << 20
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup with normalization (the CCNet
+    recipe at paragraph granularity): normalize each SEG_LEN-token
+    segment (lowercase, strip punctuation, re-tokenize), elect one
+    canonical occurrence per normalized segment — the globally
+    smallest (doc_id, seg_idx) key, deterministic on both engines —
+    and report, per document, how many of its segments are non-canon
+    repeats of text owned elsewhere. This is the segment-level twin
+    of dedup_exact: line_dedup drops segments by document-frequency
+    cap; this keeps exactly ONE copy of every repeated paragraph.
+
+    Plan shape at 100 TB: one segment explode, one hash aggregate
+    keyed on the normalized segment string (min occurrence key), one
+    corpus-sized hash join back on that key (no broadcast — segment
+    space ~ corpus size), one per-doc rollup. Nothing pairwise,
+    nothing collected."""
+    d = load_table(spark, sf_dir, "documents")
+    segs = _doc_segments(d)
+    nseg = F.array_join(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.col("seg")), "[^a-z0-9 ]", " "), r"\s+"
+            ),
+            lambda t: t != F.lit(""),
+        ),
+        " ",
+    )
+    k = (F.col("doc_id") * _SEG_KEY_SHIFT + F.col("seg_idx")).cast("long")
+    n = segs.select("doc_id", nseg.alias("nseg"), k.alias("k"))
+    canon = n.groupBy("nseg").agg(F.min("k").alias("keeper"))
+    dup = F.sum(F.when(F.col("k") != F.col("keeper"), 1).otherwise(0))
+    return (
+        n.join(canon, "nseg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_segs"),
+            dup.cast("int").alias("n_dup_segs"),
+            F.round(F.try_divide(dup, F.count("*")), 4).alias("dup_frac"),
+        )
+    )
+
+
+DEDUP_PARAGRAPH_ORACLE = f"""
+    WITH {_SEGS_SQL},
+    norm AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split_regex(
+                   regexp_replace(lower(seg), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+                   t -> t <> ''), ' ') AS nseg,
+               doc_id * {_SEG_KEY_SHIFT} + seg_idx AS k
+        FROM segs
+    ),
+    canon AS (SELECT nseg, min(k) AS keeper FROM norm GROUP BY nseg)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_segs,
+           CAST(sum(CASE WHEN k <> keeper THEN 1 ELSE 0 END) AS INT) AS n_dup_segs,
+           round(sum(CASE WHEN k <> keeper THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_frac
+    FROM norm JOIN canon USING (nseg)
+    GROUP BY doc_id
+"""
+
+
+# RefinedWeb-style within-document repetition thresholds
+REP_LINE_MAX = 0.30  # max duplicate-line (segment) fraction
+REP_CHAR_MAX = 0.20  # max duplicate-line character-mass fraction
+REP_SEG_LEN = 2      # finer 'lines' than SEG_LEN: within-doc repeats
+                     # at 8 tokens are vanishingly rare in any corpus
+
+
+def q_quality_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signals (the RefinedWeb /
+    Gopher 'repetitious text' battery at line granularity, on
+    REP_SEG_LEN-token pseudo-lines): per document, the fraction of
+    segment occurrences that repeat an earlier identical segment of
+    the SAME document, the character mass those repeats carry, and
+    the keep verdict at the published-style thresholds. Complements
+    quality_gopher's 2-gram char-mass rule (dup2_frac) with the
+    line-level rule pair the RefinedWeb filters actually apply.
+
+    Plan shape at 100 TB: one (doc, segment) hash aggregate then a
+    doc-keyed rollup — two linear hash aggregates, no join, no
+    window, nothing global."""
+    d = load_table(spark, sf_dir, "documents")
+    segs = _doc_segments(d, REP_SEG_LEN)
+    cnts = segs.groupBy("doc_id", "seg").agg(F.count("*").alias("c"))
+    L = F.length("seg")
+    per = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_segs"),
+        F.count("*").cast("int").alias("n_distinct_segs"),
+        F.round(
+            F.try_divide(F.sum("c") - F.count("*"), F.sum("c")), 4
+        ).alias("dup_line_frac"),
+        F.coalesce(
+            F.round(
+                F.try_divide(F.sum((F.col("c") - 1) * L), F.sum(F.col("c") * L)), 4
+            ),
+            F.lit(0.0),
+        ).alias("dup_char_frac"),
+    )
+    return per.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= REP_LINE_MAX)
+        & (F.col("dup_char_frac") <= REP_CHAR_MAX),
+    )
+
+
+QUALITY_REPEATED_ORACLE = f"""
+    WITH {_segs_sql(REP_SEG_LEN)},
+    cnts AS (
+        SELECT doc_id, seg, count(*) AS c, length(seg) AS l
+        FROM segs GROUP BY doc_id, seg
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(c) AS INT) AS n_segs,
+               CAST(count(*) AS INT) AS n_distinct_segs,
+               round((sum(c) - count(*)) * 1.0 / sum(c), 4) AS dup_line_frac,
+               coalesce(round(sum((c - 1) * l) * 1.0
+                              / nullif(sum(c * l), 0), 4), 0.0) AS dup_char_frac
+        FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id, n_segs, n_distinct_segs, dup_line_frac, dup_char_frac,
+           (dup_line_frac <= {REP_LINE_MAX} AND dup_char_frac <= {REP_CHAR_MAX})
+               AS keep
+    FROM per
 """
 
 
@@ -1725,6 +1877,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.when(verdict, 1).otherwise(0)).alias("n_pass"),
             flag(pass_words).alias("n_fail_words"),
+            flag(pass_mwl).alias("n_fail_mwl"),
             flag(pass_dup).alias("n_fail_dup"),
             flag(pass_stop).alias("n_fail_stop"),
             F.round(F.avg("dup2_frac"), 4).alias("mean_dup2_frac"),
@@ -1777,6 +1930,7 @@ QUALITY_GOPHER_ORACLE = f"""
            count(*) AS n_docs,
            CAST(sum(CASE WHEN pw AND pm AND pd AND ps THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            CAST(sum(CASE WHEN pw THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_words,
+           CAST(sum(CASE WHEN pm THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_mwl,
            CAST(sum(CASE WHEN pd THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_dup,
            CAST(sum(CASE WHEN ps THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
            round(avg(dup2_frac), 4) AS mean_dup2_frac,
@@ -1925,12 +2079,19 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def roll(df, key):
         T = F.sum("n")
         V = F.count("*")
+        # quantize each n*log2(n) term to 6 dp and sum as DECIMAL: a
+        # raw double sum is partition-order-dependent (ulp drift can
+        # flip the round-4 boundary cross-engine at larger SFs); the
+        # decimal sum of pre-rounded terms is exact and order-free
+        # (the text_bigram_kn discipline). decimal(28,6) holds
+        # T*log2(T) at any real corpus size.
+        hsum = F.sum(
+            F.round(F.col("n") * F.log2("n"), 6).cast("decimal(28,6)")
+        ).cast("double")
         return df.groupBy(key).agg(
             T.alias("n_tokens"),
             V.alias("n_types"),
-            F.round(
-                F.log2(T) - F.try_divide(F.sum(F.col("n") * F.log2("n")), T), 4
-            ).alias("entropy_bits"),
+            F.round(F.log2(T) - F.try_divide(hsum, T), 4).alias("entropy_bits"),
             F.round(F.try_divide(V, T), 4).alias("type_token_ratio"),
             F.round(
                 F.try_divide(F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), V), 4
@@ -1963,7 +2124,9 @@ TEXT_ENTROPY_ORACLE = """
            CAST(sum(n) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
            round(log2(CAST(sum(n) AS DOUBLE))
-                 - sum(n * log2(CAST(n AS DOUBLE))) / sum(n), 4) AS entropy_bits,
+                 - CAST(sum(CAST(round(n * log2(CAST(n AS DOUBLE)), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE)
+                   / sum(n), 4) AS entropy_bits,
            round(count(*) * 1.0 / sum(n), 4) AS type_token_ratio,
            round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
                AS hapax_frac
@@ -2029,7 +2192,12 @@ def q_text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = occ.groupBy("phrase", "words", "n_words").agg(
         F.count("*").alias("n_occurrences")
     )
-    score = F.sum(F.col("deg") / F.col("freq"))
+    # quantize each word's deg/freq to 10 dp and sum as DECIMAL —
+    # order-free exact summation (the text_bigram_kn discipline), so a
+    # ulp cannot flip the round-4 ranking boundary cross-engine
+    score = F.sum(
+        F.round(F.col("deg") / F.col("freq"), 10).cast("decimal(28,10)")
+    ).cast("double")
     return (
         phrases.select(
             "phrase", "n_words", "n_occurrences", F.explode("words").alias("t")
@@ -2079,7 +2247,8 @@ TEXT_KEYPHRASES_ORACLE = f"""
     SELECT p.phrase,
            CAST(p.n_words AS INT) AS n_words,
            p.n_occurrences,
-           round(sum(w.deg * 1.0 / w.freq), 4) AS rake_score
+           round(CAST(sum(CAST(round(w.deg * 1.0 / w.freq, 10)
+                               AS DECIMAL(28,10))) AS DOUBLE), 4) AS rake_score
     FROM (SELECT phrase, n_words, n_occurrences, unnest(words) AS t
           FROM phrases) p
     JOIN wstats w USING (t)
@@ -2139,6 +2308,14 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_line_dedup", q_text_line_dedup, TEXT_LINE_DEDUP_ORACLE,
                   ("text", "llm", "dedup"),
                   "CCNet-style corpus boilerplate-segment removal + doc rebuild."),
+        QuerySpec("dedup_paragraph", q_dedup_paragraph, DEDUP_PARAGRAPH_ORACLE,
+                  ("text", "llm", "dedup"),
+                  "Cross-doc normalized-paragraph canonicalization: one keeper "
+                  "per repeated segment, per-doc repeat accounting."),
+        QuerySpec("quality_repeated", q_quality_repeated, QUALITY_REPEATED_ORACLE,
+                  ("text", "llm", "quality"),
+                  "RefinedWeb within-doc repeated-line/char-mass fractions + "
+                  "keep verdict."),
         QuerySpec("bm25_search", q_bm25_search, _bm25_oracle(),
                   ("text", "llm", "retrieval"),
                   "BM25 top-5 retrieval for fixed queries via filtered inverted index."),

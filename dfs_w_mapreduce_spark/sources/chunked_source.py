@@ -283,6 +283,8 @@ class ChunkedTextStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.lines_per_chunk = int(options.get("lines_per_chunk", "100"))
+        self._order_cache = None  # sorted doc_id array
+        self._order_n = -1  # row count the cache was built at
 
     def _n_chunks(self) -> int:
         n = _num_rows(self.path)
@@ -291,6 +293,21 @@ class ChunkedTextStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         return {"chunk": 0}
+
+    def _order(self):
+        """Sorted doc_id array — the chunk-membership contract —
+        computed from the (cheap, single-int-column) doc_id read and
+        cached per file version, so replays and successive batches
+        never re-derive it while the file is unchanged."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        n = _num_rows(self.path)
+        if self._order_cache is None or self._order_n != n:
+            ids = pq.read_table(self.path, columns=["doc_id"])
+            self._order_cache = np.sort(ids.column("doc_id").to_numpy())
+            self._order_n = n
+        return self._order_cache
 
     def _rows(self, first_chunk: int, last_chunk: int):
         # returns iter(list) — Spark's simple-stream prefetch cache
@@ -306,12 +323,21 @@ class ChunkedTextStreamReader(SimpleDataSourceStreamReader):
         if last_chunk <= first_chunk:
             return iter([])
         step = self.lines_per_chunk
-        t = pq.read_table(self.path, columns=["doc_id", "text"])
-        t = t.sort_by("doc_id").slice(
-            first_chunk * step, (last_chunk - first_chunk) * step
-        )
+        order = self._order()
+        start, stop = first_chunk * step, min(last_chunk * step, len(order))
+        if stop <= start:
+            return iter([])
+        # rank range -> contiguous doc_id range (doc_ids are unique),
+        # so the text column — the dominant payload — is read only for
+        # the new chunks' rows via row-group predicate pushdown
+        lo, hi = order[start].item(), order[stop - 1].item()
+        t = pq.read_table(
+            self.path,
+            columns=["doc_id", "text"],
+            filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)],
+        ).sort_by("doc_id")
         return iter([
-            (first_chunk + j // step, j % step, text)
+            (first_chunk + (start + j) // step, (start + j) % step, text)
             for j, text in enumerate(t.column("text").to_pylist())
         ])
 

@@ -42,6 +42,19 @@ EVENTS_SCHEMA = (
 SESSION_GAP_MIN = 10
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """Block until an availableNow query FULLY drains. awaitTermination
+    returns False on timeout — ignoring it would silently hand back a
+    partial sink table (flaky oracle mismatch on a slow machine) — and
+    stop() sits in finally so an exception can't leak a running query."""
+    try:
+        assert q.awaitTermination(timeout), (
+            f"streaming query {q.name} did not drain within {timeout}s"
+        )
+    finally:
+        q.stop()
+
+
 def tumbling_agg(events: DataFrame) -> DataFrame:
     """5-minute tumbling window per event_type: the canonical
     streaming aggregation (same expression batch or stream)."""
@@ -408,8 +421,7 @@ def q_stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name)
 
 
@@ -434,8 +446,7 @@ def q_stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name)
 
 
@@ -475,8 +486,7 @@ def q_stream_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name)
 
 
@@ -513,8 +523,7 @@ def q_stream_wmdedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name)
 
 
@@ -562,8 +571,7 @@ def q_stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name)
 
 
@@ -592,8 +600,7 @@ def q_stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name)
 
 
@@ -647,8 +654,7 @@ def q_stream_file_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     back = spark.read.schema(agg.schema).parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_windows"),
@@ -743,8 +749,7 @@ def q_stream_upsert_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     final = spark.read.parquet(f"{base}/target_v{version['v']}").select(
         "event_type",
         "n",
@@ -863,8 +868,7 @@ def q_stream_dedup_incremental_live(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     final = spark.read.parquet(out).withColumn(
         "n_batches", F.lit(n_batches["n"])
     )
@@ -950,8 +954,7 @@ def q_stream_cdc_store_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     final = spark.read.parquet(store).agg(
         F.count("*").alias("n_distinct_chunks"),
         F.sum("chunk_len").alias("total_chunk_chars"),
@@ -1019,8 +1022,7 @@ def q_stream_stateful_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     return spark.table(name).groupBy("user_id").agg(F.max("n").alias("n_events"))
 
 
@@ -1075,8 +1077,7 @@ def q_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    q.stop()
+    _drain(q)
     lat = F.unix_micros("click_ts") - F.unix_micros("view_ts")
     return (
         spark.table(name)

@@ -84,11 +84,26 @@ def _norm_duck_type(t) -> str:
     return _DUCK_T.get(t, t)
 
 
+# Types whose duckdb->pandas rendering diverges from fetchall(): HUGEINT
+# (= sum(BIGINT)!) renders as float64 in the real driver's pandas-based
+# canonicalizer (32.0 vs 32 -> value-hash mismatch) while fetchall()
+# yields Python ints, so this gate would pass where the driver fails
+# (round-8 pack_sequences). Oracles must CAST these away.
+_PANDAS_DIVERGENT = {"HUGEINT", "UHUGEINT"}
+
+
 def assert_matches_oracle(spark_df, oracle_con, oracle_sql_text):
     got_cols = spark_df.columns
     got = [tuple(r) for r in spark_df.collect()]
     rel = oracle_con.sql(oracle_sql_text)
     want_cols = list(rel.columns)
+    bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+           if str(t).rstrip("[]") in _PANDAS_DIVERGENT]
+    assert not bad, (
+        f"oracle yields pandas-divergent type(s) {bad}: the driver's pandas "
+        f"canonicalizer renders HUGEINT as float64 and fails the value hash "
+        f"— CAST to BIGINT in the oracle SQL"
+    )
     want_types = {c: _norm_duck_type(t) for c, t in zip(rel.columns, rel.types)}
     want = rel.fetchall()
     assert sorted(got_cols) == sorted(want_cols), (

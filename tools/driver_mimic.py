@@ -49,6 +49,22 @@ def norm_duck_type(t):
         return "f64"
     return DUCK_T.get(t, t)
 
+# Types whose duckdb->pandas rendering diverges from fetchall(): HUGEINT
+# (sum of BIGINT!) becomes float64 in the driver's pandas canonicalizer
+# (32.0 vs 32 -> hash mismatch) while fetchall() yields Python ints and
+# this gate would say ALL MATCH. pack_sequences escaped exactly this way
+# in round 8. Any oracle producing one of these must CAST it away.
+PANDAS_DIVERGENT = {"HUGEINT", "UHUGEINT"}
+
+def assert_driver_safe_types(rel, name):
+    bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+           if str(t).rstrip("[]") in PANDAS_DIVERGENT]
+    if bad:
+        raise TypeError(
+            f"oracle for {name} yields pandas-divergent type(s) {bad}: "
+            f"the real driver canonicalizes via pandas where HUGEINT "
+            f"renders as float64 and fails the value hash — CAST to BIGINT")
+
 def norm(v):
     # Full precision: both engines round in-query, so any residual
     # float difference is a real cross-engine divergence (f'{v:.6g}'
@@ -81,6 +97,7 @@ for name, fn in sorted(qs.items()):
         if name not in os_:
             print(f"{name}: rows-only, {len(got)} rows"); continue
         rel = con.sql(os_[name]); want_cols = list(rel.columns)
+        assert_driver_safe_types(rel, name)
         want_types = {c: norm_duck_type(t) for c, t in zip(rel.columns, rel.types)}
         got_types = {c: norm_spark_type(t) for c, t in sdf.dtypes}
         types_ok = all(got_types.get(c) == want_types.get(c) for c in got_cols) if sorted(got_cols)==sorted(want_cols) else False

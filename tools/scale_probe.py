@@ -88,6 +88,17 @@ PROBE_QUERIES = [
     # per-batch work must track batch rows).
     "multimodal_decode",
     "stream_cdc_store_live",
+    # round-9 extension (verdict ask): the exact-pair baselines now run
+    # the capped-posting candidate core (cap ENGAGES here — max shingle
+    # df ~34k >> NGRAM_POSTING_CAP=512 — so these rows certify the cap,
+    # not fixture slack), the 3-round label-propagation edge shuffle,
+    # the Zipf AllPairs plan (the 100 TB tfidf path), and the new
+    # paragraph-canonicalization hash join.
+    "dedup_ngram_pairs",
+    "dedup_containment",
+    "graph_label_prop",
+    "tfidf_cosine_zipf",
+    "dedup_paragraph",
 ]
 
 
@@ -227,6 +238,17 @@ def main() -> None:
         "  cost is dominated by per-batch fixed overhead — a time ratio",
         "  far BELOW the data ratio is that overhead amortizing, and the",
         "  marginal slope is the per-batch data work.",
+        "- Round-9 rows: `dedup_ngram_pairs`/`dedup_containment` run the",
+        "  capped-posting candidate core and the cap ENGAGES at 100x (max",
+        "  shingle df ~34k >> 512), so candidate mass is cap-bounded",
+        "  (<= cap x shingle occurrences) instead of Theta(sum df^2) —",
+        "  the uncapped core would attempt ~7e11 join rows here. True",
+        "  pairs concentrate in copy-groups (copies^2), so the output-",
+        "  mass yardstick applies. `graph_label_prop` is 3 fixed rounds",
+        "  over 100x edges; `tfidf_cosine_zipf` is the prefix-filtered",
+        "  AllPairs plan on the derived skewed vocabulary (its candidate",
+        "  AND output mass grow as copy-group pairs); `dedup_paragraph`",
+        "  is one segment hash-agg + hash join, output = docs.",
         "",
     ]
     section = "\n".join(lines)
