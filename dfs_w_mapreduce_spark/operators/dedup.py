@@ -253,7 +253,10 @@ NGRAM_POSTING_CAP = 512  # per-shingle candidate-generation posting cap
 
 
 def _capped_common_counts(
-    spark: SparkSession, sh: DataFrame, sf_dir: str
+    spark: SparkSession,
+    sh: DataFrame,
+    sf_dir: str,
+    force_verify: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The 100 TB exact-pair core: bounded candidate generation +
     exact verification.
@@ -288,6 +291,25 @@ def _capped_common_counts(
             F.concat_ws(":", F.col("s0"), F.col("doc_id").cast("string"))
         ).alias("hkey"),
     )
+    # Runtime plan pick (the tfidf_plan_pick discipline): one
+    # map-side-combining stat aggregate decides whether the cap can
+    # engage AT ALL. When max posting df <= cap the capped candidate
+    # set equals the full co-occurrence set, so the direct count
+    # aggregate over the inverted-index join IS the exact result —
+    # identical to the verify path up to 2^-60 hashed-shingle
+    # collisions (the repo's accepted hash-identity class) — and skips
+    # the rank window, the pair-set materialization, and millions of
+    # array intersects (measured: dedup_containment 20.1s -> ~7s at
+    # sf0.1, where the fixture's max df is 338 < 512). The stat costs
+    # one vocabulary-sized aggregate; the 100x probe (max df ~34k)
+    # takes the capped branch.
+    max_df = (
+        ex.groupBy("s").agg(F.count("*").alias("df")).agg(F.max("df")).first()[0]
+        or 0
+    )
+    if max_df <= NGRAM_POSTING_CAP and not force_verify:
+        common, _ = _common_shingle_counts(sh)
+        return common, sizes
     kept = (
         ex.withColumn(
             "rk",
@@ -1501,6 +1523,79 @@ DEDUP_CLUSTERS_ORACLE = f"""
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    shingles whose FIRST appearance (smallest doc_id — the crawl-order
+    proxy) is this document. The curation signal for incremental
+    corpus growth: a batch of new crawl whose novelty mass is near
+    zero adds tokens but no information (the aggregate twin of
+    dedup — pairwise methods say WHO duplicates whom, novelty says
+    how much of each doc is new at all).
+
+    Scale shape: one shingle explode (shuffled as 8-byte hashed
+    keys), one min hash-aggregate per shingle, one hash join back,
+    one per-doc rollup — all linear, nothing pairwise."""
+    sh = _doc_shingles(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sh").alias("s0")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
+    )
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+    return (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            novel.cast("int").alias("n_novel"),
+            F.round(F.try_divide(novel, F.count("*")), 4).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_ORACLE = f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS s
+           FROM sh),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS INT) AS n_novel,
+           round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty
+    FROM ex JOIN first USING (s)
+    GROUP BY doc_id
+"""
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance rollup of the near-dup resolution: the duplicate
+    CLUSTER-SIZE histogram (how many 2-member, 3-member, ... clusters
+    the MinHash path found) with the docs-removed count per size — the
+    one-page answer to 'what did dedup actually do to the corpus'.
+    Rides the exact cluster labels of dedup_clusters; the histogram is
+    a two-level hash aggregate over the (tiny) member table."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy(F.col("n_members").alias("cluster_size"))
+        .agg(
+            F.count_distinct("cluster_id").cast("int").alias("n_clusters"),
+            F.sum((~F.col("is_keeper")).cast("int")).cast("int").alias("n_docs_removed"),
+        )
+    )
+
+
+DEDUP_REPORT_ORACLE = f"""
+    WITH RECURSIVE
+    {_clusters_labels_sql()},
+    sized AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+    SELECT n_members AS cluster_size,
+           CAST(count(*) AS INT) AS n_clusters,
+           CAST(sum(n_members - 1) AS INT) AS n_docs_removed
+    FROM sized GROUP BY n_members
+"""
+
+
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The missing last step of the dedup pipeline: EMIT the
     deduplicated corpus. Drops every non-keeper cluster member via
@@ -1899,6 +1994,13 @@ def specs() -> list[QuerySpec]:
         QuerySpec("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_ORACLE,
                   ("dedup", "llm", "graph"),
                   "Connected components over near-dup pairs: min-label propagation vs recursive-CTE oracle."),
+        QuerySpec("dedup_report", q_dedup_report, DEDUP_REPORT_ORACLE,
+                  ("dedup", "llm", "governance"),
+                  "Duplicate-cluster size histogram + docs removed per size."),
+        QuerySpec("ngram_novelty", q_ngram_novelty, NGRAM_NOVELTY_ORACLE,
+                  ("text", "llm", "curation"),
+                  "Per-doc fraction of first-seen shingles (crawl-order "
+                  "novelty signal)."),
         QuerySpec("dedup_keep_best", q_dedup_keep_best, _keep_best_oracle(),
                   ("dedup", "llm", "policy"),
                   "Quality-keeper dedup resolution: best-quality member kept per cluster."),

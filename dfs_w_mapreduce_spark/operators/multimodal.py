@@ -1367,6 +1367,119 @@ MULTIMODAL_AUDIO_FBANK_ORACLE = f"""
 """
 
 
+# VAD activity threshold: a frame is 'voiced' iff its energy is at
+# least VAD_MS * frame_length, i.e. mean square >= VAD_MS. 1.4e6 is
+# the variance of the builder's uniform [-2048, 2048) sample domain
+# (4096^2 / 12), so roughly half the frames clear it — both branches
+# of every island edge are exercised. Integer compare: no division.
+VAD_MS = 1_400_000
+
+AUDIO_VAD_SCHEMA = (
+    "doc_id long, n_frames int, n_active int, n_segments int, "
+    "longest_run int, voiced_frac double"
+)
+
+
+def _build_audio_vad(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Energy-gate VAD segmentation on REAL decoded PCM: frame the
+    stream, flag frames whose energy clears the mean-square gate
+    (exact integer compare), then reduce the flag sequence to
+    voiced-segment structure — segment count (rising edges), longest
+    voiced run, voiced fraction. The segmentation step a speech
+    pipeline runs between decode and feature extraction."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            rate = 8000 * (1 + doc_id % 3)
+            ch = 1 + doc_id % 2
+            n_samples = n_chars % 1000 + 1
+            vals = decode_wav_samples(build_wav(rate, ch, n_samples, doc_id))
+            v = np.asarray(vals, dtype=np.int64)
+            offs = np.arange(0, len(v), AUDIO_FRAME)
+            fsq = np.add.reduceat(v * v, offs)
+            flen = np.diff(np.append(offs, len(v)))
+            act = fsq >= VAD_MS * flen
+            rising = act & ~np.concatenate(([False], act[:-1]))
+            longest = run = 0
+            for a in act:
+                run = run + 1 if a else 0
+                longest = max(longest, run)
+            n_frames = len(offs)
+            rows.append(
+                (
+                    doc_id, n_frames, int(act.sum()), int(rising.sum()),
+                    longest, round(int(act.sum()) / n_frames + 5e-9, 4),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_active", "n_segments",
+                "longest_run", "voiced_frac",
+            ],
+        )
+
+
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over decoded PCM — per document,
+    the voiced-segment structure under an exact integer energy gate.
+    Same scale shape as the other audio batteries: one Arrow-batched
+    mapInPandas pass, one fixed-width row per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").mapInPandas(
+        _build_audio_vad, schema=AUDIO_VAD_SCHEMA
+    )
+
+
+MULTIMODAL_AUDIO_VAD_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, (n_chars % 1000 + 1) * (1 + doc_id % 2) AS nv
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, i,
+               (doc_id * 7 + i * 13) % 4096 - 2048 AS s,
+               i // {AUDIO_FRAME} AS f
+        FROM base, LATERAL (SELECT unnest(range(0, nv)) AS i) gi
+    ),
+    fr AS (
+        SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS fsq,
+               CAST(count(*) AS BIGINT) AS flen
+        FROM samp GROUP BY 1, 2
+    ),
+    act AS (
+        SELECT doc_id, f, (fsq >= {VAD_MS} * flen) AS a FROM fr
+    ),
+    seg AS (
+        SELECT doc_id, f, a,
+               f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f) AS g
+        FROM act
+    ),
+    runs AS (
+        SELECT doc_id, count(*) AS run_len
+        FROM seg WHERE a GROUP BY doc_id, g
+    ),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+               CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS INT) AS n_active
+        FROM act GROUP BY doc_id
+    ),
+    rstat AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+               CAST(max(run_len) AS INT) AS longest_run
+        FROM runs GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_frames, p.n_active,
+           COALESCE(r.n_segments, 0) AS n_segments,
+           COALESCE(r.longest_run, 0) AS longest_run,
+           round(p.n_active * 1.0 / p.n_frames + 5e-9, 4) AS voiced_frac
+    FROM per p LEFT JOIN rstat r USING (doc_id)
+"""
+
+
 # --- Animated GIF: real LZW codec path (GIF89a, public spec) --------
 #
 # The animation/video cell done honestly without codec libraries: a
@@ -1800,6 +1913,11 @@ def specs() -> list[QuerySpec]:
                   "Filterbank/MFCC-lite: per-frame exact-bin energies -> "
                   "integer-log2 compression -> 3-point DCT cepstra + modal "
                   "dominant band."),
+        QuerySpec("multimodal_audio_vad", q_multimodal_audio_vad,
+                  MULTIMODAL_AUDIO_VAD_ORACLE,
+                  ("multimodal", "llm", "pandas", "audio"),
+                  "Energy-gate VAD segmentation: voiced segments, longest "
+                  "run, voiced fraction per document."),
         QuerySpec("multimodal_decode", q_multimodal_decode, MULTIMODAL_DECODE_ORACLE,
                   ("multimodal", "llm", "pandas"),
                   "Real WAV/BMP/PNG/baseline-JPEG build->parse roundtrips, "

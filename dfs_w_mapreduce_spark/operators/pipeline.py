@@ -395,6 +395,98 @@ def _split_oracle() -> str:
     """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit over the hash split: a test document
+    leaks if ANY of its 2-gram shingles also appears in a train
+    document — the contamination check run on the engine's own split
+    before the split ships (decontaminate guards against EXTERNAL
+    benchmarks; this guards the internal eval set). Per source:
+    shingled test docs, leaked docs, leak rate.
+
+    Scale shape: one shingle explode joined to the doc->split map,
+    one per-shingle bool aggregate (seen-in-train), one hash join
+    back onto test shingles, one per-doc max and a source rollup —
+    all linear, shingles shuffle as 8-byte hashed keys."""
+    from dfs_w_mapreduce_spark.operators.dedup import _doc_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    h = _h31_spark(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(h < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    splits = d.select("doc_id", "source", split.alias("split"))
+    ex = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("s0"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
+        )
+        .join(splits, "doc_id")
+    )
+    in_train = (
+        ex.groupBy("s")
+        .agg(F.max((F.col("split") == "train").cast("int")).alias("in_train"))
+    )
+    test_docs = (
+        ex.filter(F.col("split") == "test")
+        .join(in_train, "s")
+        .groupBy("doc_id", "source")
+        .agg(F.max("in_train").alias("leaked"))
+    )
+    return (
+        test_docs.groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_test_docs"),
+            F.sum("leaked").cast("int").alias("n_leaked"),
+            F.round(F.try_divide(F.sum("leaked"), F.count("*")), 4).alias("leak_rate"),
+        )
+    )
+
+
+def _split_leakage_oracle() -> str:
+    h = _h31_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH splits AS (
+            SELECT doc_id, source,
+                   CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN {h} % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+                  FROM documents)
+        ),
+        ex AS (
+            SELECT e.doc_id, s.source, s.split,
+                   CAST(('0x' || substr(md5(e.s0), 1, 15)) AS BIGINT) AS sk
+            FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh) e
+            JOIN splits s USING (doc_id)
+        ),
+        in_train AS (
+            SELECT sk, max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train
+            FROM ex GROUP BY sk
+        ),
+        test_docs AS (
+            SELECT e.doc_id, e.source, max(t.in_train) AS leaked
+            FROM ex e JOIN in_train t USING (sk)
+            WHERE e.split = 'test'
+            GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS INT) AS n_test_docs,
+               CAST(sum(leaked) AS INT) AS n_leaked,
+               round(sum(leaked) * 1.0 / count(*), 4) AS leak_rate
+        FROM test_docs GROUP BY source
+    """
+
+
 ENC_VOCAB_N = 30  # vocab size for the encode step (OOV id = 0)
 
 
@@ -1481,6 +1573,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("split_train_val_test", q_split_train_val_test, _split_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Hash-deterministic train/val/test split rolled up per source."),
+        QuerySpec("split_leakage", q_split_leakage, _split_leakage_oracle(),
+                  ("pipeline", "llm", "curation"),
+                  "Train/test n-gram leakage audit over the hash split: "
+                  "leaked test docs + leak rate per source."),
         QuerySpec("tokenize_encode", q_tokenize_encode, TOKENIZE_ENCODE_ORACLE,
                   ("pipeline", "llm", "tokenizer"),
                   "Vocab-induced id encoding with OOV, order-sensitive fingerprint."),

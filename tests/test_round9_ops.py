@@ -58,11 +58,14 @@ def test_posting_cap_bounds_hot_shingle_fanout(spark, monkeypatch):
 
 def test_capped_counts_equal_uncapped_when_cap_exceeds_df(spark, sf_dir):
     """At fixture scale (max shingle df 47 at sf0.001 < cap 512) the
-    capped core must be bit-identical to the uncapped join."""
+    capped VERIFY path must be bit-identical to the uncapped join —
+    force_verify bypasses the runtime plan pick that would otherwise
+    route this corpus to the count path, so this asserts the slow
+    branch's semantics, not the dispatcher."""
     from dfs_w_mapreduce_spark.operators import dedup as D
 
     sh = D._doc_shingles(spark, sf_dir)
-    capped, _ = D._capped_common_counts(spark, sh, sf_dir)
+    capped, _ = D._capped_common_counts(spark, sh, sf_dir, force_verify=True)
     uncapped, _ = D._common_shingle_counts(sh)
     got = {(r.doc_a, r.doc_b): r.common for r in capped.collect()}
     want = {(r.doc_a, r.doc_b): r.common for r in uncapped.collect()}
@@ -228,3 +231,138 @@ def test_oracle_comparator_rejects_hugeint():
         assert_matches_oracle(
             FakeDF(), con, "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)"
         )
+
+
+# -------------------------------------------------- second round-9 batch
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_ngram_novelty_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.dedup import q_ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    first: dict[int, int] = {}
+    per_doc: dict[int, set[int]] = {}
+    for r in docs:
+        w = _toks(r.text)
+        ss = {_md5_60(f"{a} {b}") for a, b in zip(w, w[1:])}
+        if ss:
+            per_doc[r.doc_id] = ss
+            for s in ss:
+                first[s] = min(first.get(s, r.doc_id), r.doc_id)
+    expect = {
+        d: (len(ss), sum(1 for s in ss if first[s] == d))
+        for d, ss in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel)
+        for r in q_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the smallest doc_id with shingles is 100% novel by construction
+    d0 = min(per_doc)
+    assert got[d0][0] == got[d0][1]
+
+
+def test_dedup_report_consistent_with_clusters(spark, sf_dir):
+    from collections import Counter
+
+    from dfs_w_mapreduce_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_report,
+    )
+
+    members = q_dedup_clusters(spark, sf_dir).collect()
+    by_size_clusters = Counter()
+    by_size_removed = Counter()
+    seen = set()
+    for m in members:
+        if m.cluster_id not in seen:
+            seen.add(m.cluster_id)
+            by_size_clusters[m.n_members] += 1
+        if not m.is_keeper:
+            by_size_removed[m.n_members] += 1
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs_removed)
+        for r in q_dedup_report(spark, sf_dir).collect()
+    }
+    expect = {
+        sz: (by_size_clusters[sz], by_size_removed[sz]) for sz in by_size_clusters
+    }
+    assert got == expect
+
+
+def test_split_leakage_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.pipeline import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        q_split_leakage,
+    )
+
+    P31 = 2_147_483_647
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    def split_of(doc_id):
+        h = (_md5_60(str(doc_id)) % P31) % 100
+        return "train" if h < SPLIT_TRAIN_PCT else ("val" if h < SPLIT_VAL_PCT else "test")
+    train_sh: set[int] = set()
+    tests: list[tuple[int, str, set[int]]] = []
+    for r in docs:
+        w = _toks(r.text)
+        ss = {_md5_60(f"{a} {b}") for a, b in zip(w, w[1:])}
+        if not ss:
+            continue
+        sp = split_of(r.doc_id)
+        if sp == "train":
+            train_sh |= ss
+        elif sp == "test":
+            tests.append((r.doc_id, r.source, ss))
+    expect: dict[str, tuple[int, int]] = {}
+    for _, src, ss in tests:
+        n, k = expect.get(src, (0, 0))
+        expect[src] = (n + 1, k + (1 if ss & train_sh else 0))
+    got = {
+        r.source: (r.n_test_docs, r.n_leaked)
+        for r in q_split_leakage(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_audio_vad_matches_python_replica(spark, sf_dir):
+    from dfs_w_mapreduce_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        VAD_MS,
+        q_multimodal_audio_vad,
+    )
+
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    expect = {}
+    for r in meta:
+        doc_id = r.doc_id
+        nv = (r.n_chars % 1000 + 1) * (1 + doc_id % 2)
+        v = [(doc_id * 7 + i * 13) % 4096 - 2048 for i in range(nv)]
+        acts = []
+        for f0 in range(0, nv, AUDIO_FRAME):
+            fr = v[f0:f0 + AUDIO_FRAME]
+            acts.append(sum(s * s for s in fr) >= VAD_MS * len(fr))
+        n_seg = sum(1 for i, a in enumerate(acts) if a and (i == 0 or not acts[i - 1]))
+        longest = run = 0
+        for a in acts:
+            run = run + 1 if a else 0
+            longest = max(longest, run)
+        expect[doc_id] = (len(acts), sum(acts), n_seg, longest)
+    got = {
+        r.doc_id: (r.n_frames, r.n_active, r.n_segments, r.longest_run)
+        for r in q_multimodal_audio_vad(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # both voiced and unvoiced frames must occur (threshold sits at the
+    # waveform's mean square, so the gate genuinely separates)
+    assert any(v[1] > 0 for v in expect.values())
+    assert any(v[1] < v[0] for v in expect.values())
