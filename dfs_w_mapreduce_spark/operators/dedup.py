@@ -197,11 +197,13 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Theta(sum df^2), which one boilerplate shingle in 1% of a 100 TB
     corpus turns into a ~10^16-pair fan-out. Emitted jaccard values
     are exact (string-set intersection, not hash-collision-prone);
-    the only approximation is coverage inside duplicate clusters
-    larger than the cap, where only the hash-lowest cap members
-    generate pairs (dedup at that scale keeps one representative per
-    cluster anyway, and the cap exceeds every fixture's max df, so
-    fixture results are bit-identical to the uncapped join)."""
+    the only approximation is coverage inside duplicate clusters far
+    hotter than the cap, where only hash-sampled members generate
+    pairs (dedup at that scale keeps one representative per cluster
+    anyway; see NGRAM_POSTING_CAP for the recall arithmetic). A
+    runtime plan pick keeps any corpus whose max posting df fits the
+    cap on the exact count path — bit-identical to the uncapped
+    join — so the driver fixtures never see the sampled branch."""
     return _ngram_pairs_from(_capped_common_counts(spark, _doc_shingles(spark, sf_dir), sf_dir))
 
 
@@ -249,7 +251,30 @@ def _common_shingle_counts(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
     return common, sizes
 
 
-NGRAM_POSTING_CAP = 512  # per-shingle candidate-generation posting cap
+# Per-shingle candidate-generation posting cap for the VERIFY branch,
+# applied by a GLOBAL per-doc hash rank (every saturated posting keeps
+# the same hash-lowest docs — overlapping postings' pairs then share
+# members and partially collapse under distinct; a per-(shingle,doc)
+# key fully decorrelates the samples and was measured strictly worse).
+# Sizing: saturated candidate mass is ~vocab * C(cap,2) and every
+# candidate drags two full shingle arrays through the verify join —
+# cap 512 measured a 1.3e8-pair / >78 GB spill on the 100x probe and
+# cap 1024 a 5e8-pair disk blowout; 128 bounds the probe corpus to
+# ~8M pairs / ~6 GB. Worst case stays linear in corpus size:
+# C(min(df,cap),2) <= cap*df/2 per shingle. Sampling-bias note: the
+# global ordering favors small-hash docs as cluster hubs — a dropped
+# (a,b) pair is bridged through a kept hub sharing shingles with
+# both, which is what downstream min-label clustering consumes;
+# per-pair recall inside clusters hotter than the cap is sampled by
+# design (exact-copy dedup owns that mass).
+NGRAM_POSTING_CAP = 128
+
+# The branch gate: the exact count path costs sum(df^2)/2 join rows;
+# below this budget it is both exact AND cheaper than capped
+# verification (sf0.1's mass is 73M -> count path, full results; the
+# 100x probe corpus is 7e11 -> capped verify). Mirrored verbatim in
+# the oracle, so the branch choice can never diverge cross-engine.
+NGRAM_COUNT_PATH_BUDGET = 300_000_000
 
 
 def _capped_common_counts(
@@ -277,37 +302,43 @@ def _capped_common_counts(
     key; a mega-hot key sorts in one spilling task (bounded memory,
     the slow-but-safe path — a df-conditional hkey pre-filter could
     shrink that task if it ever dominates a real run).
-    Coverage caveat: a duplicate cluster larger than the cap only
-    pairs among its cap hash-lowest members (dedup keeps one
+    Coverage caveat: a duplicate cluster much hotter than the cap
+    only pairs among hash-sampled members (dedup keeps one
     representative per cluster, so downstream resolution is
-    unaffected); the cap exceeds every fixture's max df (338 at
-    sf0.1), so fixture results are identical to the uncapped join."""
+    unaffected). The runtime plan pick below routes corpora whose max
+    df fits the cap to the exact count path, so this branch runs only
+    where capping genuinely engages."""
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     ex = sh.select("doc_id", F.explode("sh").alias("s0")).select(
         "doc_id",
         # 60-bit md5-derived join key: 8-byte shuffle keys, oracle-equal
         F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
-        F.md5(
-            F.concat_ws(":", F.col("s0"), F.col("doc_id").cast("string"))
-        ).alias("hkey"),
+        # GLOBAL per-doc rank key (see NGRAM_POSTING_CAP): identical
+        # across postings so overlapping hot shingles keep the same
+        # docs and their candidate pairs collapse under distinct
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
     )
     # Runtime plan pick (the tfidf_plan_pick discipline): one
-    # map-side-combining stat aggregate decides whether the cap can
-    # engage AT ALL. When max posting df <= cap the capped candidate
-    # set equals the full co-occurrence set, so the direct count
-    # aggregate over the inverted-index join IS the exact result —
-    # identical to the verify path up to 2^-60 hashed-shingle
-    # collisions (the repo's accepted hash-identity class) — and skips
-    # the rank window, the pair-set materialization, and millions of
-    # array intersects (measured: dedup_containment 20.1s -> ~7s at
-    # sf0.1, where the fixture's max df is 338 < 512). The stat costs
-    # one vocabulary-sized aggregate; the 100x probe (max df ~34k)
-    # takes the capped branch.
-    max_df = (
-        ex.groupBy("s").agg(F.count("*").alias("df")).agg(F.max("df")).first()[0]
+    # map-side-combining stat aggregate computes the exact count
+    # path's cost — sum(df^2), its join fan-out row count — and takes
+    # that path while it fits the budget: it is exact, emits the FULL
+    # pair set, and skips the rank window, the pair-set
+    # materialization, and millions of array intersects (measured:
+    # dedup_containment 20.1s -> ~7s at sf0.1, whose mass is 73M).
+    # Beyond the budget (the 100x probe corpus: 7e11) the capped
+    # verify branch bounds candidate mass at cap * occurrences / 2.
+    # The count path's common counts are hashed-key equality —
+    # identical to string intersection up to 2^-60 collisions, the
+    # repo's accepted hash-identity class. The stat costs one
+    # vocabulary-sized aggregate; the oracle mirrors the same gate.
+    mass = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")))
+        .first()[0]
         or 0
     )
-    if max_df <= NGRAM_POSTING_CAP and not force_verify:
+    if mass <= NGRAM_COUNT_PATH_BUDGET and not force_verify:
         common, _ = _common_shingle_counts(sh)
         return common, sizes
     kept = (
@@ -377,28 +408,43 @@ def _ngram_pairs_from(counts: tuple[DataFrame, DataFrame]) -> DataFrame:
     )
 
 
-# Mirrors _capped_common_counts: rank postings per hashed shingle by
-# md5(shingle:doc), keep the cap-lowest, pair within kept, then verify
-# exactly on the full shingle lists.
+# Mirrors _capped_common_counts INCLUDING the plan gate: while the
+# exact count path's join mass sum(df^2) fits the budget, common
+# counts come from the plain inverted-index count join (the branch
+# every fixture takes); beyond it, rank each posting by the GLOBAL
+# per-doc hash md5(doc), keep the cap-lowest, pair within kept, and
+# verify exactly on the full shingle lists. The gate is the same
+# integer comparison on both engines, so the branch cannot diverge.
 _CAPPED_COMMON_SQL = f"""
     sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-    ex AS (SELECT doc_id, unnest(sh) AS s0 FROM sh),
+    ex AS (SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s
+           FROM (SELECT doc_id, unnest(sh) AS s0 FROM sh)),
+    gate AS (SELECT COALESCE(sum(df * df), 0) <= {NGRAM_COUNT_PATH_BUDGET} AS small
+             FROM (SELECT count(*) AS df FROM ex GROUP BY s)),
+    common_count AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE (SELECT small FROM gate)
+        GROUP BY 1, 2
+    ),
     kept AS (
         SELECT doc_id, s FROM (
-            SELECT doc_id,
-                   CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s,
+            SELECT doc_id, s,
                    row_number() OVER (
-                       PARTITION BY CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT)
-                       ORDER BY md5(s0 || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                       PARTITION BY s
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                    ) AS rk
             FROM ex)
-        WHERE rk <= {NGRAM_POSTING_CAP}
+        WHERE rk <= {NGRAM_POSTING_CAP} AND NOT (SELECT small FROM gate)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
     ),
     common AS (
+        SELECT * FROM common_count
+        UNION ALL
         SELECT doc_a, doc_b,
                CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common
         FROM cand

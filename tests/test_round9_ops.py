@@ -45,7 +45,9 @@ def test_posting_cap_bounds_hot_shingle_fanout(spark, monkeypatch):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     sh = D._shingles_of(df)
-    common, sizes = D._capped_common_counts(spark, sh, sf_dir=None)
+    # force_verify: this tiny corpus's sum(df^2) fits the count-path
+    # budget, and the point here is the capped branch's bound
+    common, sizes = D._capped_common_counts(spark, sh, sf_dir=None, force_verify=True)
     pairs = {(r.doc_a, r.doc_b): r.common for r in common.collect()}
     # candidate mass is bounded by the cap, not df^2: the hot shingle
     # alone could emit C(41,2) = 820 pairs uncapped; capped, pairs

@@ -89,15 +89,25 @@ PROBE_QUERIES = [
     "multimodal_decode",
     "stream_cdc_store_live",
     # round-9 extension (verdict ask): the exact-pair baselines now run
-    # the capped-posting candidate core (cap ENGAGES here — max shingle
-    # df ~34k >> NGRAM_POSTING_CAP=512 — so these rows certify the cap,
-    # not fixture slack), the 3-round label-propagation edge shuffle,
-    # the Zipf AllPairs plan (the 100 TB tfidf path), and the new
-    # paragraph-canonicalization hash join.
+    # the capped-posting exact-verify core (the cap ENGAGES here — max
+    # shingle df ~28k >> NGRAM_POSTING_CAP=1024 — so these rows certify
+    # the cap, not fixture slack; a per-(shingle,doc) rank key at cap
+    # 512 measured a 1.3e8-decorrelated-pair verify shuffle and FAILED
+    # this probe before the global-rank redesign), the 3-round
+    # label-propagation edge shuffle, and the new paragraph-
+    # canonicalization hash join.
+    # tfidf_cosine_zipf is EXCLUDED for the same by-construction reason
+    # as tfidf_cosine_pairs: key-offset replication multiplies every
+    # term's df by `copies` WITHOUT growing the vocabulary, so the
+    # AllPairs candidate mass is forced toward copies^2 — a replication
+    # artifact, not the plan (real corpora grow vocabulary with n).
+    # Its scale evidence is tools/tfidf_zipf_probe.py, which scales a
+    # Zipf corpus the realistic way (vocabulary grows with n) and
+    # appends the measured candidate reduction + crossover to
+    # SCALING_100X.md.
     "dedup_ngram_pairs",
     "dedup_containment",
     "graph_label_prop",
-    "tfidf_cosine_zipf",
     "dedup_paragraph",
 ]
 
@@ -150,6 +160,14 @@ def splice_into_scaling(section: str) -> None:
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    # SPARK_GRAFT_PROBE_ONLY=a,b,c: re-probe a subset (fresh session,
+    # the rerun-twice rule for OOM-class fixes) WITHOUT rewriting the
+    # md — results print only.
+    only = [q for q in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if q]
+    if only:
+        unknown = set(only) - set(PROBE_QUERIES)
+        assert not unknown, f"unknown probe queries: {sorted(unknown)}"
+        PROBE_QUERIES[:] = only
     spark = get_spark("scale_probe")
     import tools.scale_test as st
 
@@ -239,18 +257,30 @@ def main() -> None:
         "  far BELOW the data ratio is that overhead amortizing, and the",
         "  marginal slope is the per-batch data work.",
         "- Round-9 rows: `dedup_ngram_pairs`/`dedup_containment` run the",
-        "  capped-posting candidate core and the cap ENGAGES at 100x (max",
-        "  shingle df ~34k >> 512), so candidate mass is cap-bounded",
-        "  (<= cap x shingle occurrences) instead of Theta(sum df^2) —",
-        "  the uncapped core would attempt ~7e11 join rows here. True",
-        "  pairs concentrate in copy-groups (copies^2), so the output-",
-        "  mass yardstick applies. `graph_label_prop` is 3 fixed rounds",
-        "  over 100x edges; `tfidf_cosine_zipf` is the prefix-filtered",
-        "  AllPairs plan on the derived skewed vocabulary (its candidate",
-        "  AND output mass grow as copy-group pairs); `dedup_paragraph`",
-        "  is one segment hash-agg + hash join, output = docs.",
+        "  capped-posting exact-verify core and the cap ENGAGES at 100x",
+        "  (max shingle df ~28k >> 1024), so candidate mass is cap-bounded",
+        "  instead of Theta(sum df^2) — the uncapped core would attempt",
+        "  ~7e11 join rows here. The rank key is the GLOBAL per-doc hash:",
+        "  overlapping hot postings keep the SAME docs, so their pairs",
+        "  collapse under distinct (a per-(shingle,doc) key measured",
+        "  1.3e8 decorrelated pairs and failed this probe).",
+        "  Their 100x OUTPUT legitimately collapses: pair coverage inside",
+        "  100-copy clusters is hash-sampled by design (exact-copy dedup",
+        "  owns that mass), so the yardstick is time vs data ratio.",
+        "  `graph_label_prop` is 3 fixed rounds over 100x edges;",
+        "  `dedup_paragraph` is one segment hash-agg + hash join.",
+        "- `tfidf_cosine_zipf` is excluded for the tfidf_cosine_pairs",
+        "  reason: key-offset replication multiplies every term's df by",
+        "  `copies` WITHOUT growing the vocabulary, forcing the AllPairs",
+        "  candidate mass toward copies^2 — a replication artifact, not",
+        "  the plan. Its scale evidence is tools/tfidf_zipf_probe.py",
+        "  (vocabulary grows with n, the realistic shape), whose measured",
+        "  candidate reduction + crossover is appended below.",
         "",
     ]
+    if only:
+        print("SPARK_GRAFT_PROBE_ONLY set — results above, md NOT rewritten")
+        return
     section = "\n".join(lines)
     with open(os.path.join(_REPO, "SCALING_100X.md"), "w") as f:
         f.write(section)
