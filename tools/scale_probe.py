@@ -89,12 +89,12 @@ PROBE_QUERIES = [
     "multimodal_decode",
     "stream_cdc_store_live",
     # round-9 extension (verdict ask): the exact-pair baselines now run
-    # the capped-posting exact-verify core (the cap ENGAGES here — max
-    # shingle df ~28k >> NGRAM_POSTING_CAP=1024 — so these rows certify
-    # the cap, not fixture slack; a per-(shingle,doc) rank key at cap
-    # 512 measured a 1.3e8-decorrelated-pair verify shuffle and FAILED
-    # this probe before the global-rank redesign), the 3-round
-    # label-propagation edge shuffle, and the new paragraph-
+    # the mass-gated exact-pair core: sum(df^2) here (7e11) blows the
+    # count-path budget, so the capped verify branch runs (cap 128,
+    # global-hash rank) — these rows certify the cap, not fixture
+    # slack (caps 512/1024 measured 1.3e8/5e8-pair verify shuffles and
+    # FAILED this probe before the budget-gate redesign). Plus the
+    # 3-round label-propagation edge shuffle and the new paragraph-
     # canonicalization hash join.
     # tfidf_cosine_zipf is EXCLUDED for the same by-construction reason
     # as tfidf_cosine_pairs: key-offset replication multiplies every
@@ -112,7 +112,16 @@ PROBE_QUERIES = [
 ]
 
 
-def run(spark, sf_dir: str, label: str) -> dict[str, tuple[float, int]]:
+# Restart the JVM every N probe queries: a 26-query 100x marathon in
+# ONE session accumulated heap (checkpoint blocks, shuffle state,
+# codegen classes) until query #25 OOM'd an 8g driver — and a poisoned
+# JVM fails every later query collaterally (CLAUDE.md). Fresh sessions
+# every few queries keep each measurement independent, which is also
+# truer to how the per-query numbers are adjudicated.
+SESSION_ROTATE_EVERY = 6
+
+
+def run(sf_dir: str, label: str) -> dict[str, tuple[float, int]]:
     """Time each probe query AND record its output row count (the
     output-mass yardstick) via an Observation on the same noop-write
     job — zero extra compute, so 'ratio vs output mass' is a measured
@@ -121,11 +130,18 @@ def run(spark, sf_dir: str, label: str) -> dict[str, tuple[float, int]]:
     from pyspark.sql import functions as F
 
     reg = collect()
+    spark = get_spark("scale_probe")
     spark.read.parquet(f"{sf_dir}/documents.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
     out: dict[str, tuple[float, int]] = {}
-    for name in PROBE_QUERIES:
+    for i, name in enumerate(PROBE_QUERIES):
+        if i and i % SESSION_ROTATE_EVERY == 0:
+            spark.stop()
+            spark = get_spark("scale_probe")
+            spark.read.parquet(f"{sf_dir}/documents.parquet").write.format(
+                "noop"
+            ).mode("overwrite").save()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
@@ -180,8 +196,8 @@ def main() -> None:
         build(spark, copies)
         print(f"built in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    base = run(spark, SRC, "sf0.1")
-    big = run(spark, DST100, f"sf0.1x{copies}")
+    base = run(SRC, "sf0.1")
+    big = run(DST100, f"sf0.1x{copies}")
 
     lines = [
         f"## 100x probe (dedup/ANN family, tools/scale_probe.py, {copies}x)",
