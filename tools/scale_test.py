@@ -171,13 +171,10 @@ QUERIES = [
     # hash-sample, so its cost is one shingle scan + one sketch scan
     # + bounded joins at any SF
     "dedup_agreement",
-    # round-8 second batch (dedup_containment is excluded for the same
-    # measured reason as tfidf_cosine_pairs / dedup_ngram_pairs: the
-    # 10x sweep replicates documents, so every near-dup family gains
-    # 10 copies and the TRUE containment output grows ~copies^2 —
-    # the output mass, not the plan, is quadratic in replication;
-    # its scale posture is the shared _common_shingle_counts core
-    # already covered by the minhash family rows)
+    # round-8 second batch (dedup_containment/dedup_ngram_pairs were
+    # excluded here while the exact-pair core was uncapped — the
+    # replicated corpus made their true output quadratic; they rejoin
+    # below now that the round-9 mass gate bounds that branch)
     "quality_gopher",
     "text_collocations",
     "text_entropy",
@@ -196,6 +193,21 @@ QUERIES = [
     "ts_changepoint",
     "markov_entropy",
     "agg_mode",
+    # round-9 operators. dedup_ngram_pairs/dedup_containment rejoin
+    # the sweep (they were excluded while the exact-pair core was
+    # uncapped — the replicated corpus's output mass is quadratic):
+    # the mass-gated core now routes replication-inflated corpora to
+    # the capped verify branch, whose candidate AND output mass are
+    # bounded; see SCALING_100X.md for the engaged-branch decade.
+    "dedup_ngram_pairs",
+    "dedup_containment",
+    "dedup_paragraph",
+    "quality_repeated",
+    "ngram_novelty",
+    "split_leakage",
+    "dedup_report",
+    "multimodal_audio_fbank",
+    "multimodal_audio_vad",
 ]
 
 
