@@ -331,16 +331,20 @@ def _capped_common_counts(
     # identical to string intersection up to 2^-60 collisions, the
     # repo's accepted hash-identity class. The stat costs one
     # vocabulary-sized aggregate; the oracle mirrors the same gate.
-    mass = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")))
-        .first()[0]
-        or 0
-    )
-    if mass <= NGRAM_COUNT_PATH_BUDGET and not force_verify:
-        common, _ = _common_shingle_counts(sh)
-        return common, sizes
+    if not force_verify:
+        # the stat aggregate is an eager Spark job — skip it entirely
+        # when the caller pinned the verify branch (its result would
+        # be ignored)
+        mass = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")))
+            .first()[0]
+            or 0
+        )
+        if mass <= NGRAM_COUNT_PATH_BUDGET:
+            common, _ = _common_shingle_counts(sh)
+            return common, sizes
     kept = (
         ex.withColumn(
             "rk",
@@ -450,6 +454,10 @@ _CAPPED_COMMON_SQL = f"""
         FROM cand
         JOIN sh sa ON doc_a = sa.doc_id
         JOIN sh sb ON doc_b = sb.doc_id
+        -- mirror the Spark verify branch's common > 0 filter so a
+        -- 60-bit hash-collision-only candidate is dropped by BOTH
+        -- engines, not just this one
+        WHERE len(list_intersect(sa.sh, sb.sh)) > 0
     )
 """
 

@@ -336,8 +336,12 @@ class ChunkedTextStreamReader(SimpleDataSourceStreamReader):
             columns=["doc_id", "text"],
             filters=[("doc_id", ">=", lo), ("doc_id", "<=", hi)],
         ).sort_by("doc_id")
+        # chunk id derives from the absolute row rank alone:
+        # start already equals first_chunk * step, so adding
+        # first_chunk again would double-count it for any replay or
+        # grown-file read that starts past chunk 0
         return iter([
-            (first_chunk + (start + j) // step, (start + j) % step, text)
+            ((start + j) // step, (start + j) % step, text)
             for j, text in enumerate(t.column("text").to_pylist())
         ])
 

@@ -472,6 +472,18 @@ def test_chunked_stream_source_equals_batch_scan(spark, sf_dir):
     # replay of a committed range is deterministic
     replay = list(rd.readBetweenOffsets({"chunk": 0}, off))
     assert replay == rows
+    # a replay starting PAST chunk 0 (restart recovery / grown file)
+    # must emit the absolute chunk ids, not first_chunk-shifted ones:
+    # chunks [2, 4) of a many-chunk reader are ids {2, 3} and equal
+    # the corresponding slice of a full scan
+    rd_small = ChunkedTextStreamReader(
+        {"path": f"{sf_dir}/documents.parquet", "lines_per_chunk": "3"}
+    )
+    assert rd_small._n_chunks() >= 5
+    full = list(rd_small.readBetweenOffsets({"chunk": 0}, {"chunk": rd_small._n_chunks()}))
+    part = list(rd_small.readBetweenOffsets({"chunk": 2}, {"chunk": 4}))
+    assert {cid for cid, _, _ in part} == {2, 3}
+    assert part == [r for r in full if r[0] in (2, 3)]
 
 
 def test_scene_cuts_match_closed_form_replica(spark, sf_dir):
