@@ -38,6 +38,17 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
+Adjudicated r9 -> r10 (VERDICT r9 what's-wrong #1): the r9 isolated
+tfidf_cosine_pairs record of 30.2s (vs 20.2s in r8, while in-batch
+IMPROVED 25.1 -> 20.4s) does NOT reproduce — two round-10 fresh-JVM
+isolated min-of-3 runs measured 20.5s and 23.8s on unchanged code,
+i.e. back at the r8 level and consistent with the r9 in-batch 20.4s.
+The contradiction (isolated worse while in-batch better) is resolved
+as a one-off machine-state artifact in the r9 companion subprocess,
+the same class adjudicated for r7's multimodal_decode. Round 10 also
+adds SESSION_ROTATE_EVERY to the main suite so in-batch numbers stop
+drifting away from their isolated companions in the first place.
+
 Adjudicated r8 second-session record (126 keys, 227.8s): shared-key
 sum vs the prior r8 record is 174.3s -> 205.6s (+18%) spread
 uniformly across keys whose code did not change this session (the 14
@@ -305,6 +316,11 @@ HEADLINE = [
     "dedup_paragraph",
     "quality_repeated",
     "multimodal_audio_fbank",
+    # round-10 additions
+    "dedup_image_phash",
+    "multimodal_audio_fingerprint",
+    "bpe_fertility",
+    "corpus_domain_rollup",
 ]
 
 
@@ -327,6 +343,16 @@ ISOLATED_KEYS = [
 ISOLATED_RATIO = 1.25
 ISOLATED_EXTRA_MAX = 8
 REPS = 3
+# Restart the SparkSession every N measured queries (round-10 rule,
+# adopted from tools/scale_probe.py where it was proven on the 100x
+# marathon): a 135-key single-session suite accumulates JVM pressure
+# (codegen classes, shuffle state, GC debt) that inflates heavy keys
+# late in the run by up to 2x vs their fresh-JVM isolated numbers
+# (r9: graph_label_prop 14.3s in-batch vs 7.9s isolated). Rotation
+# happens OUTSIDE the timed region; min-of-3 within one session still
+# measures steady-state. This cuts the batch-vs-isolated divergence
+# that forced per-round adjudication essays.
+SESSION_ROTATE_EVERY = 6
 
 
 def _prior_bench_queries(sf: float) -> dict[str, float]:
@@ -365,20 +391,28 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     only = [k for k in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if k]
 
-    spark = get_spark("bench")
-    registry = collect()
+    def _fresh_session():
+        # warmup: scan the biggest fact table through the noop write
+        # path once so JIT/codegen/write-plumbing costs don't land on
+        # the first measured query of the (new) session
+        s = get_spark("bench")
+        s.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return s
 
-    # warmup: scan the biggest fact table through the noop write path
-    # once so JIT/codegen/write-plumbing costs don't land on query #1
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    spark = _fresh_session()
+    registry = collect()
 
     timings: dict[str, float] = {}
     for name in (only or HEADLINE):
         spec = registry.get(name)
         if spec is None:
             continue
+        if len(timings) and len(timings) % SESSION_ROTATE_EVERY == 0:
+            # rotation is outside the timed region (see constant doc)
+            spark.stop()
+            spark = _fresh_session()
         best = None
         for _ in range(REPS):
             # clear cached sub-plans so run 2 measures the same

@@ -1097,6 +1097,263 @@ def _importance_resample_oracle() -> str:
     """
 
 
+def q_corpus_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host-level corpus governance rollup — the per-domain cut
+    CCNet/RefinedWeb-style curation makes before sampling: synthesize
+    each document's crawl URL deterministically (subdomain varies by
+    doc so host -> registrable-domain extraction is real work), parse
+    the host back out of the URL string with Spark's parse_url, strip
+    to the last-two-label registrable domain, and aggregate the
+    governance signals per domain:
+
+    - volume: docs, distinct hosts, distinct languages;
+    - exact-dup rate: 1 - distinct(md5(text)) / docs — the fraction a
+      domain would lose to exact dedup (boilerplate mills score high);
+    - length-gate pass rate: the Gopher-style word-count window
+      [GOV_MIN_WORDS, GOV_MAX_WORDS];
+    - mean words/doc.
+
+    Scale shape: one projection + one hash aggregate keyed on the
+    domain (no joins, no windows); md5 hashes shuffle instead of text.
+    Domains are the natural partition key for every downstream
+    per-domain sampling decision."""
+    d = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("cdn"))
+        .otherwise(F.lit("blog"))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("."), F.col("source"),
+        F.lit(".org/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    parts = F.split(host, r"\.")
+    domain = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    base = d.select(
+        domain.alias("domain"),
+        host.alias("host"),
+        "lang",
+        F.md5("text").alias("th"),
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))).alias("n_words"),
+    )
+    n = F.count("*")
+    uniq = F.countDistinct("th")
+    return base.groupBy("domain").agg(
+        n.alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.lit(1.0) - uniq / n, 4).alias("dup_rate"),
+        F.round(
+            F.sum(
+                (
+                    (F.col("n_words") >= GOV_MIN_WORDS)
+                    & (F.col("n_words") <= GOV_MAX_WORDS)
+                ).cast("long")
+            )
+            / n,
+            4,
+        ).alias("len_pass_rate"),
+        F.round(F.sum("n_words") / n, 4).alias("mean_words"),
+    )
+
+
+GOV_MIN_WORDS = 30   # Gopher-style doc length gate, scaled to the
+GOV_MAX_WORDS = 500  # fixture's 20-110-word documents
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact-URL dedup — the crawl-frontier
+    hygiene pass every web corpus runs before content dedup: raw URLs
+    differing only in scheme/host case, an explicit default port,
+    tracking parameters, a trailing slash, or a fragment must collapse
+    to one canonical form.
+
+    The raw URL is synthesized deterministically per document with
+    each mess-class toggled by a different doc_id residue (so every
+    canonicalization rule is exercised and pinned by the counts), and
+    the PATH buckets to doc_id % URL_PATH_BUCKETS — so distinct
+    documents genuinely collide post-canonicalization and the dedup
+    arm does real work. Canonicalization is pure string expressions
+    (lower/regexp_replace — JVM-side, no UDF); dedup is one hash
+    aggregate per canonical URL; the registry row is the per-source
+    rollup: raw/canonical counts, URL dup rate, and per-rule hit
+    counts."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".ORG"),
+    )
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        host,
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (F.col("doc_id") % URL_PATH_BUCKETS).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 1, F.lit("?utm_source=feed&utm_id=9")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    canon = raw
+    canon = F.regexp_replace(canon, r"#.*$", "")           # drop fragment
+    canon = F.regexp_replace(canon, r"\?utm_[^#]*$", "")   # drop tracking query
+    # lowercase scheme+host (everything before the first path slash)
+    canon = F.concat(
+        F.lower(F.regexp_extract(canon, r"^([^/]*//[^/:]*)", 1)),
+        F.regexp_replace(
+            F.regexp_extract(canon, r"^[^/]*//[^/]*(/.*)?$", 1), r"^:443", ""
+        ),
+    )
+    canon = F.regexp_replace(canon, r"(.)/$", "$1")        # trailing slash
+    base = d.select(
+        "source",
+        "doc_id",
+        raw.alias("raw_url"),
+        canon.alias("url"),
+    )
+    per_url = base.groupBy("source", "url").agg(
+        F.count("*").alias("k"), F.min("doc_id").alias("keeper")
+    )
+    rules = base.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("raw_url").rlike("#").cast("long")).alias("n_fragment"),
+        F.sum(F.col("raw_url").rlike(r"utm_").cast("long")).alias("n_tracking"),
+        F.sum(F.col("raw_url").rlike(r":443").cast("long")).alias("n_default_port"),
+    )
+    rollup = per_url.groupBy("source").agg(
+        F.count("*").alias("n_canonical"),
+        F.sum(F.col("k") - 1).alias("n_dup_urls"),
+        F.min("keeper").alias("min_keeper"),
+    )
+    return rules.join(rollup, "source").select(
+        "source",
+        "n_raw",
+        "n_canonical",
+        F.round(F.lit(1.0) - F.col("n_canonical") / F.col("n_raw"), 4).alias(
+            "url_dup_rate"
+        ),
+        "n_dup_urls",
+        "n_fragment",
+        "n_tracking",
+        "n_default_port",
+        "min_keeper",
+    )
+
+
+URL_PATH_BUCKETS = 40
+
+
+URL_CANONICAL_DEDUP_ORACLE = f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               'HTTPS://' ||
+               CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END
+               || source || '.ORG'
+               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+               || '/Page/' || CAST(doc_id % {URL_PATH_BUCKETS} AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&utm_id=9'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+               AS raw_url
+        FROM documents
+    ),
+    canon AS (
+        SELECT source, doc_id, raw_url,
+               regexp_replace(
+                   lower(regexp_extract(
+                       regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                                      '\\?utm_[^#]*$', ''),
+                       '^([^/]*//[^/:]*)', 1))
+                   || regexp_replace(
+                          regexp_extract(
+                              regexp_replace(
+                                  regexp_replace(raw_url, '#.*$', ''),
+                                  '\\?utm_[^#]*$', ''),
+                              '^[^/]*//[^/]*(/.*)?$', 1),
+                          '^:443', ''),
+                   '(.)/$', '\\1') AS url
+        FROM base
+    ),
+    per_url AS (
+        SELECT source, url, count(*) AS k, min(doc_id) AS keeper
+        FROM canon GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN raw_url LIKE '%#%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fragment,
+               -- regexp, not LIKE: '_' is a single-char wildcard in LIKE
+               CAST(sum(CASE WHEN regexp_matches(raw_url, 'utm_')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking,
+               CAST(sum(CASE WHEN raw_url LIKE '%:443%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_default_port
+        FROM canon GROUP BY 1
+    ),
+    rollup AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_canonical,
+               CAST(sum(k - 1) AS BIGINT) AS n_dup_urls,
+               CAST(min(keeper) AS BIGINT) AS min_keeper
+        FROM per_url GROUP BY 1
+    )
+    SELECT source, n_raw, n_canonical,
+           round(1.0 - n_canonical * 1.0 / n_raw, 4) AS url_dup_rate,
+           n_dup_urls, n_fragment, n_tracking, n_default_port, min_keeper
+    FROM rules JOIN rollup USING (source)
+"""
+
+
+CORPUS_DOMAIN_ROLLUP_ORACLE = f"""
+    WITH base AS (
+        SELECT
+            -- registrable domain = last two labels of the host parsed
+            -- back out of the synthesized URL (mirrors parse_url HOST)
+            regexp_extract(
+                regexp_extract(
+                    'https://' ||
+                    CASE WHEN doc_id % 3 = 0 THEN 'www'
+                         WHEN doc_id % 3 = 1 THEN 'cdn'
+                         ELSE 'blog' END
+                    || '.' || source || '.org/docs/'
+                    || CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+                    'https://([^/?]+)', 1),
+                '([^.]+\\.[^.]+)$', 1) AS domain,
+            regexp_extract(
+                'https://' ||
+                CASE WHEN doc_id % 3 = 0 THEN 'www'
+                     WHEN doc_id % 3 = 1 THEN 'cdn'
+                     ELSE 'blog' END
+                || '.' || source || '.org/docs/'
+                || CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+                'https://([^/?]+)', 1) AS host,
+            lang,
+            md5(text) AS th,
+            len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS n_words
+        FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(1.0 - count(DISTINCT th) * 1.0 / count(*), 4) AS dup_rate,
+           round(sum(CASE WHEN n_words BETWEEN {GOV_MIN_WORDS} AND
+                          {GOV_MAX_WORDS} THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS len_pass_rate,
+           round(sum(n_words) * 1.0 / count(*), 4) AS mean_words
+    FROM base
+    GROUP BY domain
+"""
+
+
 import sys as _sys  # noqa: E402
 
 from pyspark import cloudpickle as _cloudpickle  # noqa: E402
@@ -1110,6 +1367,14 @@ def specs() -> list[QuerySpec]:
             "heavy_hitters", q_heavy_hitters, HEAVY_HITTERS_ORACLE,
             ("sketch", "llm", "pandas"),
             "Misra-Gries frequent tokens: sketch candidates + exact recount.",
+        ),
+        QuerySpec(
+            "corpus_domain_rollup", q_corpus_domain_rollup,
+            CORPUS_DOMAIN_ROLLUP_ORACLE,
+            ("corpus", "llm", "curation"),
+            "Per-domain governance rollup: real URL->host->domain "
+            "extraction, exact-dup rate, length-gate pass rate, "
+            "volume/lang spread.",
         ),
         QuerySpec(
             "text_bigram_kn", q_text_bigram_kn, TEXT_BIGRAM_KN_ORACLE,

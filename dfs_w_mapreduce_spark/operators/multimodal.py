@@ -1870,6 +1870,398 @@ MULTIMODAL_GIF_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprinting: spectral-peak pair hashing (the Shazam shape,
+# Wang 2003) over the exact integer-basis frame spectra.
+
+FP_FANOUT = 3  # target zone: pair each anchor frame with the next 1..3
+
+AUDIO_FP_SCHEMA = "doc_id long, fp_hash int, n long, first_anchor int"
+
+
+def _build_audio_fingerprint(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Per document: decode the real WAV, frame the PCM (AUDIO_FRAME
+    samples), evaluate the three integer-basis band energies per frame
+    (the exact-bin filterbank of _build_audio_fbank), then fingerprint:
+
+    - peak-pick per frame: the dominant band (ties dc > quarter >
+      nyquist — np.argmax-first, the battery's standard tie-break)
+      plus its integer-log2 energy (bit_length — exact, no libm);
+    - pair each anchor frame with its FP_FANOUT successors (the
+      'target zone') and hash (dom_a, dom_b, dt, clamped il_a - il_b)
+      into one small integer;
+    - reduce per document to the fingerprint set: one row per distinct
+      hash with its occurrence count and first anchor frame.
+
+    Every quantity is an exact integer, so the closed-form SQL oracle
+    reproduces builder -> decoder -> framer -> peak -> hash
+    bit-for-bit."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            rate = 8000 * (1 + doc_id % 3)
+            ch = 1 + doc_id % 2
+            n_samples = n_chars % 1000 + 1
+            vals = decode_wav_samples(build_wav(rate, ch, n_samples, doc_id))
+            v = np.asarray(vals, dtype=np.int64)
+            i = np.arange(len(v))
+            offs = np.arange(0, len(v), AUDIO_FRAME)
+            c4 = np.array([1, 0, -1, 0])[i % 4]
+            s4 = np.array([0, 1, 0, -1])[i % 4]
+            alt = np.array([1, -1])[i % 2]
+            dc_f = np.add.reduceat(v, offs)
+            qc_f = np.add.reduceat(v * c4, offs)
+            qs_f = np.add.reduceat(v * s4, offs)
+            ny_f = np.add.reduceat(v * alt, offs)
+            e = np.stack([dc_f * dc_f, qc_f * qc_f + qs_f * qs_f, ny_f * ny_f])
+            dom = np.argmax(e, axis=0)  # first max = dc>quarter>nyquist
+            peak_e = e[dom, np.arange(e.shape[1])]
+            il = np.where(peak_e > 0, np.frexp(peak_e.astype(np.float64))[1], 0)
+            fps: dict[int, tuple[int, int]] = {}
+            nf = len(offs)
+            for f in range(nf):
+                for dt in range(1, FP_FANOUT + 1):
+                    if f + dt >= nf:
+                        break
+                    dil = max(-8, min(7, int(il[f]) - int(il[f + dt])))
+                    hsh = (
+                        (int(dom[f]) * 3 + int(dom[f + dt])) * 4 + dt
+                    ) * 16 + dil + 8
+                    n, first = fps.get(hsh, (0, f))
+                    fps[hsh] = (n + 1, first)
+            for hsh, (n, first) in fps.items():
+                rows.append((doc_id, hsh, n, first))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "fp_hash", "n", "first_anchor"]
+        )
+
+
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document audio fingerprint set (spectral-peak pair hashes)
+    over real decoded PCM — the constellation-hash index a large-scale
+    audio dedup/retrieval pipeline builds before any matching join.
+    Scale shape: one Arrow-batched mapInPandas pass, per-row numpy
+    reduction, output bounded by frames x FP_FANOUT per document
+    (nothing sample-sized reaches a shuffle); the fingerprint table is
+    the join-ready artifact, partitionable by fp_hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars").mapInPandas(
+        _build_audio_fingerprint, schema=AUDIO_FP_SCHEMA
+    )
+
+
+MULTIMODAL_AUDIO_FP_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, (n_chars % 1000 + 1) * (1 + doc_id % 2) AS nv
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id, i,
+               (doc_id * 7 + i * 13) % 4096 - 2048 AS s,
+               i // {AUDIO_FRAME} AS f
+        FROM base, LATERAL (SELECT unnest(range(0, nv)) AS i) gi
+    ),
+    fr AS (
+        SELECT doc_id, f,
+               CAST(sum(s) AS BIGINT) AS dc,
+               CAST(sum(s * (CASE i % 4 WHEN 0 THEN 1 WHEN 2 THEN -1
+                             ELSE 0 END)) AS BIGINT) AS qc,
+               CAST(sum(s * (CASE i % 4 WHEN 1 THEN 1 WHEN 3 THEN -1
+                             ELSE 0 END)) AS BIGINT) AS qs,
+               CAST(sum(s * (CASE i % 2 WHEN 0 THEN 1 ELSE -1 END))
+                    AS BIGINT) AS ny
+        FROM samp GROUP BY 1, 2
+    ),
+    pk AS (
+        SELECT doc_id, f,
+               CASE WHEN dc * dc >= qc * qc + qs * qs
+                         AND dc * dc >= ny * ny THEN 0
+                    WHEN qc * qc + qs * qs >= ny * ny THEN 1
+                    ELSE 2 END AS dom,
+               CASE WHEN greatest(dc * dc, qc * qc + qs * qs, ny * ny) = 0
+                    THEN 0
+                    ELSE length(printf('%b',
+                         greatest(dc * dc, qc * qc + qs * qs, ny * ny)))
+                    END AS il
+        FROM fr
+    ),
+    pairs AS (
+        SELECT a.doc_id,
+               CAST(((a.dom * 3 + b.dom) * 4 + (b.f - a.f)) * 16
+                    + least(greatest(a.il - b.il, -8), 7) + 8 AS INT)
+                   AS fp_hash,
+               a.f AS anchor
+        FROM pk a
+        JOIN pk b ON b.doc_id = a.doc_id
+                 AND b.f - a.f BETWEEN 1 AND {FP_FANOUT}
+    )
+    SELECT doc_id, fp_hash,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(anchor) AS INT) AS first_anchor
+    FROM pairs
+    GROUP BY doc_id, fp_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dedup: dHash over REAL decoded pixels +
+# Hamming-band blocking (the image analog of dedup_simhash_pairs).
+
+IMG_HAM_T = 4  # pair bar: <= 4 of 64 dHash bits differ
+# A (band, key) bucket with a macroscopic fraction of the corpus makes
+# its candidate mass Theta(n^2) (the SWEEP_BUCKET_CAP lesson from
+# minhash banding, dedup.py): bound every bucket to its
+# IMG_BUCKET_CAP hash-lowest members (global per-doc md5 rank,
+# deterministic and mirrored in the oracle) so per-bucket pairs are
+# <= CAP^2/2 and total candidate mass is linear in bucket count.
+IMG_BUCKET_CAP = 64
+
+PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def _build_image_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per document: build the animated GIF, run the REAL LZW decode,
+    and compute a 64-bit difference hash (dHash, Krawetz) on frame 0:
+    sample a 9x8 nearest-neighbor luminance grid and emit one bit per
+    horizontally adjacent cell pair (left < right). Luminance is the
+    palette RGB byte sum of the DECODED palette index — any LZW or
+    palette bug flips hash bits and breaks the oracle match. The hash
+    is returned as four 16-bit band keys (b0 = bits 0..15 from the
+    LSB) — the blocking keys for the Hamming band join."""
+    pal = [
+        (i * GIF_PAL_MULS[0]) % 256
+        + (i * GIF_PAL_MULS[1]) % 256
+        + (i * GIF_PAL_MULS[2]) % 256
+        for i in range(GIF_COLORS)
+    ]
+    for pdf in batches:
+        rows = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            doc_id, n_chars = int(doc_id), int(n_chars)
+            w, h = doc_id % 5 + 4, n_chars % 4 + 3
+            nf = doc_id % 3 + 2
+            fr = decode_gif(build_gif(w, h, nf, doc_id))[0]
+            idx = fr["idx"]
+            bits = 0
+            for ty in range(8):
+                sy = ty * h // 8
+                for tx in range(8):
+                    sx0, sx1 = tx * w // 9, (tx + 1) * w // 9
+                    bits = (bits << 1) | (
+                        1 if pal[idx[sy * w + sx1]] > pal[idx[sy * w + sx0]] else 0
+                    )
+            rows.append(
+                (
+                    doc_id,
+                    bits & 0xFFFF,
+                    (bits >> 16) & 0xFFFF,
+                    (bits >> 32) & 0xFFFF,
+                    (bits >> 48) & 0xFFFF,
+                )
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup at the 100 TB shape:
+
+    1. Hash: Arrow-batched mapInPandas computes a 64-bit dHash per
+       document from REAL decoded GIF pixels (one LZW decode per doc,
+       embarrassingly parallel); only the 4x16-bit signature leaves
+       the worker — payload bytes never shuffle.
+    2. Block: band join on the four 16-bit hash slices (two images
+       within Hamming distance 4 of 64 bits must agree exactly on at
+       least one 16-bit band — lossless for the bar, the same
+       pigeonhole as dedup_simhash_pairs' byte-banding). Buckets are
+       capped at IMG_BUCKET_CAP md5-lowest docs (linear candidate
+       mass; mirrored in the oracle), pair keys pre-repartitioned
+       before distinct (the fan-out-distinct OOM discipline).
+    3. Verify: exact Hamming distance via xor + bit_count on the four
+       band keys — JVM-side integer ops, no Python in the hot path.
+
+    Registry row is the per-document rollup (n_similar, min_hamming,
+    n_dup0) so the output stays linear even when the fixture's
+    closed-form pixels cluster."""
+    from pyspark.sql.window import Window as W
+
+    from dfs_w_mapreduce_spark.catalog import gated_broadcast
+
+    d = load_table(spark, sf_dir, "documents")
+    # the signature frame is consumed three times (band explode + both
+    # verify sides) — persist so the corpus is decoded exactly once
+    ph = (
+        d.select("doc_id", "n_chars")
+        .mapInPandas(_build_image_phash, schema=PHASH_SCHEMA)
+        .cache()
+    )
+    bands = ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("key")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    bw = W.partitionBy("band", "key").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        bands.withColumn("rk", F.row_number().over(bw))
+        .filter(F.col("rk") <= IMG_BUCKET_CAP)
+        .drop("rk")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_parts = spark.sparkContext.defaultParallelism * 8
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .repartition(pair_parts, "doc_a", "doc_b")
+        .distinct()
+    )
+    # per-doc signatures are corpus-cardinality: broadcast only while
+    # the source table is broadcast-sized (primitive ints — exempt
+    # from the text-array blow-up class, but still unbounded rows)
+    pa = gated_broadcast(
+        ph.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+        ),
+        sf_dir,
+        "documents",
+    )
+    pb = gated_broadcast(
+        ph.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+        ),
+        sf_dir,
+        "documents",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
+    ).cast("int")
+    pairs = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= IMG_HAM_T)
+    )
+    return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("n_similar"),
+        F.min("hamming").alias("min_hamming"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("n_dup0"),
+    )
+
+
+# Arithmetic twin: the dHash recomputed from the closed-form pixel
+# generator (idx = (doc_id*7 + x*3 + y*5) % 16 on frame 0, luminance =
+# palette byte sum), then the IDENTICAL band/cap/verify pipeline. Bit
+# t (generation order, MSB-first) lands at LSB position q = 63 - t,
+# band q // 16, in-band bit q % 16 — matching the Spark band split.
+DEDUP_IMAGE_PHASH_ORACLE = f"""
+    WITH p AS (
+        SELECT doc_id, doc_id % 5 + 4 AS w, n_chars % 4 + 3 AS h
+        FROM documents
+    ),
+    samp AS (
+        SELECT doc_id,
+               (63 - (ty * 8 + tx)) // 16 AS band_idx,
+               (63 - (ty * 8 + tx)) % 16 AS bpos,
+               (doc_id * 7 + (tx * w // 9) * 3 + (ty * h // 8) * 5)
+                   % {GIF_COLORS} AS i0,
+               (doc_id * 7 + ((tx + 1) * w // 9) * 3 + (ty * h // 8) * 5)
+                   % {GIF_COLORS} AS i1
+        FROM p,
+             LATERAL (SELECT unnest(range(0, 8)) AS ty) gty,
+             LATERAL (SELECT unnest(range(0, 8)) AS tx) gtx
+    ),
+    ph AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN band_idx = 0 AND
+                    i1 * {GIF_PAL_MULS[0]} % 256 + i1 * {GIF_PAL_MULS[1]} % 256
+                    + i1 * {GIF_PAL_MULS[2]} % 256
+                    > i0 * {GIF_PAL_MULS[0]} % 256 + i0 * {GIF_PAL_MULS[1]} % 256
+                    + i0 * {GIF_PAL_MULS[2]} % 256
+                    THEN 1 << bpos ELSE 0 END) AS INT) AS b0,
+               CAST(SUM(CASE WHEN band_idx = 1 AND
+                    i1 * {GIF_PAL_MULS[0]} % 256 + i1 * {GIF_PAL_MULS[1]} % 256
+                    + i1 * {GIF_PAL_MULS[2]} % 256
+                    > i0 * {GIF_PAL_MULS[0]} % 256 + i0 * {GIF_PAL_MULS[1]} % 256
+                    + i0 * {GIF_PAL_MULS[2]} % 256
+                    THEN 1 << bpos ELSE 0 END) AS INT) AS b1,
+               CAST(SUM(CASE WHEN band_idx = 2 AND
+                    i1 * {GIF_PAL_MULS[0]} % 256 + i1 * {GIF_PAL_MULS[1]} % 256
+                    + i1 * {GIF_PAL_MULS[2]} % 256
+                    > i0 * {GIF_PAL_MULS[0]} % 256 + i0 * {GIF_PAL_MULS[1]} % 256
+                    + i0 * {GIF_PAL_MULS[2]} % 256
+                    THEN 1 << bpos ELSE 0 END) AS INT) AS b2,
+               CAST(SUM(CASE WHEN band_idx = 3 AND
+                    i1 * {GIF_PAL_MULS[0]} % 256 + i1 * {GIF_PAL_MULS[1]} % 256
+                    + i1 * {GIF_PAL_MULS[2]} % 256
+                    > i0 * {GIF_PAL_MULS[0]} % 256 + i0 * {GIF_PAL_MULS[1]} % 256
+                    + i0 * {GIF_PAL_MULS[2]} % 256
+                    THEN 1 << bpos ELSE 0 END) AS INT) AS b3
+        FROM samp
+        GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, b0 AS key FROM ph
+        UNION ALL SELECT doc_id, 1, b1 FROM ph
+        UNION ALL SELECT doc_id, 2, b2 FROM ph
+        UNION ALL SELECT doc_id, 3, b3 FROM ph
+    ),
+    capped AS (
+        SELECT doc_id, band, key FROM (
+            SELECT doc_id, band, key,
+                   row_number() OVER (
+                       PARTITION BY band, key
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM bands)
+        WHERE rk <= {IMG_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+                  + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+                  AS INT) AS hamming
+        FROM cand
+        JOIN ph pa ON doc_a = pa.doc_id
+        JOIN ph pb ON doc_b = pb.doc_id
+    )
+    SELECT doc_a AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_similar,
+           CAST(min(hamming) AS INT) AS min_hamming,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup0
+    FROM ham
+    WHERE hamming <= {IMG_HAM_T}
+    GROUP BY doc_a
+"""
+
+
 # Spark workers run in separate Python processes that may not have
 # this repo on sys.path (the round driver can run from any cwd), so
 # worker-executed functions from this module must be serialized by
@@ -1931,4 +2323,16 @@ def specs() -> list[QuerySpec]:
                   ("multimodal", "llm", "pandas", "video"),
                   "Animated GIF89a frame extraction through a real LZW codec "
                   "roundtrip; per-frame geometry/delay/pixel stats oracled."),
+        QuerySpec("dedup_image_phash", q_dedup_image_phash,
+                  DEDUP_IMAGE_PHASH_ORACLE,
+                  ("multimodal", "dedup", "llm", "pandas"),
+                  "Perceptual-hash (dHash) image near-dedup over REAL "
+                  "decoded GIF pixels: 16-bit Hamming-band blocking, capped "
+                  "buckets, exact xor/bit_count verify."),
+        QuerySpec("multimodal_audio_fingerprint", q_multimodal_audio_fingerprint,
+                  MULTIMODAL_AUDIO_FP_ORACLE,
+                  ("multimodal", "llm", "pandas", "audio"),
+                  "Spectral-peak pair-hash fingerprints (Shazam shape) over "
+                  "decoded PCM: per-frame integer-basis peaks, target-zone "
+                  "pair hashes, per-doc fingerprint set."),
     ]

@@ -1081,17 +1081,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the merges `bpe_train` LEARNS to encode the corpus — the
-    full tokenizer loop (train -> apply) closed end to end. The merge
-    chain re-derives exactly as in q_bpe_train (same folds, same
-    broadcasts), is applied on the VOCABULARY (one fold per distinct
-    word, never per occurrence), and per-source token totals come from
-    joining the encoded vocabulary back to per-source word counts —
-    at 100 TB the corpus-sized work is two word-count aggregations
-    and one vocab-sized broadcast join. Emits, per source: word
-    occurrences in scope, pre-BPE token count (chars + end marker),
-    post-BPE token count, and the compression ratio."""
+def _bpe_encoded_by_source(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared train->encode body for q_bpe_apply / q_bpe_fertility:
+    per-(source, word) counts plus the corpus vocabulary encoded
+    through the re-derived BPE_ROUNDS merge chain. Returns
+    (by_source, cur) where `cur` is the CACHED encoded vocabulary —
+    the caller must unpersist() it after pinning its aggregate.
+
+    The merge chain re-derives exactly as in q_bpe_train (same folds,
+    same 1-row driver collects), is applied on the VOCABULARY (one
+    fold per distinct word, never per occurrence) — at 100 TB the
+    corpus-sized work is two word-count aggregations and one
+    vocab-sized broadcast join."""
     d = load_table(spark, sf_dir, "documents")
     by_source = (
         d.select(
@@ -1142,6 +1145,16 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cache()
         cur.count()  # materialize before dropping the previous cache
         prev.unpersist()
+    return by_source, cur
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the merges `bpe_train` LEARNS to encode the corpus — the
+    full tokenizer loop (train -> apply) closed end to end. Emits,
+    per source: word occurrences in scope, pre-BPE token count
+    (chars + end marker), post-BPE token count, and the compression
+    ratio. Scale shape in _bpe_encoded_by_source."""
+    by_source, cur = _bpe_encoded_by_source(spark, sf_dir)
     encoded = cur.select(
         "word",
         (F.length("word") + 1).alias("pre_tokens"),
@@ -1164,6 +1177,92 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()  # per-source rows: driver-scale
     cur.unpersist()
     return out
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility evaluation against the LEARNED BPE merges —
+    the per-source health check a tokenizer team runs before freezing
+    a vocab: fertility (tokens per word occurrence), its worst case,
+    and the unsplit/fragmented tails. A source whose fertility is an
+    outlier is under-represented in the merge table (the
+    multilingual-tokenizer fairness metric). Composes the bpe_train
+    chain with per-source word counts: corpus-sized work is the two
+    word-count aggregations; the fertility math runs on the encoded
+    VOCABULARY joined back by broadcast."""
+    by_source, cur = _bpe_encoded_by_source(spark, sf_dir)
+    encoded = cur.select("word", F.size("syms").alias("post_tokens"))
+    occ = F.sum("freq")
+    out = (
+        by_source.join(F.broadcast(encoded), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_vocab"),
+            occ.alias("n_words"),
+            F.round(
+                F.sum(F.col("freq") * F.col("post_tokens")) / occ, 4
+            ).alias("mean_fertility"),
+            F.max("post_tokens").alias("max_fertility"),
+            F.round(
+                F.sum(
+                    F.when(F.col("post_tokens") <= 2, F.col("freq")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / occ,
+                4,
+            ).alias("p_unsplit"),
+            F.round(
+                F.sum(
+                    F.when(F.col("post_tokens") >= 4, F.col("freq")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / occ,
+                4,
+            ).alias("p_frag"),
+        )
+    )
+    out = out.localCheckpoint()  # per-source rows: driver-scale
+    cur.unpersist()
+    return out
+
+
+def _bpe_fertility_oracle() -> str:
+    ctes = ",".join(_bpe_round_ctes(k) for k in range(1, BPE_ROUNDS + 1))
+    return f"""
+    WITH ws AS (
+        SELECT source, word, count(*) AS freq FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> regexp_matches(t, '^[a-z0-9]+$')))
+                   AS word
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    w0 AS (SELECT word, sum(freq) AS freq FROM ws GROUP BY 1),
+    s0 AS (
+        SELECT word, freq,
+               list_append(list_transform(range(1, len(word) + 1),
+                                          i -> substr(word, CAST(i AS INT), 1)),
+                           '_') AS syms
+        FROM w0
+    ),{ctes},
+    enc AS (
+        SELECT word, len(syms) AS post_tokens FROM s{BPE_ROUNDS}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           round(sum(freq * post_tokens) * 1.0 / sum(freq), 4)
+               AS mean_fertility,
+           CAST(max(post_tokens) AS INT) AS max_fertility,
+           round(sum(CASE WHEN post_tokens <= 2 THEN freq ELSE 0 END) * 1.0
+                 / sum(freq), 4) AS p_unsplit,
+           round(sum(CASE WHEN post_tokens >= 4 THEN freq ELSE 0 END) * 1.0
+                 / sum(freq), 4) AS p_frag
+    FROM ws JOIN enc USING (word)
+    GROUP BY 1
+    """
 
 
 def _bpe_apply_oracle() -> str:
@@ -1538,6 +1637,11 @@ def specs() -> list[QuerySpec]:
                   ("pipeline", "llm", "tokenizer"),
                   "Encode the corpus with the learned BPE merges: per-source "
                   "token totals + compression, vocab-sized application."),
+        QuerySpec("bpe_fertility", q_bpe_fertility, _bpe_fertility_oracle(),
+                  ("pipeline", "llm", "tokenizer"),
+                  "Tokenizer-fertility evaluation vs the learned merges: "
+                  "per-source tokens/word, worst case, unsplit/fragmented "
+                  "occurrence tails."),
         QuerySpec("decontaminate_minhash", q_decontaminate_minhash,
                   _decontaminate_minhash_oracle(),
                   ("pipeline", "llm", "decontamination", "scale"),

@@ -109,6 +109,15 @@ PROBE_QUERIES = [
     "dedup_containment",
     "graph_label_prop",
     "dedup_paragraph",
+    # round-10 extension (verdict ask): the two r9 linear-on-paper
+    # newcomers — both explode shingles over the full corpus with
+    # 8-byte hashed keys and min/max aggregates — plus the new image
+    # perceptual-hash dedup (banded + bucket-capped, the simhash
+    # class; fixture hash space is finite so replication grows bucket
+    # population — exactly what the cap must absorb).
+    "split_leakage",
+    "ngram_novelty",
+    "dedup_image_phash",
 ]
 
 
