@@ -321,6 +321,8 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "bpe_fertility",
     "corpus_domain_rollup",
+    "url_canonical_dedup",
+    "dedup_image_clusters",
 ]
 
 

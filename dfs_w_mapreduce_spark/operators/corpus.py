@@ -1377,6 +1377,14 @@ def specs() -> list[QuerySpec]:
             "volume/lang spread.",
         ),
         QuerySpec(
+            "url_canonical_dedup", q_url_canonical_dedup,
+            URL_CANONICAL_DEDUP_ORACLE,
+            ("corpus", "llm", "curation"),
+            "URL canonicalization + exact-URL dedup: case/port/"
+            "tracking/fragment/trailing-slash rules as pure string "
+            "expressions, per-source rollup with per-rule hit counts.",
+        ),
+        QuerySpec(
             "text_bigram_kn", q_text_bigram_kn, TEXT_BIGRAM_KN_ORACLE,
             ("text", "llm", "quality"),
             "Interpolated Kneser-Ney bigram perplexity per doc "

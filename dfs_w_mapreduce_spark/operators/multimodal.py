@@ -2067,8 +2067,9 @@ def _build_image_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(rows, columns=["doc_id", "b0", "b1", "b2", "b3"])
 
 
-def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dedup at the 100 TB shape:
+def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared verified-pair core for q_dedup_image_phash (per-doc
+    rollup) and q_dedup_image_clusters (component resolution):
 
     1. Hash: Arrow-batched mapInPandas computes a 64-bit dHash per
        document from REAL decoded GIF pixels (one LZW decode per doc,
@@ -2084,9 +2085,7 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. Verify: exact Hamming distance via xor + bit_count on the four
        band keys — JVM-side integer ops, no Python in the hot path.
 
-    Registry row is the per-document rollup (n_similar, min_hamming,
-    n_dup0) so the output stays linear even when the fixture's
-    closed-form pixels cluster."""
+    Returns (doc_a, doc_b, hamming) with hamming <= IMG_HAM_T."""
     from pyspark.sql.window import Window as W
 
     from dfs_w_mapreduce_spark.catalog import gated_broadcast
@@ -2157,12 +2156,20 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
     ).cast("int")
-    pairs = (
+    return (
         cand.join(pa, "doc_a")
         .join(pb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= IMG_HAM_T)
     )
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup (pipeline in
+    _image_phash_pairs). Registry row is the per-document rollup
+    (n_similar, min_hamming, n_dup0) so the output stays linear even
+    when the fixture's closed-form pixels cluster."""
+    pairs = _image_phash_pairs(spark, sf_dir)
     return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count("*").alias("n_similar"),
         F.min("hamming").alias("min_hamming"),
@@ -2170,13 +2177,29 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup RESOLUTION: connected components over the
+    verified perceptual-hash pairs via the shared min-label
+    propagation core (operators.dedup._min_label_components — the
+    same iterative join/localCheckpoint machinery the text MinHash
+    and embedding families resolve with). One row per clustered
+    image: (doc_id, cluster_id, is_keeper, n_members); keeper =
+    smallest doc_id, the standard crawl-order tie-break."""
+    from dfs_w_mapreduce_spark.operators.dedup import _min_label_components
+
+    pairs = _image_phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs, "doc_a", "doc_b", "doc_id")
+
+
 # Arithmetic twin: the dHash recomputed from the closed-form pixel
 # generator (idx = (doc_id*7 + x*3 + y*5) % 16 on frame 0, luminance =
 # palette byte sum), then the IDENTICAL band/cap/verify pipeline. Bit
 # t (generation order, MSB-first) lands at LSB position q = 63 - t,
 # band q // 16, in-band bit q % 16 — matching the Spark band split.
-DEDUP_IMAGE_PHASH_ORACLE = f"""
-    WITH p AS (
+# The CTE chain ends at img_pairs (the verified pair set) so the
+# rollup AND clusters oracles share it verbatim.
+_IMAGE_PHASH_CTES = f"""
+    p AS (
         SELECT doc_id, doc_id % 5 + 4 AS w, n_chars % 4 + 3 AS h
         FROM documents
     ),
@@ -2251,14 +2274,37 @@ DEDUP_IMAGE_PHASH_ORACLE = f"""
         FROM cand
         JOIN ph pa ON doc_a = pa.doc_id
         JOIN ph pb ON doc_b = pb.doc_id
+    ),
+    img_pairs AS (
+        SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {IMG_HAM_T}
     )
+"""
+
+DEDUP_IMAGE_PHASH_ORACLE = f"""
+    WITH {_IMAGE_PHASH_CTES}
     SELECT doc_a AS doc_id,
            CAST(count(*) AS BIGINT) AS n_similar,
            CAST(min(hamming) AS INT) AS min_hamming,
            CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup0
-    FROM ham
-    WHERE hamming <= {IMG_HAM_T}
+    FROM img_pairs
     GROUP BY doc_a
+"""
+
+
+def _image_clusters_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import _labels_ctes_sql
+
+    labels = _labels_ctes_sql(
+        "SELECT doc_a, doc_b FROM img_pairs", "doc_a", "doc_b", "doc_id"
+    )
+    return f"""
+    WITH RECURSIVE {_IMAGE_PHASH_CTES},
+    {labels},
+    sized AS (SELECT cluster_id, count(*) AS n_members
+              FROM labels GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, l.doc_id = l.cluster_id AS is_keeper,
+           s.n_members
+    FROM labels l JOIN sized s USING (cluster_id)
 """
 
 
@@ -2329,6 +2375,12 @@ def specs() -> list[QuerySpec]:
                   "Perceptual-hash (dHash) image near-dedup over REAL "
                   "decoded GIF pixels: 16-bit Hamming-band blocking, capped "
                   "buckets, exact xor/bit_count verify."),
+        QuerySpec("dedup_image_clusters", q_dedup_image_clusters,
+                  _image_clusters_oracle(),
+                  ("multimodal", "dedup", "llm", "pandas"),
+                  "Image near-dup resolution: min-label connected "
+                  "components over the verified perceptual-hash pairs "
+                  "(shared propagation core)."),
         QuerySpec("multimodal_audio_fingerprint", q_multimodal_audio_fingerprint,
                   MULTIMODAL_AUDIO_FP_ORACLE,
                   ("multimodal", "llm", "pandas", "audio"),

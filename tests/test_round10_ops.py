@@ -95,6 +95,47 @@ def test_image_phash_banding_lossless_vs_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def test_image_clusters_consistent_with_pairs(spark, sf_dir):
+    """Components must partition the pair graph: every paired doc is
+    clustered, cluster_id = min member, keeper flag matches, and a
+    union-find replica over the brute-force pair set agrees."""
+    from dfs_w_mapreduce_spark.operators.multimodal import (
+        IMG_HAM_T,
+        q_dedup_image_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    hs = {r.doc_id: _dhash_closed_form(r.doc_id, r.n_chars) for r in docs}
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hs[a] ^ hs[b]).count("1") <= IMG_HAM_T:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, set[int]] = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    want = {
+        m: (root, m == root, len(members))
+        for root, members in comps.items()
+        for m in members
+    }
+    got = {
+        r.doc_id: (r.cluster_id, r.is_keeper, r.n_members)
+        for r in q_dedup_image_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def _fingerprints_closed_form(doc_id: int, n_chars: int) -> dict[int, tuple[int, int]]:
     """Pure-Python replica of the fingerprint pipeline from the
     closed-form waveform s(i) = (doc_id*7 + i*13) % 4096 - 2048."""
