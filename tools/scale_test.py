@@ -208,6 +208,18 @@ QUERIES = [
     "dedup_report",
     "multimodal_audio_fbank",
     "multimodal_audio_vad",
+    # round-10 operators. dedup_image_phash/clusters: OFFSET is a
+    # multiple of the frame-0 pixel-generator moduli (5 for width, 16
+    # for the palette index), so replicated copies carry IDENTICAL
+    # dHashes — band-bucket populations grow linearly with copies and
+    # IMG_BUCKET_CAP is exactly what must absorb it (pair mass bounded
+    # at buckets x cap^2/2).
+    "dedup_image_phash",
+    "dedup_image_clusters",
+    "multimodal_audio_fingerprint",
+    "bpe_fertility",
+    "corpus_domain_rollup",
+    "url_canonical_dedup",
 ]
 
 
