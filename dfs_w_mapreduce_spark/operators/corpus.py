@@ -1354,6 +1354,183 @@ CORPUS_DOMAIN_ROLLUP_ORACLE = f"""
 """
 
 
+# --- PII scan + redaction -------------------------------------------
+# The standard pre-training privacy pass (C4/RefinedWeb-style): find
+# email / phone / SSN-shaped / IP tokens, count them per class, and
+# rewrite the corpus with typed placeholders. Patterns are restricted
+# to the syntax subset where Java regex (Spark), RE2 (DuckDB), and
+# Python `re` agree (character classes, bounded repetition, \b \d —
+# no lookaround, no alternation), so all three engines tokenize
+# identically and the redacted corpus is bit-identical.
+PII_A_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_A_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"      # 3-2-4: disjoint from phone
+PII_A_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"    # 3-3-4
+PII_A_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_blob(did, text, source):
+    """Deterministic per-doc contact blob: each PII class is toggled
+    by a distinct doc_id residue (the url_canonical_dedup fixture
+    discipline) so every extraction rule is exercised and its count
+    pinned; residue intersections (e.g. doc_id % 15 == 0) exercise
+    compound redaction within one document."""
+    return F.concat(
+        text,
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" reach user"), did.cast("string"),
+                F.lit("@"), source, F.lit(".net"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 415-555-"), (did % 9000 + 1000).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" ssn "), (did % 900 + 100).cast("string"),
+                F.lit("-"), (did % 90 + 10).cast("string"),
+                F.lit("-"), (did % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction rollup — the privacy pass every public
+    web corpus runs before training: per-class match counts and a
+    placeholder-rewritten corpus, rolled up per source with a
+    checksum that pins the exact redacted text cross-engine.
+
+    Everything is pure JVM string expressions (regexp_extract_all /
+    regexp_replace — no UDF), embarrassingly parallel, one hash
+    aggregate: the 100 TB plan is a single scan + map-side partials.
+    Redaction order (email, ssn, phone, ip) is fixed and mirrored in
+    the oracle; the classes are constructed non-overlapping (3-2-4 vs
+    3-3-4 digit groups; emails redact before the host-dot rules could
+    feed the IP pattern) so order never changes the result, but
+    pinning it keeps the twin honest. The checksum sums 32-bit md5
+    prefixes (the sources/roundtrip.py idiom — at extreme corpus
+    sizes you would fold mod a prime; summing fits bigint to ~2^31
+    docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    blob = _pii_blob(did, F.col("text"), F.col("source")).alias("pii")
+    base = d.select("source", "doc_id", blob)
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("pii"), F.lit(pat), 0))  # noqa: E731
+    red = F.col("pii")
+    for pat, tag in (
+        (PII_A_EMAIL_RE, "[EMAIL]"),
+        (PII_A_SSN_RE, "[SSN]"),
+        (PII_A_PHONE_RE, "[PHONE]"),
+        (PII_A_IP_RE, "[IP]"),
+    ):
+        red = F.regexp_replace(red, pat, tag)
+    scanned = base.select(
+        "source",
+        n(PII_A_EMAIL_RE).alias("k_email"),
+        n(PII_A_SSN_RE).alias("k_ssn"),
+        n(PII_A_PHONE_RE).alias("k_phone"),
+        n(PII_A_IP_RE).alias("k_ip"),
+        F.conv(F.substring(F.md5(red), 1, 8), 16, 10)
+        .cast("long")
+        .alias("rh"),
+    )
+    any_pii = (
+        F.col("k_email") + F.col("k_ssn") + F.col("k_phone") + F.col("k_ip")
+        > 0
+    ).cast("long")
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(any_pii).alias("n_docs_pii"),
+        F.round(F.sum(any_pii) / F.count("*"), 4).alias("pii_rate"),
+        F.sum("k_email").alias("n_email"),
+        F.sum("k_phone").alias("n_phone"),
+        F.sum("k_ssn").alias("n_ssn"),
+        F.sum("k_ip").alias("n_ip"),
+        F.sum(
+            F.col("k_email") + F.col("k_ssn") + F.col("k_phone") + F.col("k_ip")
+        ).alias("n_redactions"),
+        F.sum("rh").alias("redacted_checksum"),
+    )
+
+
+PII_AUDIT_ORACLE = (
+    """
+    WITH base AS (
+        SELECT source, doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@' || source || '.net'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 415-555-'
+                            || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                            || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                            || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                       ELSE '' END
+               AS pii
+        FROM documents
+    ),
+    scanned AS (
+        SELECT source,
+               len(regexp_extract_all(pii, '{email}')) AS k_email,
+               len(regexp_extract_all(pii, '{ssn}')) AS k_ssn,
+               len(regexp_extract_all(pii, '{phone}')) AS k_phone,
+               len(regexp_extract_all(pii, '{ip}')) AS k_ip,
+               CAST(('0x' || substr(md5(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(pii, '{email}', '[EMAIL]', 'g'),
+                               '{ssn}', '[SSN]', 'g'),
+                           '{phone}', '[PHONE]', 'g'),
+                       '{ip}', '[IP]', 'g')
+               ), 1, 8)) AS BIGINT) AS rh
+        FROM base
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN k_email + k_ssn + k_phone + k_ip > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+           round(sum(CASE WHEN k_email + k_ssn + k_phone + k_ip > 0
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pii_rate,
+           CAST(sum(k_email) AS BIGINT) AS n_email,
+           CAST(sum(k_phone) AS BIGINT) AS n_phone,
+           CAST(sum(k_ssn) AS BIGINT) AS n_ssn,
+           CAST(sum(k_ip) AS BIGINT) AS n_ip,
+           CAST(sum(k_email + k_ssn + k_phone + k_ip) AS BIGINT)
+               AS n_redactions,
+           CAST(sum(rh) AS BIGINT) AS redacted_checksum
+    FROM scanned
+    GROUP BY source
+    """
+    .replace("{email}", PII_A_EMAIL_RE)
+    .replace("{ssn}", PII_A_SSN_RE)
+    .replace("{phone}", PII_A_PHONE_RE)
+    .replace("{ip}", PII_A_IP_RE)
+)
+
+
 import sys as _sys  # noqa: E402
 
 from pyspark import cloudpickle as _cloudpickle  # noqa: E402
@@ -1383,6 +1560,13 @@ def specs() -> list[QuerySpec]:
             "URL canonicalization + exact-URL dedup: case/port/"
             "tracking/fragment/trailing-slash rules as pure string "
             "expressions, per-source rollup with per-rule hit counts.",
+        ),
+        QuerySpec(
+            "pii_audit", q_pii_audit, PII_AUDIT_ORACLE,
+            ("corpus", "llm", "curation", "privacy"),
+            "PII scan + redaction: email/phone/SSN/IP regex classes "
+            "(Java-regex/RE2/`re` common subset), per-source counts and "
+            "a checksum pinning the exact redacted corpus.",
         ),
         QuerySpec(
             "text_bigram_kn", q_text_bigram_kn, TEXT_BIGRAM_KN_ORACLE,

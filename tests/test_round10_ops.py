@@ -261,6 +261,71 @@ def test_url_canonicalization_rules(spark, sf_dir):
         assert g.url_dup_rate == round(1.0 - len(s["urls"]) / s["n_raw"], 4)
 
 
+def test_pii_audit_matches_python_re_replica(spark, sf_dir):
+    """Third-engine replica: rebuild each doc's PII blob in Python,
+    redact with `re` in the pinned order, and reproduce every rollup
+    column — including the md5-prefix checksum of the redacted text,
+    which pins the exact redacted corpus across Java regex, RE2, and
+    Python `re`. Also asserts the redacted text is clean (no pattern
+    survives its own redaction pass)."""
+    import hashlib
+    import re
+
+    from dfs_w_mapreduce_spark.operators.corpus import (
+        PII_A_EMAIL_RE,
+        PII_A_IP_RE,
+        PII_A_PHONE_RE,
+        PII_A_SSN_RE,
+        q_pii_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+    agg: dict[str, list[int]] = {}
+    order = (
+        (PII_A_EMAIL_RE, "[EMAIL]"),
+        (PII_A_SSN_RE, "[SSN]"),
+        (PII_A_PHONE_RE, "[PHONE]"),
+        (PII_A_IP_RE, "[IP]"),
+    )
+    for r in docs:
+        d = r.doc_id
+        blob = r.text
+        if d % 3 == 0:
+            blob += f" reach user{d}@{r.source}.net"
+        if d % 5 == 0:
+            blob += f" call 415-555-{d % 9000 + 1000}"
+        if d % 7 == 0:
+            blob += f" ssn {d % 900 + 100}-{d % 90 + 10}-{d % 9000 + 1000}"
+        if d % 11 == 0:
+            blob += f" from 10.{d % 256}.0.{d % 100}"
+        ks = [len(re.findall(p, blob)) for p, _ in order]
+        red = blob
+        for p, tag in order:
+            red = re.sub(p, tag, red)
+        for p, _ in order:
+            assert not re.search(p, red)
+        rh = int(hashlib.md5(red.encode()).hexdigest()[:8], 16)
+        a = agg.setdefault(r.source, [0, 0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += sum(ks) > 0
+        a[2] += ks[0]  # email
+        a[3] += ks[2]  # phone
+        a[4] += ks[1]  # ssn
+        a[5] += ks[3]  # ip
+        a[6] += rh
+    got = {r.source: r for r in q_pii_audit(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.n_docs_pii) == (a[0], a[1])
+        assert (g.n_email, g.n_phone, g.n_ssn, g.n_ip) == tuple(a[2:6])
+        assert g.n_redactions == a[2] + a[3] + a[4] + a[5]
+        assert g.pii_rate == round(a[1] / a[0], 4)
+        assert g.redacted_checksum == a[6]
+
+
 def test_audio_fingerprint_output_bounded(spark, sf_dir):
     """Scale invariant: per-doc fingerprint rows <= FP_FANOUT * frames
     (output is linear in corpus size by construction)."""

@@ -118,6 +118,9 @@ PROBE_QUERIES = [
     "split_leakage",
     "ngram_novelty",
     "dedup_image_phash",
+    # pii_audit: single scan + one hash aggregate, linear by
+    # construction — probed to pin the regex-heavy scan cost.
+    "pii_audit",
 ]
 
 

@@ -220,6 +220,7 @@ QUERIES = [
     "bpe_fertility",
     "corpus_domain_rollup",
     "url_canonical_dedup",
+    "pii_audit",
 ]
 
 
