@@ -49,6 +49,23 @@ the same class adjudicated for r7's multimodal_decode. Round 10 also
 adds SESSION_ROTATE_EVERY to the main suite so in-batch numbers stop
 drifting away from their isolated companions in the first place.
 
+Adjudicated r10 record (141 keys, 311.4s; common-135-key sum vs r9
+249.9 -> 280.8s = 1.12x): the isolated companions reproduce
+a UNIFORM +10-20% on untouched code (dedup_embedding_clusters 10.36
+-> 11.35, dedup_clusters_incremental 4.27 -> 4.66,
+dedup_embedding_pairs_lsh 2.50 -> 3.05; git shows zero edits to any
+of those paths this round) — the machine-state shift class already
+adjudicated for the r8 second session, measured after this box ran a
+90-minute 100x probe marathon. The one prior isolated anomaly
+resolves the other way: tfidf_cosine_pairs isolated 30.2 (r9) ->
+19.78 (r10), confirming the r9 record as the artifact. New keys add
+30.5s, dominated by dedup_image_clusters (21.7s: the verified-phash
+pair pipeline once + ~log-diameter propagation rounds over dense
+dup-cluster pairs — the same shared _min_label_components machinery
+as dedup_embedding_clusters, whose 100x posture is probed; accepted
+as the honest cost of image dup RESOLUTION vs the 4.0s per-doc
+rollup).
+
 Adjudicated r8 second-session record (126 keys, 227.8s): shared-key
 sum vs the prior r8 record is 174.3s -> 205.6s (+18%) spread
 uniformly across keys whose code did not change this session (the 14
@@ -323,6 +340,7 @@ HEADLINE = [
     "corpus_domain_rollup",
     "url_canonical_dedup",
     "dedup_image_clusters",
+    "pii_audit",
 ]
 
 
