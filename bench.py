@@ -65,6 +65,13 @@ dup-cluster pairs — the same shared _min_label_components machinery
 as dedup_embedding_clusters, whose 100x posture is probed; accepted
 as the honest cost of image dup RESOLUTION vs the 4.0s per-doc
 rollup).
+POST-RECORD fix, same round: _min_label_components now checkpoints
+the pair pipeline once before mirroring it into undirected edges
+(the union executed candidate generation TWICE) and co-partitions
+edges by src — measured warm best-of-2 at sf0.1:
+dedup_image_clusters 19.4 -> 11.5s, dedup_clusters 4.3 -> 2.7s,
+dedup_embedding_clusters 16.5 -> 14.8s. BENCH_LOCAL.json predates
+the fix; expect the driver's BENCH_r10 run to land those keys lower.
 
 Adjudicated r8 second-session record (126 keys, 227.8s): shared-key
 sum vs the prior r8 record is 174.3s -> 205.6s (+18%) spread

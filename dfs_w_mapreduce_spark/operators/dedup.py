@@ -1466,11 +1466,31 @@ def _min_label_components(
     undirected pair set; shared by every near-dup family's cluster
     step (MinHash text pairs, embedding-cosine pairs). Returns one row
     per member: (out_id, cluster_id, is_keeper, n_members)."""
+    # Materialize the pair pipeline ONCE before mirroring: the
+    # undirected union references `pairs` twice, and without this
+    # checkpoint both branches re-execute the full candidate
+    # generation + verify (measured on dedup_image_clusters at sf0.1:
+    # the edge build cost 9.0s vs 5.7s for the whole per-doc rollup
+    # query over the same pair core — the union was paying the
+    # pipeline twice; checkpoint-then-mirror pays it once and the
+    # swap reads back tiny (id,id) blocks).
+    pairs = pairs.localCheckpoint()
     edges = (
         pairs.union(
             pairs.select(F.col(col_b).alias(col_a), F.col(col_a).alias(col_b))
         )
         .withColumnsRenamed({col_a: "src", col_b: "dst"})
+        # Co-partition by src at machine parallelism BEFORE the eager
+        # checkpoint: pair pipelines arrive at their fan-out-join
+        # partitioning (e.g. 256, doubled to 512 by the union) and
+        # localCheckpoint FREEZES it — every propagation round then
+        # rescans that partitioning (measured: 512-task stages over
+        # 75k image-phash edges x ~7 rounds; task scheduling, not
+        # data, was 3/4 of dedup_image_clusters' wall). hash(src)
+        # also pre-satisfies each round's join and the seed groupBy
+        # distribution. Edge rows are two longs, so even 100x-probe
+        # edge sets stay a few MB per partition at this width.
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "src")
         # localCheckpoint, not cache: iterative propagation re-embeds
         # the edge plan into every round's plan, so a heavy pair
         # pipeline (the embedding path inlines 64-dim dot-product
