@@ -1203,12 +1203,12 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = raw
     canon = F.regexp_replace(canon, r"#.*$", "")           # drop fragment
     canon = F.regexp_replace(canon, r"\?utm_[^#]*$", "")   # drop tracking query
-    # lowercase scheme+host (everything before the first path slash)
+    # lowercase scheme+host; the host extract stops at ':' and the path
+    # extract starts at the first '/', so any port (the fixture only
+    # synthesizes the default :443) is dropped by exclusion here
     canon = F.concat(
         F.lower(F.regexp_extract(canon, r"^([^/]*//[^/:]*)", 1)),
-        F.regexp_replace(
-            F.regexp_extract(canon, r"^[^/]*//[^/]*(/.*)?$", 1), r"^:443", ""
-        ),
+        F.regexp_extract(canon, r"^[^/]*//[^/]*(/.*)?$", 1),
     )
     canon = F.regexp_replace(canon, r"(.)/$", "$1")        # trailing slash
     base = d.select(
@@ -1271,13 +1271,11 @@ URL_CANONICAL_DEDUP_ORACLE = f"""
                        regexp_replace(regexp_replace(raw_url, '#.*$', ''),
                                       '\\?utm_[^#]*$', ''),
                        '^([^/]*//[^/:]*)', 1))
-                   || regexp_replace(
-                          regexp_extract(
-                              regexp_replace(
-                                  regexp_replace(raw_url, '#.*$', ''),
-                                  '\\?utm_[^#]*$', ''),
-                              '^[^/]*//[^/]*(/.*)?$', 1),
-                          '^:443', ''),
+                   || regexp_extract(
+                          regexp_replace(
+                              regexp_replace(raw_url, '#.*$', ''),
+                              '\\?utm_[^#]*$', ''),
+                          '^[^/]*//[^/]*(/.*)?$', 1),
                    '(.)/$', '\\1') AS url
         FROM base
     ),

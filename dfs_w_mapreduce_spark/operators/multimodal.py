@@ -1921,7 +1921,15 @@ def _build_audio_fingerprint(
             e = np.stack([dc_f * dc_f, qc_f * qc_f + qs_f * qs_f, ny_f * ny_f])
             dom = np.argmax(e, axis=0)  # first max = dc>quarter>nyquist
             peak_e = e[dom, np.arange(e.shape[1])]
-            il = np.where(peak_e > 0, np.frexp(peak_e.astype(np.float64))[1], 0)
+            # exact integer bit length (== the oracle's printf('%b')
+            # length), never through float64: np.frexp agreed only
+            # because energies stay < 2^53 — int.bit_length has no
+            # such cliff if frame size or sample range ever grows
+            il = np.fromiter(
+                (int(x).bit_length() for x in peak_e.tolist()),
+                dtype=np.int64,
+                count=len(peak_e),
+            )
             fps: dict[int, tuple[int, int]] = {}
             nf = len(offs)
             for f in range(nf):
@@ -2156,19 +2164,30 @@ def _image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
     ).cast("int")
-    return (
+    pairs = (
         cand.join(pa, "doc_a")
         .join(pb, "doc_b")
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= IMG_HAM_T)
     )
+    # materialize the verified pair set eagerly so ph can be
+    # unpersisted HERE: without this, every invocation (bench REPS,
+    # phash + clusters in one session) leaked another
+    # corpus-cardinality cached signature frame for the session
+    # lifetime (ADVICE r10)
+    pairs = pairs.localCheckpoint(eager=True)
+    ph.unpersist()
+    return pairs
 
 
 def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dedup (pipeline in
     _image_phash_pairs). Registry row is the per-document rollup
     (n_similar, min_hamming, n_dup0) so the output stays linear even
-    when the fixture's closed-form pixels cluster."""
+    when the fixture's closed-form pixels cluster. The rollup is
+    anchored on the SMALLER doc_id of each pair (doc_a) — a document
+    appearing only as the larger side of its pairs gets no row; full
+    per-doc membership is what q_dedup_image_clusters resolves."""
     pairs = _image_phash_pairs(spark, sf_dir)
     return pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count("*").alias("n_similar"),
