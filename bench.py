@@ -361,6 +361,13 @@ HEADLINE = [
     "url_canonical_dedup",
     "dedup_image_clusters",
     "pii_audit",
+    # round-11 additions
+    "multimodal_audio_fp_lookup",
+    "dedup_image_apply",
+    "knn_graph_search",
+    "quality_domain_ensemble",
+    "corpus_governance_flags",
+    "ann_recall",
 ]
 
 

@@ -1248,6 +1248,178 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 URL_PATH_BUCKETS = 40
 
+# Per-domain ensemble cut: a domain is kept when at least
+# ENSEMBLE_MIN_KEEP of its docs pass the Gopher battery AND its
+# exact-dup rate stays under ENSEMBLE_MAX_DUP.
+ENSEMBLE_MIN_KEEP = 0.5
+ENSEMBLE_MAX_DUP = 0.15
+
+
+def q_quality_domain_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality ensemble — the RefinedWeb-style cut that
+    attaches QUALITY verdicts to the per-domain governance rollup:
+    composes the registrable-domain key of q_corpus_domain_rollup
+    with the per-doc Gopher verdict battery
+    (text_analysis.gopher_verdict_frame) and the exact-dup rate, then
+    flags each domain keep/drop (keep_rate >= ENSEMBLE_MIN_KEEP and
+    dup_rate <= ENSEMBLE_MAX_DUP) — the decision row a curation run
+    acts on per domain rather than per document.
+
+    Scale shape: two projections of the same corpus scan joined on
+    doc_id (per-doc scalars only — domain string, md5, verdict
+    booleans; text never shuffles), then one hash aggregate keyed on
+    the domain. At 100 TB the verdict battery and the domain key
+    would fuse into one projection; the join here keeps the battery
+    single-sourced in text_analysis."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import (
+        gopher_verdict_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("cdn"))
+        .otherwise(F.lit("blog"))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("."), F.col("source"),
+        F.lit(".org/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    parts = F.split(F.parse_url(url, F.lit("HOST")), r"\.")
+    domain = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    base = d.select(
+        "doc_id", domain.alias("domain"), F.md5("text").alias("th")
+    )
+    g = gopher_verdict_frame(d).select("doc_id", "verdict")
+    n = F.count("*")
+    n_pass = F.sum(F.col("verdict").cast("long"))
+    agg = (
+        base.join(g, "doc_id")
+        .groupBy("domain")
+        .agg(
+            n.alias("n_docs"),
+            n_pass.alias("n_pass"),
+            F.round(F.try_divide(n_pass, n), 4).alias("keep_rate"),
+            F.round(F.lit(1.0) - F.countDistinct("th") / n, 4).alias("dup_rate"),
+        )
+    )
+    return agg.withColumn(
+        "domain_keep",
+        (F.col("keep_rate") >= ENSEMBLE_MIN_KEEP)
+        & (F.col("dup_rate") <= ENSEMBLE_MAX_DUP),
+    )
+
+
+def _quality_domain_ensemble_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.text_analysis import GOPHER_DOC_CTES
+
+    return f"""
+    WITH {GOPHER_DOC_CTES},
+    dom AS (
+        SELECT doc_id,
+               regexp_extract(
+                   regexp_extract(
+                       'https://' ||
+                       CASE WHEN doc_id % 3 = 0 THEN 'www'
+                            WHEN doc_id % 3 = 1 THEN 'cdn'
+                            ELSE 'blog' END
+                       || '.' || source || '.org/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang,
+                       'https://([^/?]+)', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS domain,
+               md5(text) AS th
+        FROM documents
+    ),
+    j AS (
+        SELECT dom.domain, dom.th, (v.pw AND v.pm AND v.pd AND v.ps) AS ok
+        FROM dom JOIN v USING (doc_id)
+    ),
+    agg AS (
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS keep_rate,
+               round(1.0 - count(DISTINCT th) * 1.0 / count(*), 4) AS dup_rate
+        FROM j GROUP BY 1
+    )
+    SELECT *, keep_rate >= {ENSEMBLE_MIN_KEEP}
+              AND dup_rate <= {ENSEMBLE_MAX_DUP} AS domain_keep
+    FROM agg
+"""
+
+
+def q_corpus_governance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/robots governance audit — the retention-policy cut a
+    training-data pipeline applies before any quality work: each doc
+    carries synthesized crawl metadata (license class and a
+    robots.txt-disallowed flag, each toggled by a different doc_id
+    residue so every policy rule is exercised), and the audit rolls
+    up per (source, license): volume, robots-blocked count,
+    retainable count (permissive license AND not robots-blocked) and
+    the retained word mass. Pure expressions + one hash aggregate —
+    the single-scan shape that stays linear at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    lic = (
+        F.when(F.col("doc_id") % 7 <= 2, F.lit("cc-by"))
+        .when(F.col("doc_id") % 7 <= 4, F.lit("public-domain"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("proprietary"))
+        .otherwise(F.lit("unknown"))
+    )
+    robots = F.col("doc_id") % 11 == 3
+    retainable = lic.isin("cc-by", "public-domain") & ~robots
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    base = d.select(
+        "source",
+        lic.alias("license"),
+        robots.alias("robots_blocked"),
+        retainable.alias("retainable"),
+        n_words.alias("n_words"),
+    )
+    n = F.count("*")
+    return base.groupBy("source", "license").agg(
+        n.alias("n_docs"),
+        F.sum(F.col("robots_blocked").cast("long")).alias("n_robots_blocked"),
+        F.sum(F.col("retainable").cast("long")).alias("n_retainable"),
+        F.round(F.try_divide(F.sum(F.col("retainable").cast("long")), n), 4).alias(
+            "retain_rate"
+        ),
+        F.sum(
+            F.when(F.col("retainable"), F.col("n_words")).otherwise(0).cast("long")
+        ).alias("n_words_retained"),
+    )
+
+
+CORPUS_GOVERNANCE_FLAGS_ORACLE = """
+    WITH base AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 <= 2 THEN 'cc-by'
+                    WHEN doc_id % 7 <= 4 THEN 'public-domain'
+                    WHEN doc_id % 7 = 5 THEN 'proprietary'
+                    ELSE 'unknown' END AS license,
+               doc_id % 11 = 3 AS robots_blocked,
+               (doc_id % 7 <= 4) AND doc_id % 11 <> 3 AS retainable,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                   t -> t <> '')) AS n_words
+        FROM documents
+    )
+    SELECT source, license,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN robots_blocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_robots_blocked,
+           CAST(sum(CASE WHEN retainable THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retainable,
+           round(sum(CASE WHEN retainable THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS retain_rate,
+           CAST(sum(CASE WHEN retainable THEN n_words ELSE 0 END) AS BIGINT)
+               AS n_words_retained
+    FROM base
+    GROUP BY 1, 2
+"""
+
 
 URL_CANONICAL_DEDUP_ORACLE = f"""
     WITH base AS (
@@ -1550,6 +1722,21 @@ def specs() -> list[QuerySpec]:
             "Per-domain governance rollup: real URL->host->domain "
             "extraction, exact-dup rate, length-gate pass rate, "
             "volume/lang spread.",
+        ),
+        QuerySpec(
+            "quality_domain_ensemble", q_quality_domain_ensemble,
+            _quality_domain_ensemble_oracle(),
+            ("corpus", "llm", "curation", "quality"),
+            "Per-domain quality ensemble: registrable-domain key x "
+            "Gopher verdict battery x exact-dup rate, with the "
+            "keep/drop domain flag.",
+        ),
+        QuerySpec(
+            "corpus_governance_flags", q_corpus_governance_flags,
+            CORPUS_GOVERNANCE_FLAGS_ORACLE,
+            ("corpus", "llm", "curation", "governance"),
+            "License/robots retention audit per (source, license): "
+            "robots-blocked counts, retainable volume and word mass.",
         ),
         QuerySpec(
             "url_canonical_dedup", q_url_canonical_dedup,

@@ -2327,6 +2327,265 @@ def _image_clusters_oracle() -> str:
 """
 
 
+def q_dedup_image_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-out step of the IMAGE dedup pipeline (the third modality
+    completing the dedup_apply / dedup_apply_embedding triple): emit
+    the kept image corpus by anti-joining the non-keepers of
+    q_dedup_image_clusters. Output is one row per retained image with
+    its decoded geometry (w, h, n_frames — the closed-form build
+    parameters, identical on both engines). At scale the drop set is a
+    small fraction of the corpus, so AQE turns the anti-join into a
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    drop = (
+        q_dedup_image_clusters(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return d.join(drop, "doc_id", "left_anti").select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 4).cast("int").alias("w"),
+        (F.col("n_chars") % 4 + 3).cast("int").alias("h"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
+    )
+
+
+def _image_apply_oracle() -> str:
+    from dfs_w_mapreduce_spark.operators.dedup import _labels_ctes_sql
+
+    labels = _labels_ctes_sql(
+        "SELECT doc_a, doc_b FROM img_pairs", "doc_a", "doc_b", "doc_id"
+    )
+    return f"""
+    WITH RECURSIVE {_IMAGE_PHASH_CTES},
+    {labels}
+    SELECT doc_id,
+           CAST(doc_id % 5 + 4 AS INT) AS w,
+           CAST(n_chars % 4 + 3 AS INT) AS h,
+           CAST(doc_id % 3 + 2 AS INT) AS n_frames
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint LOOKUP — the retrieval half of the Shazam pair:
+# identify probe snippets against the constellation index.
+
+FP_PROBE_MOD = 5    # probe set: doc_id % 5 == 2 (~20% of the corpus)
+FP_PROBE_RES = 2
+FP_SNIP_START = 1   # the probe snippet drops the first frame, so a
+                    # true match votes at offset = +1 frame
+
+AUDIO_FP_EVENT_SCHEMA = "doc_id long, fp_hash int, anchor int"
+
+
+def _audio_fp_events_builder(skip_frames: int):
+    """mapInPandas builder emitting one row per fingerprint EVENT
+    (doc_id, fp_hash, anchor) — unlike _build_audio_fingerprint's
+    per-doc hash SET, the lookup needs every occurrence with its
+    anchor frame for offset voting. The event hash is enriched with
+    the anchor's integer-log2 energy (6 extra bits) so the hash space
+    is discriminative enough that the probe-vs-index join is selective
+    rather than a near-cross-join — the same reason production
+    constellation hashes carry the anchor frequency, not just the
+    delta. skip_frames > 0 slices the decoded PCM to build a probe
+    SNIPPET; AUDIO_FRAME is a multiple of 4, so the slice preserves
+    the integer-basis phase and snippet peaks equal the original
+    frames' peaks shifted by skip_frames."""
+
+    def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                rate = 8000 * (1 + doc_id % 3)
+                ch = 1 + doc_id % 2
+                n_samples = n_chars % 1000 + 1
+                vals = decode_wav_samples(build_wav(rate, ch, n_samples, doc_id))
+                v = np.asarray(vals, dtype=np.int64)[skip_frames * AUDIO_FRAME :]
+                if len(v) == 0:
+                    continue
+                i = np.arange(len(v))
+                offs = np.arange(0, len(v), AUDIO_FRAME)
+                c4 = np.array([1, 0, -1, 0])[i % 4]
+                s4 = np.array([0, 1, 0, -1])[i % 4]
+                alt = np.array([1, -1])[i % 2]
+                dc_f = np.add.reduceat(v, offs)
+                qc_f = np.add.reduceat(v * c4, offs)
+                qs_f = np.add.reduceat(v * s4, offs)
+                ny_f = np.add.reduceat(v * alt, offs)
+                e = np.stack(
+                    [dc_f * dc_f, qc_f * qc_f + qs_f * qs_f, ny_f * ny_f]
+                )
+                dom = np.argmax(e, axis=0)
+                peak_e = e[dom, np.arange(e.shape[1])]
+                il = [int(x).bit_length() for x in peak_e.tolist()]
+                nf = len(offs)
+                for f in range(nf):
+                    for dt in range(1, FP_FANOUT + 1):
+                        if f + dt >= nf:
+                            break
+                        dil = max(-8, min(7, il[f] - il[f + dt]))
+                        base = (
+                            (int(dom[f]) * 3 + int(dom[f + dt])) * 4 + dt
+                        ) * 16 + dil + 8
+                        rows.append((doc_id, base * 64 + min(il[f], 63), f))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp_hash", "anchor"])
+
+    return build
+
+
+def q_multimodal_audio_fp_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identify probe audio snippets against the fingerprint index —
+    the retrieval half of the Shazam pair (index half:
+    q_multimodal_audio_fingerprint). Probe snippets are the real
+    decoded audio of every doc_id % 5 == 2 document with its first
+    frame dropped; matching hash-joins probe events against index
+    events on the enriched constellation hash, votes by time-offset
+    histogram (index_anchor - probe_anchor — a true match's votes pile
+    at one offset, here +FP_SNIP_START), and argmaxes per probe with
+    deterministic (votes desc, cand_id, offset) tie-break.
+
+    Scale shape: both event tables are bounded by frames x FP_FANOUT
+    per doc; the join is hash-partitioned on fp_hash (both sides
+    explicitly repartitioned — the probe side is corpus-fraction
+    sized, never assumed broadcastable), and the vote count
+    pre-repartitions by its group keys so the aggregate over the join
+    fan-out builds small per-task maps (the partial-agg OOM
+    discipline). Every quantity is an exact integer, so the SQL twin
+    reproduces the full decode -> peak -> hash -> vote -> argmax
+    chain."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    index = d.mapInPandas(
+        _audio_fp_events_builder(0), schema=AUDIO_FP_EVENT_SCHEMA
+    ).withColumnsRenamed({"doc_id": "cand_id", "anchor": "i_anchor"})
+    probes = (
+        d.filter(F.col("doc_id") % FP_PROBE_MOD == FP_PROBE_RES)
+        .mapInPandas(
+            _audio_fp_events_builder(FP_SNIP_START), schema=AUDIO_FP_EVENT_SCHEMA
+        )
+        .withColumnsRenamed({"doc_id": "probe_id", "anchor": "p_anchor"})
+    )
+    parts = spark.sparkContext.defaultParallelism * 4
+    matches = (
+        probes.repartition(parts, "fp_hash")
+        .join(index.repartition(parts, "fp_hash"), "fp_hash")
+        .select(
+            "probe_id",
+            "cand_id",
+            (F.col("i_anchor") - F.col("p_anchor")).cast("int").alias("off"),
+        )
+    )
+    votes = (
+        matches.repartition(parts, "probe_id", "cand_id", "off")
+        .groupBy("probe_id", "cand_id", "off")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("votes"), "cand_id", "off")
+    ncand = votes.groupBy("probe_id").agg(
+        F.countDistinct("cand_id").alias("n_cands")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(ncand, "probe_id")
+        .select(
+            "probe_id",
+            F.col("cand_id").alias("match_id"),
+            F.col("off").alias("match_offset"),
+            "votes",
+            "n_cands",
+            (F.col("cand_id") == F.col("probe_id")).alias("self_match"),
+        )
+    )
+
+
+def _audio_pk_event_sql(p: str, start_frame: int, doc_filter: str) -> str:
+    """CTE chain computing the per-frame peak table and fingerprint
+    EVENTS for the closed-form audio, frames re-anchored to
+    start_frame (the snippet slice). Shared by the lookup oracle's
+    index (start 0) and probe (start FP_SNIP_START) sides."""
+    return f"""
+    {p}samp AS (
+        SELECT doc_id, i,
+               (doc_id * 7 + i * 13) % 4096 - 2048 AS s,
+               i // {AUDIO_FRAME} - {start_frame} AS f
+        FROM base, LATERAL (SELECT unnest(range({start_frame * AUDIO_FRAME}, nv))
+                            AS i) g{p}
+        {doc_filter}
+    ),
+    {p}fr AS (
+        SELECT doc_id, f,
+               CAST(sum(s) AS BIGINT) AS dc,
+               CAST(sum(s * (CASE i % 4 WHEN 0 THEN 1 WHEN 2 THEN -1
+                             ELSE 0 END)) AS BIGINT) AS qc,
+               CAST(sum(s * (CASE i % 4 WHEN 1 THEN 1 WHEN 3 THEN -1
+                             ELSE 0 END)) AS BIGINT) AS qs,
+               CAST(sum(s * (CASE i % 2 WHEN 0 THEN 1 ELSE -1 END))
+                    AS BIGINT) AS ny
+        FROM {p}samp GROUP BY 1, 2
+    ),
+    {p}pk AS (
+        SELECT doc_id, f,
+               CASE WHEN dc * dc >= qc * qc + qs * qs
+                         AND dc * dc >= ny * ny THEN 0
+                    WHEN qc * qc + qs * qs >= ny * ny THEN 1
+                    ELSE 2 END AS dom,
+               CASE WHEN greatest(dc * dc, qc * qc + qs * qs, ny * ny) = 0
+                    THEN 0
+                    ELSE length(printf('%b',
+                         greatest(dc * dc, qc * qc + qs * qs, ny * ny)))
+                    END AS il
+        FROM {p}fr
+    ),
+    {p}ev AS (
+        SELECT a.doc_id,
+               CAST((((a.dom * 3 + b.dom) * 4 + (b.f - a.f)) * 16
+                     + least(greatest(a.il - b.il, -8), 7) + 8) * 64
+                    + least(a.il, 63) AS INT) AS fp_hash,
+               a.f AS anchor
+        FROM {p}pk a
+        JOIN {p}pk b ON b.doc_id = a.doc_id
+                    AND b.f - a.f BETWEEN 1 AND {FP_FANOUT}
+    )"""
+
+
+AUDIO_FP_LOOKUP_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, (n_chars % 1000 + 1) * (1 + doc_id % 2) AS nv
+        FROM documents
+    ),
+    {_audio_pk_event_sql('i', 0, '')},
+    {_audio_pk_event_sql(
+        'p', FP_SNIP_START,
+        f'WHERE doc_id % {FP_PROBE_MOD} = {FP_PROBE_RES}')},
+    votes AS (
+        SELECT p.doc_id AS probe_id, i.doc_id AS cand_id,
+               CAST(i.anchor - p.anchor AS INT) AS off,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM pev p JOIN iev i USING (fp_hash)
+        GROUP BY 1, 2, 3
+    ),
+    ncand AS (
+        SELECT probe_id, CAST(count(DISTINCT cand_id) AS BIGINT) AS n_cands
+        FROM votes GROUP BY 1
+    )
+    SELECT v.probe_id, v.cand_id AS match_id, v.off AS match_offset,
+           v.votes, n.n_cands, v.cand_id = v.probe_id AS self_match
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY probe_id
+              ORDER BY votes DESC, cand_id, off) AS rk
+          FROM votes) v
+    JOIN ncand n USING (probe_id)
+    WHERE v.rk = 1
+"""
+
+
 # Spark workers run in separate Python processes that may not have
 # this repo on sys.path (the round driver can run from any cwd), so
 # worker-executed functions from this module must be serialized by
@@ -2406,4 +2665,16 @@ def specs() -> list[QuerySpec]:
                   "Spectral-peak pair-hash fingerprints (Shazam shape) over "
                   "decoded PCM: per-frame integer-basis peaks, target-zone "
                   "pair hashes, per-doc fingerprint set."),
+        QuerySpec("multimodal_audio_fp_lookup", q_multimodal_audio_fp_lookup,
+                  AUDIO_FP_LOOKUP_ORACLE,
+                  ("multimodal", "llm", "pandas", "audio"),
+                  "Fingerprint LOOKUP (the Shazam retrieval half): probe "
+                  "snippets hash-joined against the constellation index, "
+                  "time-offset vote histogram, per-probe argmax."),
+        QuerySpec("dedup_image_apply", q_dedup_image_apply,
+                  _image_apply_oracle(),
+                  ("multimodal", "dedup", "llm", "pandas"),
+                  "Image dedup corpus-out: anti-join the non-keepers of "
+                  "dedup_image_clusters; completes the pairs -> clusters -> "
+                  "corpus-out triple for the image modality."),
     ]

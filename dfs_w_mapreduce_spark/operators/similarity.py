@@ -1552,6 +1552,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", q_knn_lsh_bucketed),
         ("ivf", q_knn_ivf),
         ("pq", q_knn_pq),
+        ("graph", q_knn_graph_search),
     ):
         approx = fn(spark, sf_dir).select("query_id", "neighbor_id").distinct()
         row = (
@@ -1589,12 +1590,16 @@ def _ann_recall_oracle() -> str:
         WITH brute AS (SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_ORACLE}) t),
         lsh AS (SELECT query_id, neighbor_id FROM ({_knn_lsh_oracle()}) t),
         ivf AS (SELECT query_id, neighbor_id FROM ({_knn_ivf_oracle()}) t),
-        pq AS (SELECT query_id, neighbor_id FROM ({_knn_pq_oracle()}) t)
+        pq AS (SELECT query_id, neighbor_id FROM ({_knn_pq_oracle()}) t),
+        graph AS (SELECT query_id, neighbor_id
+                  FROM ({_knn_graph_search_oracle()}) t)
         {one('lsh', 'lsh')}
         UNION ALL
         {one('ivf', 'ivf')}
         UNION ALL
         {one('pq', 'pq')}
+        UNION ALL
+        {one('graph', 'graph')}
     """
 
 
@@ -1686,6 +1691,149 @@ def _knn_graph_oracle() -> str:
             FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
         ) WHERE rk <= {KNN_GRAPH_K}
     """
+
+
+# --- Graph-ANN search over the built kNN graph ----------------------
+# Greedy beam search (the HNSW-style search shape) with a FIXED entry
+# point, fixed round count, and deterministic tie-breaks — so the
+# DuckDB oracle unrolls the rounds exactly (the kmeans/perceptron
+# fixed-iteration recipe).
+GRAPH_SEARCH_BEAM = 8
+GRAPH_SEARCH_ROUNDS = 3
+GRAPH_SEARCH_ENTRY = 0  # fixed entry node (smallest vec_id)
+
+
+def q_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over q_knn_graph's neighbor lists — the retrieval
+    half of the graph-ANN pair (build: knn_graph), completing the
+    index->search couple the way IVF -> IVFADC did. All queries start
+    at the fixed entry node; each round expands the current beam's
+    out-edges, scores candidates by exact cosine, and keeps the top
+    GRAPH_SEARCH_BEAM of everything visited; after
+    GRAPH_SEARCH_ROUNDS rounds the answer is the top TOP_K visited
+    nodes (self excluded).
+
+    Scale shape: the graph index is built once (localCheckpoint — the
+    bucketed pair scores are not re-derived per round) and joined by
+    its natural vec_id key each round; the per-query beam state is
+    tiny (queries x BEAM rows) and explicitly broadcast against the
+    corpus-sized graph and vector tables, so each round is two
+    broadcast joins + one window over a frame that never exceeds
+    queries x (BEAM x K + BEAM) rows. Rounds are fixed, not
+    converged — no driver-side data, plan depth bounded by
+    localCheckpoint per round."""
+    v = _vecs(spark, sf_dir)
+    g = (
+        q_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("g_src"), F.col("neighbor_id").alias("g_dst"))
+        .localCheckpoint()
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    vn = v.select(F.col("vec_id").alias("node"), "v", "nrm")
+
+    def score(nodes: DataFrame) -> DataFrame:
+        c = F.broadcast(nodes).join(vn, "node").join(F.broadcast(q), "query_id")
+        cos = F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        )
+        return c.select("query_id", "node", cos.alias("cosine"))
+
+    visited = score(
+        q.select("query_id").withColumn(
+            "node", F.lit(GRAPH_SEARCH_ENTRY).cast("long")
+        )
+    ).localCheckpoint()
+    beam = visited
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "node")
+    for _ in range(GRAPH_SEARCH_ROUNDS):
+        cand = (
+            F.broadcast(beam.select("query_id", "node"))
+            .join(g, F.col("node") == F.col("g_src"))
+            .select("query_id", F.col("g_dst").alias("node"))
+            .distinct()
+        )
+        visited = visited.unionByName(score(cand)).distinct().localCheckpoint()
+        beam = (
+            visited.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= GRAPH_SEARCH_BEAM)
+            .drop("rk")
+        )
+    return (
+        visited.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def _knn_graph_search_oracle() -> str:
+    def cos(qa: str, xa: str) -> str:
+        return (
+            f"round(list_dot_product({qa}.qv, {xa}.v) "
+            f"/ ({qa}.qnrm * {xa}.nrm), 6)"
+        )
+
+    parts = [
+        f"""
+        v AS ({_VECS_SQL}),
+        g AS (SELECT vec_id AS g_src, neighbor_id AS g_dst
+              FROM ({_knn_graph_oracle()}) t),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+              FROM v WHERE vec_id < {N_QUERIES}),
+        vis0 AS (
+            SELECT q.query_id, c.vec_id AS node, {cos('q', 'c')} AS cosine
+            FROM q JOIN v c ON c.vec_id = {GRAPH_SEARCH_ENTRY}
+        ),
+        beam0 AS (SELECT query_id, node, cosine FROM vis0)"""
+    ]
+    for r in range(1, GRAPH_SEARCH_ROUNDS + 1):
+        parts.append(
+            f""",
+        cand{r} AS (
+            SELECT DISTINCT b.query_id, g.g_dst AS node
+            FROM beam{r - 1} b JOIN g ON g.g_src = b.node
+        ),
+        sc{r} AS (
+            SELECT c.query_id, c.node, {cos('q', 'x')} AS cosine
+            FROM cand{r} c
+            JOIN q USING (query_id)
+            JOIN v x ON x.vec_id = c.node
+        ),
+        vis{r} AS (
+            SELECT query_id, node, cosine FROM vis{r - 1}
+            UNION
+            SELECT query_id, node, cosine FROM sc{r}
+        ),
+        beam{r} AS (
+            SELECT query_id, node, cosine FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, node) AS rk
+                FROM vis{r})
+            WHERE rk <= {GRAPH_SEARCH_BEAM}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT query_id, node AS neighbor_id, cosine, CAST(rk AS INT) AS rk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, node) AS rk
+              FROM vis{GRAPH_SEARCH_ROUNDS}
+              WHERE node <> query_id)
+        WHERE rk <= {TOP_K}
+    """
+    )
+    return "WITH " + "".join(parts)
 
 
 SEMDECON_MOD = 50   # benchmark set = vec_id % 50 == 0 (~2% of corpus)
@@ -2199,6 +2347,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("knn_graph", q_knn_graph, _knn_graph_oracle(),
                   ("similarity", "llm", "graph"),
                   "Bucketed kNN-graph build: top-3 in-bucket neighbors for every vector."),
+        QuerySpec("knn_graph_search", q_knn_graph_search,
+                  _knn_graph_search_oracle(),
+                  ("similarity", "llm", "graph", "iterative"),
+                  "Greedy beam search over the kNN graph (HNSW-style search "
+                  "half): fixed entry, fixed rounds, exact-cosine scoring, "
+                  "unrolled-round oracle."),
         QuerySpec("kmeans_lloyd", q_kmeans_lloyd, _kmeans_oracle(),
                   ("similarity", "llm", "iterative", "clustering"),
                   "Distributed Lloyd's k-means (3 rounds, decimal-exact "

@@ -1810,7 +1810,32 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the tiny per-source rollup. The DuckDB oracle computes the
     same statistic the independent way (unnest + per-gram GROUP BY),
     so the run-walk is cross-checked, not mirrored."""
-    d = load_table(spark, sf_dir, "documents")
+    per_doc = gopher_verdict_frame(load_table(spark, sf_dir, "documents"))
+    flag = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1))  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("verdict"), 1).otherwise(0)).alias("n_pass"),
+            flag("pw").alias("n_fail_words"),
+            flag("pm").alias("n_fail_mwl"),
+            flag("pd").alias("n_fail_dup"),
+            flag("ps").alias("n_fail_stop"),
+            F.round(F.avg("dup2_frac"), 4).alias("mean_dup2_frac"),
+        )
+        .withColumn(
+            "keep_rate", F.round(F.try_divide(F.col("n_pass"), F.col("n_docs")), 4)
+        )
+    )
+
+
+def gopher_verdict_frame(d: DataFrame) -> DataFrame:
+    """Per-document Gopher battery: (doc_id, source, n_words, mwl,
+    stop_kinds, dup2_frac, pw, pm, pd, ps, verdict) — the shared
+    per-doc verdict layer q_quality_gopher aggregates by source and
+    corpus.q_quality_domain_ensemble aggregates by registrable
+    domain. Pure expression work over one scan (see q_quality_gopher
+    for the sorted-gram duplicate-mass argument)."""
     toks = tokens_col(F.lower(F.col("text")))
     base = d.select(
         "doc_id",
@@ -1869,27 +1894,22 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass_mwl = (F.col("mwl") >= GOPHER_MWL_LO) & (F.col("mwl") <= GOPHER_MWL_HI)
     pass_dup = F.col("dup2_frac") <= GOPHER_DUP2_CAP
     pass_stop = F.col("stop_kinds") >= GOPHER_MIN_STOP_KINDS
-    verdict = pass_words & pass_mwl & pass_dup & pass_stop
-    flag = lambda c: F.sum(F.when(c, 0).otherwise(1))  # noqa: E731
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(verdict, 1).otherwise(0)).alias("n_pass"),
-            flag(pass_words).alias("n_fail_words"),
-            flag(pass_mwl).alias("n_fail_mwl"),
-            flag(pass_dup).alias("n_fail_dup"),
-            flag(pass_stop).alias("n_fail_stop"),
-            F.round(F.avg("dup2_frac"), 4).alias("mean_dup2_frac"),
-        )
-        .withColumn(
-            "keep_rate", F.round(F.try_divide(F.col("n_pass"), F.col("n_docs")), 4)
-        )
+    return per_doc.select(
+        "*",
+        pass_words.alias("pw"),
+        pass_mwl.alias("pm"),
+        pass_dup.alias("pd"),
+        pass_stop.alias("ps"),
+        (pass_words & pass_mwl & pass_dup & pass_stop).alias("verdict"),
     )
 
 
-QUALITY_GOPHER_ORACLE = f"""
-    WITH base AS (
+# Shared per-doc verdict CTE chain (ends at `v`: doc_id, source,
+# dup2_frac + the four pass booleans) — the SQL twin of
+# gopher_verdict_frame, consumed by QUALITY_GOPHER_ORACLE here and the
+# per-domain ensemble oracle in operators.corpus.
+GOPHER_DOC_CTES = f"""
+    base AS (
         SELECT doc_id, source,
                list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w,
                length(text) AS n_chars
@@ -1908,7 +1928,7 @@ QUALITY_GOPHER_ORACLE = f"""
         FROM gc GROUP BY doc_id
     ),
     per_doc AS (
-        SELECT b.source,
+        SELECT b.doc_id, b.source,
                len(b.w) AS n_words,
                CASE WHEN len(b.w) > 0
                     THEN (b.n_chars - (len(b.w) - 1)) * 1.0 / len(b.w)
@@ -1919,13 +1939,16 @@ QUALITY_GOPHER_ORACLE = f"""
         FROM base b LEFT JOIN dup d USING (doc_id)
     ),
     v AS (
-        SELECT source, dup2_frac,
+        SELECT doc_id, source, dup2_frac,
                (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS pw,
                (mwl BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI}) AS pm,
                (dup2_frac <= {GOPHER_DUP2_CAP}) AS pd,
                (stop_kinds >= {GOPHER_MIN_STOP_KINDS}) AS ps
         FROM per_doc
-    )
+    )"""
+
+QUALITY_GOPHER_ORACLE = f"""
+    WITH {GOPHER_DOC_CTES}
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN pw AND pm AND pd AND ps THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,

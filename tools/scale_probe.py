@@ -121,6 +121,19 @@ PROBE_QUERIES = [
     # pii_audit: single scan + one hash aggregate, linear by
     # construction — probed to pin the regex-heavy scan cost.
     "pii_audit",
+    # round-11 extension (verdict ask): the two unprobed round-10 keys —
+    # image dup RESOLUTION under its own dense-clique edge distribution
+    # (the checkpoint-then-mirror propagation core's heaviest consumer)
+    # and the linear-on-paper fingerprint build (frames x FP_FANOUT
+    # bound under 100-copy identical-audio replication) — plus the new
+    # lookup (probe-vs-index hash join whose fan-out is the thing to
+    # certify: replication multiplies BOTH sides of every fp_hash
+    # bucket) and the graph-ANN beam search (fixed-round iterative
+    # joins against a 100x graph).
+    "dedup_image_clusters",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_fp_lookup",
+    "knn_graph_search",
 ]
 
 
