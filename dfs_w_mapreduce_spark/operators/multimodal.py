@@ -2376,6 +2376,17 @@ FP_PROBE_MOD = 5    # probe set: doc_id % 5 == 2 (~20% of the corpus)
 FP_PROBE_RES = 2
 FP_SNIP_START = 1   # the probe snippet drops the first frame, so a
                     # true match votes at offset = +1 frame
+# Hot constellation hashes are the least identifying (Wang 2003 avoids
+# dominant peaks for the same reason), and an uncapped posting list
+# makes the probe-vs-index join fan-out Theta(n_probe(h) * n_index(h))
+# per hash — quadratic in corpus size once the finite hash space
+# saturates (measured at sf0.1: top bucket 305 of 5000 docs; fan-out
+# would grow ~copies^2 under replication). Cap each fp_hash's posting
+# list to its FP_INDEX_DOC_CAP md5-lowest documents (deterministic,
+# mirrored in the oracle — the SWEEP_BUCKET_CAP / NGRAM_POSTING_CAP
+# discipline): per-hash candidate work is then bounded and total join
+# fan-out is linear in the probe count.
+FP_INDEX_DOC_CAP = 64
 
 AUDIO_FP_EVENT_SCHEMA = "doc_id long, fp_hash int, anchor int"
 
@@ -2450,20 +2461,34 @@ def q_multimodal_audio_fp_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (votes desc, cand_id, offset) tie-break.
 
     Scale shape: both event tables are bounded by frames x FP_FANOUT
-    per doc; the join is hash-partitioned on fp_hash (both sides
-    explicitly repartitioned — the probe side is corpus-fraction
-    sized, never assumed broadcastable), and the vote count
-    pre-repartitions by its group keys so the aggregate over the join
-    fan-out builds small per-task maps (the partial-agg OOM
-    discipline). Every quantity is an exact integer, so the SQL twin
-    reproduces the full decode -> peak -> hash -> vote -> argmax
-    chain."""
+    per doc; each fp_hash's posting list is capped to its
+    FP_INDEX_DOC_CAP md5-lowest docs (see the constant note — an
+    uncapped hot bucket makes the join quadratic once the finite hash
+    space saturates), so per-probe candidate work is bounded and the
+    total fan-out is linear in the probe count. The join is
+    hash-partitioned on fp_hash (both sides explicitly repartitioned —
+    the probe side is corpus-fraction sized, never assumed
+    broadcastable), and the vote count pre-repartitions by its group
+    keys so the aggregate over the join fan-out builds small per-task
+    maps (the partial-agg OOM discipline). Every quantity is an exact
+    integer, so the SQL twin reproduces the full decode -> peak ->
+    hash -> cap -> vote -> argmax chain."""
     from pyspark.sql.window import Window as W
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    index = d.mapInPandas(
-        _audio_fp_events_builder(0), schema=AUDIO_FP_EVENT_SCHEMA
-    ).withColumnsRenamed({"doc_id": "cand_id", "anchor": "i_anchor"})
+    iw = W.partitionBy("fp_hash").orderBy(
+        F.md5(F.col("cand_id").cast("string")), "cand_id"
+    )
+    index = (
+        d.mapInPandas(_audio_fp_events_builder(0), schema=AUDIO_FP_EVENT_SCHEMA)
+        .withColumnsRenamed({"doc_id": "cand_id", "anchor": "i_anchor"})
+        # posting-list cap: dense_rank ranks DOCS within each hash
+        # (all of a doc's events share the ordering key), so the
+        # filter keeps whole documents deterministically
+        .withColumn("drk", F.dense_rank().over(iw))
+        .filter(F.col("drk") <= FP_INDEX_DOC_CAP)
+        .drop("drk")
+    )
     probes = (
         d.filter(F.col("doc_id") % FP_PROBE_MOD == FP_PROBE_RES)
         .mapInPandas(
@@ -2564,11 +2589,19 @@ AUDIO_FP_LOOKUP_ORACLE = f"""
     {_audio_pk_event_sql(
         'p', FP_SNIP_START,
         f'WHERE doc_id % {FP_PROBE_MOD} = {FP_PROBE_RES}')},
+    icap AS (
+        SELECT doc_id, fp_hash, anchor FROM (
+            SELECT *, dense_rank() OVER (
+                PARTITION BY fp_hash
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS drk
+            FROM iev)
+        WHERE drk <= {FP_INDEX_DOC_CAP}
+    ),
     votes AS (
         SELECT p.doc_id AS probe_id, i.doc_id AS cand_id,
                CAST(i.anchor - p.anchor AS INT) AS off,
                CAST(count(*) AS BIGINT) AS votes
-        FROM pev p JOIN iev i USING (fp_hash)
+        FROM pev p JOIN icap i USING (fp_hash)
         GROUP BY 1, 2, 3
     ),
     ncand AS (

@@ -56,11 +56,24 @@ def _fp_events(doc_id: int, n_chars: int, skip_frames: int):
 
 
 def _lookup_replica(docs):
-    """Full vote/argmax replica over [(doc_id, n_chars)] rows."""
+    """Full vote/argmax replica over [(doc_id, n_chars)] rows,
+    including the FP_INDEX_DOC_CAP posting-list cap (md5-lowest docs
+    per hash, whole documents kept)."""
+    import hashlib
+
+    from dfs_w_mapreduce_spark.operators.multimodal import FP_INDEX_DOC_CAP
+
     index = defaultdict(list)  # fp_hash -> [(doc, anchor)]
     for doc_id, n_chars in docs:
         for h, a in _fp_events(doc_id, n_chars, 0):
             index[h].append((doc_id, a))
+    for h, evs in index.items():
+        kept = sorted(
+            {d for d, _ in evs},
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )[:FP_INDEX_DOC_CAP]
+        keep = set(kept)
+        index[h] = [(d, a) for d, a in evs if d in keep]
     out = {}
     for doc_id, n_chars in docs:
         if doc_id % FP_PROBE_MOD != FP_PROBE_RES:
