@@ -368,6 +368,7 @@ HEADLINE = [
     "quality_domain_ensemble",
     "corpus_governance_flags",
     "ann_recall",
+    "mix_doremi",
 ]
 
 

@@ -774,6 +774,165 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOREMI_ROUNDS = 3   # fixed EG rounds (unrolled in the oracle)
+DOREMI_ETA = 0.5    # exponentiated-gradient step size
+
+
+def q_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped domain-weight LEARNING (Xie et al. NeurIPS 2023,
+    public): iteratively reweight training domains toward the ones
+    with excess loss. The per-domain loss proxy is the mean token NLL
+    under the corpus's own unigram LM (the text_perplexity statistic
+    grouped by source); weights start uniform and run DOREMI_ROUNDS
+    exponentiated-gradient updates
+        w_t(d) ~ w_{t-1}(d) * exp(eta * (L_d - avg_t-1)),
+    avg_t-1 = sum_d w_{t-1}(d) L_d, renormalized each round — the
+    weighted-average baseline makes each round genuinely depend on
+    the previous one (no closed form). Output per source: token
+    volume, loss, reference token share, the learned weight, and the
+    boost vs the reference share — the mixing table a DoReMi run
+    hands to the sampler (compose with mix_budget_waterfill).
+
+    Exactness discipline (the kmeans/perceptron recipe for iterative
+    float math): NLL terms and every cross-row sum accumulate as
+    round(x,10)-quantized DECIMAL(28,10) (order-invariant); exp/ln
+    outputs are re-quantized at fixed decimals before reuse, so both
+    engines walk the identical FP path and the oracle unrolls the
+    rounds verbatim. Scale shape: one corpus-scale token explode +
+    unigram-count join (the perplexity plan), then all rounds operate
+    on the DOMAIN-sized frame (K rows) — broadcast scalars, no
+    driver-side data, no corpus rescan per round."""
+    from dfs_w_mapreduce_spark.operators.text_analysis import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").alias("cnt_t"))
+    tot = toks.agg(F.count("*").alias("n"))
+    term = F.round(-F.log(F.col("cnt_t") / F.col("n")), 10).cast("decimal(28,10)")
+    ld = (
+        toks.join(F.broadcast(cnt), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.round(F.sum(term).cast("double") / F.count("*"), 6).alias("loss"),
+        )
+    )
+    k1 = ld.agg(F.count("*").alias("k"), F.sum("n_toks").alias("tot_toks"))
+    w = ld.crossJoin(F.broadcast(k1)).select(
+        "source",
+        "n_toks",
+        "loss",
+        F.round(F.col("n_toks") / F.col("tot_toks"), 8).alias("ref_share"),
+        F.round(F.lit(1.0) / F.col("k"), 8).alias("w"),
+    )
+
+    def dec(c):
+        return F.round(c, 10).cast("decimal(28,10)")
+
+    for _ in range(DOREMI_ROUNDS):
+        avg = w.agg(
+            F.round(
+                F.sum(dec(F.col("w") * F.col("loss"))).cast("double"), 8
+            ).alias("avg_l")
+        )
+        u = (
+            w.crossJoin(F.broadcast(avg))
+            .withColumn(
+                "f",
+                F.round(
+                    F.exp(
+                        F.round(
+                            F.lit(DOREMI_ETA) * (F.col("loss") - F.col("avg_l")),
+                            8,
+                        )
+                    ),
+                    10,
+                ),
+            )
+            .withColumn("u", F.round(F.col("w") * F.col("f"), 10))
+        )
+        z = u.agg(F.round(F.sum(dec(F.col("u"))).cast("double"), 10).alias("z"))
+        w = u.crossJoin(F.broadcast(z)).select(
+            "source",
+            "n_toks",
+            "loss",
+            "ref_share",
+            F.round(F.col("u") / F.col("z"), 8).alias("w"),
+        )
+    return w.select(
+        "source",
+        "n_toks",
+        "loss",
+        "ref_share",
+        F.col("w").alias("weight"),
+        F.round(F.try_divide(F.col("w"), F.col("ref_share")), 4).alias("boost"),
+    )
+
+
+def _mix_doremi_oracle() -> str:
+    parts = [
+        """
+    toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS cnt_t FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks),
+    ld AS (
+        SELECT source, count(*) AS n_toks,
+               round(CAST(sum(CAST(round(-ln(cnt_t * 1.0 / n), 10)
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 6) AS loss
+        FROM toks JOIN cnt USING (token) CROSS JOIN tot
+        GROUP BY source
+    ),
+    k1 AS (SELECT count(*) AS k, sum(n_toks) AS tot_toks FROM ld),
+    w0 AS (
+        SELECT source, n_toks, loss,
+               round(n_toks * 1.0 / tot_toks, 8) AS ref_share,
+               round(1.0 / k, 8) AS w
+        FROM ld CROSS JOIN k1
+    )"""
+    ]
+    for r in range(1, DOREMI_ROUNDS + 1):
+        parts.append(
+            f""",
+    avg{r} AS (
+        SELECT round(CAST(sum(CAST(round(w * loss, 10) AS DECIMAL(28,10)))
+                     AS DOUBLE), 8) AS avg_l
+        FROM w{r - 1}
+    ),
+    u{r} AS (
+        SELECT source, n_toks, loss, ref_share,
+               round(w * round(exp(round({DOREMI_ETA} * (loss - avg_l), 8)),
+                               10), 10) AS u
+        FROM w{r - 1} CROSS JOIN avg{r}
+    ),
+    z{r} AS (
+        SELECT round(CAST(sum(CAST(round(u, 10) AS DECIMAL(28,10)))
+                     AS DOUBLE), 10) AS z
+        FROM u{r}
+    ),
+    w{r} AS (
+        SELECT source, n_toks, loss, ref_share, round(u / z, 8) AS w
+        FROM u{r} CROSS JOIN z{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT source, n_toks, loss, ref_share, w AS weight,
+           round(w / ref_share, 4) AS boost
+    FROM w{DOREMI_ROUNDS}
+"""
+    )
+    return "WITH " + "".join(parts)
+
+
 WF_BUDGET_NUM, WF_BUDGET_DEN = 6, 10  # budget = 60% of corpus tokens
 
 
@@ -1668,6 +1827,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("mix_budget_waterfill", q_mix_budget_waterfill, MIX_WATERFILL_ORACLE,
                   ("pipeline", "llm", "sampling"),
                   "Exact water-filling token-budget allocation across sources."),
+        QuerySpec("mix_doremi", q_mix_doremi, _mix_doremi_oracle(),
+                  ("pipeline", "llm", "sampling", "iterative"),
+                  "DoReMi-shaped domain-weight learning: 3 exponentiated-"
+                  "gradient rounds over per-source unigram-LM loss, "
+                  "decimal-quantized, unrolled-round oracle."),
         QuerySpec("sample_stratified", q_sample_stratified, _stratified_oracle(),
                   ("pipeline", "llm", "sampling"),
                   "Exact K-per-source stratified sample via hash-rank window."),

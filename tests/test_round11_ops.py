@@ -207,6 +207,25 @@ def test_governance_flags_partition_and_formula(spark, sf_dir):
             assert r.n_retainable == 0 and r.n_words_retained == 0
 
 
+def test_mix_doremi_eg_invariants(spark, sf_dir):
+    """EG properties that must hold regardless of fixture: weights are
+    a distribution (sum ~ 1), and with a uniform start each round
+    multiplies every domain by exp(eta*L_d) times a shared
+    normalizer — so the final weight is strictly increasing in the
+    domain loss."""
+    from dfs_w_mapreduce_spark.operators.pipeline import q_mix_doremi
+
+    rows = q_mix_doremi(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    by_loss = sorted(rows, key=lambda r: r.loss)
+    for a, b in zip(by_loss, by_loss[1:]):
+        if a.loss < b.loss:
+            assert a.weight < b.weight
+    for r in rows:
+        assert abs(r.boost - round(r.weight / r.ref_share, 4)) < 1e-9
+
+
 def test_image_apply_partitions_corpus(spark, sf_dir):
     """kept(dedup_image_apply) == corpus - non-keepers(clusters), and
     every cluster keeper is kept."""
