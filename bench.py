@@ -38,6 +38,24 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
+Round-11 chunked record (149 keys, 372.1s; common-142-key sum vs the
+r10 driver record 326.9 -> 333.6s = 1.02x): the fresh-JVM chunking
+ends the batch-vs-isolated divergence as designed — every r10
+in-batch outlier lands at its isolated level IN BATCH
+(text_bigram_lm 7.70 -> 2.64 vs isolated 2.00; quality_repeated
+2.88 -> 0.64 vs 0.67; dedup_paragraph 4.12 -> 1.87 vs 1.87;
+semdedup_prune 8.93 -> 5.03; dedup_ngram_pairs 12.08 -> 8.81), and
+the remaining in-batch vs isolated gaps on the heavy keys are
+1.05-1.15x (tfidf_cosine_pairs 23.8 vs 21.3; dedup_embedding_clusters
+15.4 vs 14.3). The 8 promoted keys (now ranked by absolute drift) all
+re-measure within the machine-noise band of their priors in fresh
+JVMs (tpch_q3 isolated 0.72 vs prior 0.85 — BELOW), with zero edits
+to any of their paths this round. New keys add 38.5s of coverage:
+ann_recall 10.4 (gained the graph-search 4th row), dedup_image_apply
+8.4 (rides the full clusters chain), knn_graph_search 6.7,
+multimodal_audio_fp_lookup 5.2, quality_domain_ensemble 4.4,
+mix_doremi 3.0, corpus_governance_flags 0.4.
+
 Adjudicated r10 -> r11 (VERDICT r10 what's-wrong #1, the three drifts
 that escaped the ratio-ranked promotion): fresh-JVM min-of-3 at sf0.1
 measures knn_ivfpq 5.09s then 3.80s across two runs (prior 3.80 —
