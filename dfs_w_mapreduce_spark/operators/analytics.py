@@ -248,11 +248,20 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("b"),
         )
         .distinct()
+        # checkpoint-then-mirror (the _min_label_components discipline,
+        # r10): the undirected union references `pairs` twice, and
+        # without materializing first BOTH branches execute the full
+        # join+distinct pipeline inside the edge build
+        .localCheckpoint()
     )
     edges = (
         pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .withColumnsRenamed({"a": "src", "b": "dst"})
-        .cache()
+        # co-partition by src once: every round's msgs join reads the
+        # edge list on its join key, so the per-round shuffle carries
+        # only the node-sized label frame, never the edges
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -131,8 +131,14 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id string, term string",
     )
     nq = queries.groupBy("query_id").agg(F.count_distinct("term").alias("nq"))
+    from dfs_w_mapreduce_spark.catalog import fan_out
+
     toks = tokens_col(F.lower(F.col("text")))
-    docs = d.select("doc_id", F.array_distinct(toks).alias("terms"))
+    # fan_out before the tokenize + array_distinct (single fixture
+    # scan split otherwise serializes the term-set build)
+    docs = fan_out(spark, d.select("doc_id", "text")).select(
+        "doc_id", F.array_distinct(toks).alias("terms")
+    )
     inter = (
         docs.select("doc_id", F.explode("terms").alias("term"))
         .join(F.broadcast(queries), "term")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.catalog import fan_out, load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 # ---------------------------------------------------------------- shared
@@ -309,14 +309,28 @@ def _capped_common_counts(
     df fits the cap to the exact count path, so this branch runs only
     where capping genuinely engages."""
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s0")).select(
-        "doc_id",
-        # 60-bit md5-derived join key: 8-byte shuffle keys, oracle-equal
-        F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
-        # GLOBAL per-doc rank key (see NGRAM_POSTING_CAP): identical
-        # across postings so overlapping hot shingles keep the same
-        # docs and their candidate pairs collapse under distinct
-        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+    # Build the exploded hashed-occurrence stream ONCE, repartitioned
+    # on the shingle key and cached (r11): the stat aggregate, the
+    # count-path self-join, and the verify-branch rank window ALL
+    # consume ex keyed by s — without this the shingling + explode +
+    # md5 pipeline executed once per consumer and the stat and the
+    # join each paid their own hash(s) exchange. The cached frame's
+    # HashPartitioning(s) pre-satisfies every consumer: the stat
+    # groupBy and the rank window run exchange-free, and the
+    # self-join is co-partitioned on both sides (zero join
+    # exchanges). Cache follows the tfidf tf.cache() precedent:
+    # MEMORY_AND_DISK, occurrence-stream-sized (the same bytes the
+    # old plan wrote to its shuffle files), spills gracefully.
+    sh_parts = max(64, spark.sparkContext.defaultParallelism * 2)
+    ex = (
+        sh.select("doc_id", F.explode("sh").alias("s0"))
+        .select(
+            "doc_id",
+            # 60-bit md5-derived join key: 8-byte shuffle keys, oracle-equal
+            F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
+        )
+        .repartition(sh_parts, "s")
+        .cache()
     )
     # Runtime plan pick (the tfidf_plan_pick discipline): one
     # map-side-combining stat aggregate computes the exact count
@@ -343,10 +357,35 @@ def _capped_common_counts(
             or 0
         )
         if mass <= NGRAM_COUNT_PATH_BUDGET:
-            common, _ = _common_shingle_counts(sh)
+            # exact count path over the CACHED co-partitioned ex: the
+            # same join/aggregate as _common_shingle_counts, minus its
+            # separate shingling pass and both join-side exchanges
+            a, b = ex.alias("a"), ex.alias("b")
+            common = (
+                a.hint("shuffle_hash")
+                .join(
+                    b,
+                    (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                )
+                .repartition(64, "doc_a", "doc_b")
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("common"))
+            )
             return common, sizes
     kept = (
         ex.withColumn(
+            # GLOBAL per-doc rank key (see NGRAM_POSTING_CAP): identical
+            # across postings so overlapping hot shingles keep the same
+            # docs and their candidate pairs collapse under distinct
+            "hkey",
+            F.md5(F.col("doc_id").cast("string")),
+        )
+        .withColumn(
             "rk",
             F.row_number().over(W.partitionBy("s").orderBy("hkey", "doc_id")),
         )
@@ -1475,22 +1514,32 @@ def _min_label_components(
     # pipeline twice; checkpoint-then-mirror pays it once and the
     # swap reads back tiny (id,id) blocks).
     pairs = pairs.localCheckpoint()
+    # Scale-ADAPTIVE edge partitioning (r11): the r10 fix co-partitioned
+    # edges at machine parallelism (away from the pair pipeline's
+    # 512-partition fan-out layout), but fixture edge sets are a few
+    # THOUSAND rows — every propagation round still ran ~32-task
+    # stages whose cost was pure task scheduling (measured: the whole
+    # loop cost 15.3s over 1,146 embedding-pair edges). Size the
+    # layout from the data instead: ~50k edges (two longs each, a few
+    # MB) per partition, capped at defaultParallelism so behavior at
+    # real scale — where n_edges/50k far exceeds the cap — is exactly
+    # the r10 layout. The count is one metadata-cheap job over the
+    # just-checkpointed pair blocks; hash(src) still pre-satisfies
+    # each round's join and the seed groupBy distribution.
+    n_edges = pairs.count()
+    parts = max(
+        1,
+        min(
+            pairs.sparkSession.sparkContext.defaultParallelism,
+            1 + n_edges // 50_000,
+        ),
+    )
     edges = (
         pairs.union(
             pairs.select(F.col(col_b).alias(col_a), F.col(col_a).alias(col_b))
         )
         .withColumnsRenamed({col_a: "src", col_b: "dst"})
-        # Co-partition by src at machine parallelism BEFORE the eager
-        # checkpoint: pair pipelines arrive at their fan-out-join
-        # partitioning (e.g. 256, doubled to 512 by the union) and
-        # localCheckpoint FREEZES it — every propagation round then
-        # rescans that partitioning (measured: 512-task stages over
-        # 75k image-phash edges x ~7 rounds; task scheduling, not
-        # data, was 3/4 of dedup_image_clusters' wall). hash(src)
-        # also pre-satisfies each round's join and the seed groupBy
-        # distribution. Edge rows are two longs, so even 100x-probe
-        # edge sets stay a few MB per partition at this width.
-        .repartition(pairs.sparkSession.sparkContext.defaultParallelism, "src")
+        .repartition(parts, "src")
         # localCheckpoint, not cache: iterative propagation re-embeds
         # the edge plan into every round's plan, so a heavy pair
         # pipeline (the embedding path inlines 64-dim dot-product
@@ -1519,7 +1568,40 @@ def _min_label_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(25):  # O(log diameter) with pointer jumping below
+    # Lazy graph squaring (r11): the pointer jump below is defeated by
+    # id layouts where a node's label points AWAY from the component
+    # minimum — measured on the sf0.1 embedding-LSH graph: the min
+    # label crawled one hop per round and the loop ran the FULL 25
+    # rounds (~0.8-1.2s of fixed multi-stage job cost each) over a
+    # 1,146-edge graph. Whenever the loop is still unconverged after
+    # rounds 2/4/6, the edge set is augmented with its 2-hop closure
+    # (E := distinct(E + E.E), self-loops dropped): reachability is
+    # unchanged, so the label fixpoint — and therefore the query
+    # result — is identical, but each squaring lets one propagation
+    # round move labels multiple hops (measured: 25 rounds -> 8,
+    # identical fixpoint sum). Clique-like graphs — the common dedup
+    # shape — converge by round 1 and never pay a squaring. Growth is
+    # bounded by sum over components of size^2 (the same mass the
+    # verify joins already carry); the EDGE_BUDGET guard skips the
+    # accelerator outright on graphs where that bound is not worth
+    # the extra edges, falling back to plain O(diameter) rounds.
+    EDGE_BUDGET = 20_000_000
+    n_cur = 2 * n_edges
+    for _round in range(25):  # O(log diameter) with squaring + jumping
+        if _round in (2, 4, 6) and n_cur <= EDGE_BUDGET:
+            two_hop = (
+                edges.alias("x")
+                .join(edges.alias("y"), F.col("x.dst") == F.col("y.src"))
+                .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+            )
+            edges = (
+                edges.unionByName(two_hop)
+                .repartition(parts, "src")
+                .distinct()
+                .localCheckpoint()
+            )
+            n_cur = edges.count()
         msgs = edges.join(labels, edges.src == F.col(out_id)).select(
             F.col("dst").alias(out_id), "label"
         )
@@ -1994,7 +2076,10 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, and the storage dedup ratio. The chunk arrays reassemble
     to the exact document (asserted in tests), so this IS a valid
     store layout, not a sketch."""
-    chunks = cdc_chunks(load_table(spark, sf_dir, "documents"))
+    chunks = cdc_chunks(
+        fan_out(spark, load_table(spark, sf_dir, "documents")
+                .select("doc_id", "source", "text"))
+    )
     return (
         chunks.groupBy("source")
         .agg(

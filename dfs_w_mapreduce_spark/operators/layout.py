@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.catalog import fan_out, load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 ZBITS = 10          # bits per dimension in the z-value
@@ -955,7 +955,8 @@ def q_placement_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     chunks = (
-        cdc_chunks(load_table(spark, sf_dir, "documents"))
+        cdc_chunks(fan_out(spark, load_table(spark, sf_dir, "documents")
+                           .select("doc_id", "source", "text")))
         .select(F.md5("chunk").alias("h"))
         .distinct()
     )
@@ -1107,7 +1108,8 @@ def q_store_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dfs_w_mapreduce_spark.operators.dedup import cdc_chunks
 
     per_chunk = (
-        cdc_chunks(load_table(spark, sf_dir, "documents"))
+        cdc_chunks(fan_out(spark, load_table(spark, sf_dir, "documents")
+                           .select("doc_id", "source", "text")))
         .select(
             F.md5("chunk").alias("h"),
             F.length("chunk").alias("l"),

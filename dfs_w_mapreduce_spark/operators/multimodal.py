@@ -37,8 +37,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.catalog import fan_out, load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
+
+
+def _decode_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, n_chars) manifest the HEAVY Python decoder maps
+    over, fanned out to machine parallelism: q_multimodal_decode's
+    full-codec pass (zlib PNG + Huffman/IDCT JPEG per document) is
+    CPU-bound Python, and the fixture's single-file parquet scan
+    yields ONE split — without the fan-out the whole corpus's decode
+    ran on a single task (measured 4.48s -> 1.71s at sf0.1).
+    catalog.fan_out is a no-op once the scan already has >= cores/2
+    splits, i.e. on any real many-file dataset, so this stays
+    scale-adaptive rather than local-tuned. The LIGHT builders (audio
+    synth, dHash, GIF frames) deliberately do NOT fan out: their
+    Python work is ~0.5s and the extra exchange measured as a net
+    loss (audio_frames 0.85 -> 1.44s)."""
+    d = load_table(spark, sf_dir, "documents")
+    return fan_out(spark, d.select("doc_id", "n_chars"))
 
 try:  # real codecs, absent in this container — gate behind import-try
     from PIL import Image  # type: ignore  # noqa: F401
@@ -758,8 +775,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel sum / probe pixels, and the PCM statistics — from the same
     params, so builder->parser roundtrips are hash-verified end to
     end."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "n_chars").mapInPandas(
+    return _decode_manifest(spark, sf_dir).mapInPandas(
         _build_decode_media, schema=DECODE_SCHEMA
     )
 

@@ -26,7 +26,7 @@ import stat
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.catalog import fan_out, load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 TOP_K = 5
@@ -66,7 +66,11 @@ def _dot(x: Column, y: Column) -> Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out before the per-vector math: the fixture's embeddings
+    # parquet is one scan split, so the norm computation and every
+    # downstream bucket/dot fan-out otherwise start on a single task
+    # (no-op at real scale — see catalog.fan_out)
+    e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     v = F.transform("embedding", lambda x: x.cast("double"))
     return e.select("vec_id", v.alias("v")).select(
         "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
@@ -1545,7 +1549,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids / codebooks), so recall is a reproducible number, not a
     sample: the oracle recomputes all four searches and the same set
     intersection."""
-    brute = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # the exact-neighbor frame is referenced FIVE times in the final
+    # union plan (four per-tier semi-joins + the total); materialize
+    # the n x TOP_K row result once so the brute-force scoring pass
+    # does not re-execute per reference (r11)
+    brute = (
+        q_knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     tot = brute.agg(F.count("*").alias("n_total"))
     rows = None
     for method, fn in (
@@ -1969,7 +1981,10 @@ def _lloyd_final(spark: SparkSession, sf_dir: str) -> DataFrame | None:
     assignment frame (vec_id, cid, v, x2, d2) — shared by
     q_kmeans_lloyd and q_embedding_outliers so both queries cluster
     identically. None when the corpus is empty."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # fan_out: every Lloyd round's broadcast fan-out + argmin aggregate
+    # runs over v's partitioning — one scan split at fixture scale
+    # would keep all K x n distance work on a single task
+    e = fan_out(spark, load_table(spark, sf_dir, "embeddings"))
     v = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).select("vec_id", "v", _dot(F.col("v"), F.col("v")).alias("x2"))

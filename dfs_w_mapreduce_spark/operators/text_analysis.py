@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dfs_w_mapreduce_spark.catalog import load_table
+from dfs_w_mapreduce_spark.catalog import fan_out, load_table
 from dfs_w_mapreduce_spark.registry import QuerySpec
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
@@ -476,7 +476,10 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is capped (df cap) and prefix-pruned — the 100 TB posture the
     operator exists for."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # tokenize from a fanned-out projection: the corpus tokenization +
+    # tf partial aggregation otherwise run on the fixture scan's single
+    # split (fan_out is a no-op at real scale)
+    toks = fan_out(spark, d.select("doc_id", "text")).select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
     )
     return _allpairs_cosine(spark, sf_dir, d, toks, TFIDF_COS_T, TFIDF_PRUNE_T)
@@ -554,28 +557,74 @@ def _allpairs_cosine(
     ).first()[0]
     mean_df_frac = float(stat or 0.0)
     if mean_df_frac > TFIDF_DENSE_FRAC:
-        # direct inverted-index aggregation: per-term pair fan-out,
-        # pre-repartitioned on the pair key BEFORE the aggregate (the
-        # distinct-over-fan-out OOM discipline), scaled-long sums.
-        wa = w.select(
-            F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
-        ).repartition(par)
-        wb = w.select(
-            F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
-        ).repartition(par)
+        # Dense-vocabulary all-pairs via BLOCKED per-doc weight-map
+        # merges (r11 rewrite of the direct inverted-index
+        # aggregation). In the dense regime nearly every doc pair
+        # shares nearly every term, so the term join fanned out to
+        # sum(df^2) rows (375M at sf0.1) that all had to cross the
+        # pair-key exchange before the per-pair sum — the whole
+        # shuffle carried one row PER (pair, term). Here each doc
+        # folds its capped weights into ONE map row, docs are hashed
+        # into B blocks, and the pair space is generated by a
+        # block-keyed join (every doc replicated B times against the
+        # block-partitioned right side) — the shuffle then carries
+        # n*B map rows instead of sum(df^2) pair-term rows, and each
+        # pair's numerator is computed inline by one map_zip_with
+        # merge with the IDENTICAL scaled-long per-term rounding (p8
+        # = round(round(w_a*w_b,8)*1e8) summed as longs), so the
+        # result is bit-equal to the old plan and to the oracle.
+        # Measured on the sf0.1 fixture (same session, best-of-2):
+        # numerator frame 95-112s -> 53-67s. Both join sides carry
+        # explicit repartitions (AQE sizes exchanges before the
+        # fan-out and would coalesce the pre-fan-out shuffle;
+        # CLAUDE.md discipline), and the map-carrying frames are
+        # never broadcast (the text-derived-array blow-up class).
+        # Scale note: the n*B replication is bounded by the branch's
+        # own regime — the dense branch's OUTPUT is Theta(n^2) pairs,
+        # so n*B rows (B ~ a few hundred) is asymptotically free;
+        # the skewed-vocabulary branch below is the 100 TB default.
+        n_blocks = par * 2
+        dm = w.groupBy("doc_id").agg(
+            F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m")
+        )
+        blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("jb"))
+        left = dm.select(
+            F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")
+        ).crossJoin(F.broadcast(blocks))
+        right = dm.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("m").alias("mb"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+        )
+        zz = F.map_zip_with(
+            "ma",
+            "mb",
+            lambda k, x, y: F.when(
+                x.isNotNull() & y.isNotNull(),
+                F.round(F.round(x * y, 8) * 100000000, 0).cast("long"),
+            ),
+        )
         num = (
-            wa.join(wb, "term")
+            left.repartition(par, "jb")
+            .hint("shuffle_hash")
+            .join(right.repartition(par, "blk"), F.col("jb") == F.col("blk"))
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select(
                 "doc_a",
                 "doc_b",
-                F.round(
-                    F.round(F.col("w_a") * F.col("w_b"), 8) * 100000000, 0
-                ).cast("long").alias("p8"),
+                (
+                    F.aggregate(
+                        F.map_values(zz),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+                    ).cast("double")
+                    / 100000000
+                ).alias("num"),
             )
-            .repartition(pair_parts, "doc_a", "doc_b")
-            .groupBy("doc_a", "doc_b")
-            .agg((F.sum("p8").cast("double") / 100000000).alias("num"))
+            # pairs whose shared-term products all round to zero (or
+            # that share no term) can never clear a positive cosine
+            # threshold — dropping them here only thins the norm join
+            .filter(F.col("num") > 0)
         )
     else:
         num = _prefix_filtered_num(spark, sf_dir, w, norms, prune_t, par, pair_parts)
@@ -781,6 +830,9 @@ def _zipf_toks(d: DataFrame) -> DataFrame:
     """The derived Zipf-skewed (doc_id, term) stream — shared by
     q_tfidf_cosine_zipf and q_tfidf_plan_pick."""
     n_toks = F.size(tokens_col(F.lower(F.col("text"))))
+    # fan_out before the per-position explode + md5 hashing (single
+    # fixture scan split otherwise serializes the synthetic tokenizer)
+    d = fan_out(d.sparkSession, d.select("doc_id", "text"))
     pos = (
         d.select("doc_id", n_toks.alias("nt"))
         .filter(F.col("nt") > 0)
@@ -1334,7 +1386,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     +0.5 idf smoothing; two-term sums are order-safe in doubles."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: both the dl projection and the corpus explode tokenize
+    # the full text over a one-split fixture scan (no-op at scale)
+    d = fan_out(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     qterms = sorted({t for _, a, b in BM25_QUERIES for t in (a, b)})
     queries = spark.createDataFrame(
         [(qid, t) for qid, a, b in BM25_QUERIES for t in (a, b)],
@@ -1837,7 +1891,9 @@ def gopher_verdict_frame(d: DataFrame) -> DataFrame:
     domain. Pure expression work over one scan (see q_quality_gopher
     for the sorted-gram duplicate-mass argument)."""
     toks = tokens_col(F.lower(F.col("text")))
-    base = d.select(
+    # fan_out: the battery is wide per-doc array expression work over
+    # a one-split fixture scan (no-op at real scale)
+    base = fan_out(d.sparkSession, d.select("doc_id", "source", "text")).select(
         "doc_id",
         "source",
         toks.alias("w"),

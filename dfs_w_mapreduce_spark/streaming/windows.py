@@ -934,8 +934,15 @@ def q_stream_cdc_store_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batches = {"n": 0}
 
     def absorb(batch_df, batch_id):
+        from dfs_w_mapreduce_spark.catalog import fan_out
+
+        # each trigger reads ONE parquet file => one partition, so the
+        # sliding-window md5 chunking of the whole batch would run on
+        # a single task; fan_out spreads it (no-op on a many-split
+        # batch). foreachBatch hands a regular DataFrame, so the
+        # rdd-partition probe inside fan_out is legal here.
         batch_chunks = (
-            cdc_chunks(batch_df)
+            cdc_chunks(fan_out(spark, batch_df))
             .select(
                 F.md5("chunk").alias("chunk_hash"),
                 F.length("chunk").alias("chunk_len"),
