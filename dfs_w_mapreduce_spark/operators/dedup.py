@@ -226,6 +226,14 @@ def _common_shingle_counts(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
         "doc_id",
         F.conv(F.substring(F.md5("s0"), 1, 15), 16, 10).cast("long").alias("s"),
     )
+    # Materialize the exploded hashed-occurrence stream ONCE,
+    # co-partitioned on the shingle key (r11, mirroring
+    # _capped_common_counts): the self-join otherwise runs the
+    # explode + md5 pipeline once per side and each side pays its own
+    # hash(s) exchange; the cached HashPartitioning(s) layout
+    # satisfies both sides exchange-free.
+    sh_parts = max(64, sh.sparkSession.sparkContext.defaultParallelism * 2)
+    ex = ex.repartition(sh_parts, "s").cache()
     a, b = ex.alias("a"), ex.alias("b")
     common = (
         # shuffle_hash hint: the exploded corpus-sized frame must
@@ -642,6 +650,14 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches only colliding candidates. AQE handles the
     skew when a band bucket gets hot."""
     sh, bands = minhash_band_frames(spark, sf_dir)
+    # r11 A/B note: caching bands co-partitioned on (band, sig) — the
+    # _capped_common_counts discipline — was tried and REVERTED: the
+    # blocking cache materialization + its explicit exchange measured
+    # consistently SLOWER than letting both join sides recompute the
+    # 16-minhash transform from the cached shingle frame (interleaved
+    # fresh-JVM A/B at sf0.1: 3.80/3.04s cached vs 2.42/1.69s HEAD —
+    # the two sides pipeline concurrently and the transform is cheap
+    # relative to a serialized materialization barrier).
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -995,9 +1011,24 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bound every (cfg, band, sig) bucket: rank members by doc_id (one
     # shuffle keyed on the bucket — each task sorts one bucket, never
     # builds pairs) and keep the first SWEEP_BUCKET_CAP.
+    # The ranked stream is materialized ONCE, co-partitioned on the
+    # bucket key and cached (r11, the _capped_common_counts
+    # discipline): its three consumers — the capped-bucket stat and
+    # BOTH sides of the band self-join — otherwise each re-evaluated
+    # the md5 + 16-minhash transform over every shingle array (3x the
+    # sweep's dominant per-task work) and paid their own
+    # hash(cfg, band, sig) exchange. The explicit repartition feeds
+    # the rank window its required distribution (the window adds only
+    # a sort), is AQE-coalesce-exempt so the self-join fan-out keeps
+    # its task fan-in, and the cached layout satisfies all three
+    # consumers exchange-free. Rows are (cfg, band, sig, doc_id, rk) —
+    # ~14 small rows/doc, corpus-linear.
     bw = W.partitionBy("cfg", "band", "sig").orderBy("doc_id")
-    ranked = bands.select(
-        "cfg", "doc_id", "band", "sig", F.row_number().over(bw).alias("rk")
+    sweep_parts = max(64, spark.sparkContext.defaultParallelism * 2)
+    ranked = (
+        bands.repartition(sweep_parts, "cfg", "band", "sig")
+        .select("cfg", "doc_id", "band", "sig", F.row_number().over(bw).alias("rk"))
+        .cache()
     )
     capped = (
         ranked.groupBy("cfg", "band", "sig")
@@ -1125,8 +1156,16 @@ def _minhash_band_sweep_oracle() -> str:
 SIMHASH_BITS = 48  # fits signed int64 with headroom; 6 byte-bands
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_simhash(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """48-bit frequency-weighted SimHash per document.
+
+    `docs` optionally substitutes a pre-filtered documents frame: the
+    sketch is doc-local, so computing it over a subset equals
+    computing it over the corpus and filtering after — callers that
+    only need a sample (dedup_agreement) pass the pruned frame so the
+    48-sum token aggregate never runs on discarded documents.
 
     Round-1's 32-bit presence-only sketch collapsed on the fixture's
     ~40-word vocabulary: every document contains most tokens, so the
@@ -1146,7 +1185,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference and anti-correlates the sketch (true-pair median
     Hamming 19-25 vs random 11-15; plain tf gives 2 vs 14). Votes
     stay +/-1 integers — exact sums, no float sign-boundary hazard."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
     # full 60-bit md5 hash (no %P31 — we need 48 independent bits)
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
@@ -1207,7 +1246,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_from(sh: DataFrame) -> DataFrame:
     """Byte-band + Hamming verify over a given (doc_id, simhash)
     sketch frame — shared by the full-corpus query above and the
-    sampled dedup_agreement calibration."""
+    sampled dedup_agreement calibration.
+
+    The sketch frame is cached (r11): the band self-join otherwise
+    re-runs the upstream 48-sum token aggregate once per side. Two
+    longs per document — the cheapest frame in the dedup family."""
+    sh = sh.cache()
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -1356,8 +1400,10 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs), and ground truth must not carry the posting cap's
     # giant-cluster coverage caveat
     exact = _ngram_pairs_from(_common_shingle_counts(sh))
-    # minhash member: bands over the sampled shingles + exact verify
-    bands = _bands_of(shp)
+    # minhash member: bands over the sampled shingles + exact verify;
+    # cached so the self-join computes the 16-minhash transform once
+    # (r11; sample-bounded — <= 4 * AGREEMENT_SAMPLE rows)
+    bands = _bands_of(shp).cache()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1378,8 +1424,14 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
-    # simhash member: the sketch scan is linear; prune to the sample
-    sk = q_dedup_simhash(spark, sf_dir).join(F.broadcast(ids), "doc_id")
+    # simhash member: the sketch is doc-local, so the sample prune is
+    # pushed BELOW the 48-sum token aggregate (r11) — the sketch scan
+    # tokenizes only the 2000 sampled documents instead of sketching
+    # the corpus and discarding the rest (the oracle already computes
+    # its sketches over documents_s only; results are identical)
+    sk = q_dedup_simhash(
+        spark, sf_dir, docs=d.join(F.broadcast(ids), "doc_id")
+    )
     sim = _simhash_pairs_from(sk)
     members = ((1, exact), (2, mh), (4, sim))
     u = None

@@ -92,6 +92,30 @@ def test_capped_common_counts_count_path_matches_uncapped(spark, sf_dir):
     )
 
 
+def test_simhash_sample_pushdown_matches_full_then_filter(spark, sf_dir):
+    """dedup_agreement's simhash member now computes sketches only over
+    the sampled documents (r11). The sketch is doc-local, so pruning
+    BELOW the 48-sum aggregate must equal sketching the corpus and
+    filtering after — this pins that invariant with a sample small
+    enough to genuinely prune at fixture scale."""
+    from dfs_w_mapreduce_spark.catalog import load_table
+    from dfs_w_mapreduce_spark.operators.dedup import _h31_spark, q_dedup_simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    h = _h31_spark(F.col("doc_id").cast("string"))
+    ids = (
+        d.select("doc_id", h.alias("hh"))
+        .orderBy("hh", "doc_id")
+        .limit(50)
+        .select("doc_id")
+    )
+    got = q_dedup_simhash(spark, sf_dir, docs=d.join(F.broadcast(ids), "doc_id"))
+    ref = q_dedup_simhash(spark, sf_dir).join(F.broadcast(ids), "doc_id")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in ref.collect()
+    )
+
+
 def test_dense_allpairs_blocked_numerator_matches_term_join(spark, sf_dir):
     """The r11 blocked map-merge numerator (dense tfidf branch) must be
     bit-equal to the old per-term fan-out + scaled-long aggregation for
