@@ -557,74 +557,45 @@ def _allpairs_cosine(
     ).first()[0]
     mean_df_frac = float(stat or 0.0)
     if mean_df_frac > TFIDF_DENSE_FRAC:
-        # Dense-vocabulary all-pairs via BLOCKED per-doc weight-map
-        # merges (r11 rewrite of the direct inverted-index
-        # aggregation). In the dense regime nearly every doc pair
-        # shares nearly every term, so the term join fanned out to
-        # sum(df^2) rows (375M at sf0.1) that all had to cross the
-        # pair-key exchange before the per-pair sum — the whole
-        # shuffle carried one row PER (pair, term). Here each doc
-        # folds its capped weights into ONE map row, docs are hashed
-        # into B blocks, and the pair space is generated by a
-        # block-keyed join (every doc replicated B times against the
-        # block-partitioned right side) — the shuffle then carries
-        # n*B map rows instead of sum(df^2) pair-term rows, and each
-        # pair's numerator is computed inline by one map_zip_with
-        # merge with the IDENTICAL scaled-long per-term rounding (p8
-        # = round(round(w_a*w_b,8)*1e8) summed as longs), so the
-        # result is bit-equal to the old plan and to the oracle.
-        # Measured on the sf0.1 fixture (same session, best-of-2):
-        # numerator frame 95-112s -> 53-67s. Both join sides carry
-        # explicit repartitions (AQE sizes exchanges before the
-        # fan-out and would coalesce the pre-fan-out shuffle;
-        # CLAUDE.md discipline), and the map-carrying frames are
-        # never broadcast (the text-derived-array blow-up class).
-        # Scale note: the n*B replication is bounded by the branch's
-        # own regime — the dense branch's OUTPUT is Theta(n^2) pairs,
-        # so n*B rows (B ~ a few hundred) is asymptotically free;
-        # the skewed-vocabulary branch below is the 100 TB default.
-        n_blocks = par * 2
-        dm = w.groupBy("doc_id").agg(
-            F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m")
-        )
-        blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("jb"))
-        left = dm.select(
-            F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")
-        ).crossJoin(F.broadcast(blocks))
-        right = dm.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("m").alias("mb"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).cast("int").alias("blk"),
-        )
-        zz = F.map_zip_with(
-            "ma",
-            "mb",
-            lambda k, x, y: F.when(
-                x.isNotNull() & y.isNotNull(),
-                F.round(F.round(x * y, 8) * 100000000, 0).cast("long"),
-            ),
-        )
+        # direct inverted-index aggregation: per-term pair fan-out,
+        # pre-repartitioned on the pair key BEFORE the aggregate (the
+        # distinct-over-fan-out OOM discipline), scaled-long sums.
+        #
+        # r11 A/B note: a blocked per-doc weight-map rewrite (each doc
+        # folded into ONE map row, docs hashed into B blocks, pair
+        # space generated by a block-keyed join, numerator merged
+        # inline by map_zip_with — shuffling n*B map rows instead of
+        # sum(df^2) pair-term rows) was landed mid-round on the
+        # strength of an A/B taken in a 4-5x-degraded machine window
+        # (52.2s new vs 115.4s old), then REVERTED when the window
+        # recovered and a clean interleaved fresh-JVM A/B x3 inverted
+        # the verdict: old 39.2/27.0/29.6s vs blocked 49.8/43.5/45.3s.
+        # Mechanism: on local[*] the exchange is a memory copy, so
+        # trading 375M NARROW codegen'd aggregate rows for 12.5M
+        # per-pair map allocations + higher-order-function folds buys
+        # nothing and costs per-row CPU. On a network-bound cluster
+        # the byte argument flips back — revisit there, not here.
+        # (Equivalence of the two numerators stays pinned by
+        # tests/test_r11_opt.py::test_dense_allpairs_blocked_... .)
+        wa = w.select(
+            F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("w_a")
+        ).repartition(par)
+        wb = w.select(
+            F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("w_b")
+        ).repartition(par)
         num = (
-            left.repartition(par, "jb")
-            .hint("shuffle_hash")
-            .join(right.repartition(par, "blk"), F.col("jb") == F.col("blk"))
+            wa.join(wb, "term")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select(
                 "doc_a",
                 "doc_b",
-                (
-                    F.aggregate(
-                        F.map_values(zz),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + F.coalesce(v, F.lit(0)),
-                    ).cast("double")
-                    / 100000000
-                ).alias("num"),
+                F.round(
+                    F.round(F.col("w_a") * F.col("w_b"), 8) * 100000000, 0
+                ).cast("long").alias("p8"),
             )
-            # pairs whose shared-term products all round to zero (or
-            # that share no term) can never clear a positive cosine
-            # threshold — dropping them here only thins the norm join
-            .filter(F.col("num") > 0)
+            .repartition(pair_parts, "doc_a", "doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg((F.sum("p8").cast("double") / 100000000).alias("num"))
         )
     else:
         num = _prefix_filtered_num(spark, sf_dir, w, norms, prune_t, par, pair_parts)
