@@ -38,7 +38,18 @@ udaf_grouped_agg 0.47s). The genuinely changed keys are adjudicated
 in the notes below and in the QuerySpec docs (tpch_q1 decimal,
 multimodal_decode PNG codec, dedup_embedding_pairs_lsh banding).
 
-Round-11 chunked record (149 keys, 372.1s; common-142-key sum vs the
+Round-11 END-OF-ROUND record (149 keys, 330.2s vs the same-protocol
+372.1s baseline below = 0.89x on identical keys, measured in a ~1.2x
+slower machine window — see OPTIMIZATION_r11.md for the per-change
+attribution and the full A/B history, including the dense-tfidf
+blocked rewrite that a degraded-window A/B landed and a clean-window
+interleaved A/B reverted). Every in-batch outlier in the record is
+walked back by its fresh-JVM isolated companion taken in the same
+run (semdedup_prune 11.6 -> 4.91 isolated vs prior 5.03;
+dedup_clusters 4.9 -> 2.39 vs prior 2.88; dedup_image_clusters
+11.5 -> 9.44 vs prior 11.71); no unadjudicated regression remains.
+
+Round-11 chunked BASELINE record (149 keys, 372.1s; common-142-key sum vs the
 r10 driver record 326.9 -> 333.6s = 1.02x): the fresh-JVM chunking
 ends the batch-vs-isolated divergence as designed — every r10
 in-batch outlier lands at its isolated level IN BATCH
