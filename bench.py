@@ -439,20 +439,24 @@ CHUNK_SIZE = 18
 SESSION_ROTATE_EVERY = CHUNK_SIZE
 
 
-def _prior_bench_queries(sf: float) -> dict[str, float]:
+def _prior_bench_queries(sf: float, cpus: int) -> dict[str, float]:
     """Timings from the most recent full bench record AT THE SAME
-    SCALE FACTOR. Preferred source: BENCH_LOCAL.json (written by this
-    script each run — the driver's BENCH_r*.json stores only a
-    2000-char stdout tail, which the per-query JSON outgrew in round
-    6). Fallback: any parseable driver record (`parsed.queries`).
-    Records whose stored `sf` differs from the current run's are
-    skipped: promotion ratios against a different scale factor are
-    meaningless (a sf0.01 run would read 10x-faster sf0.1 baselines
-    and promote everything)."""
+    SCALE FACTOR AND CORE COUNT. Preferred source: BENCH_LOCAL.json
+    (written by this script each run — the driver's BENCH_r*.json
+    stores only a 2000-char stdout tail, which the per-query JSON
+    outgrew in round 6). Fallback: any parseable driver record
+    (`parsed.queries`). Records whose stored `sf` differs from the
+    current run's are skipped: promotion ratios against a different
+    scale factor are meaningless (a sf0.01 run would read 10x-faster
+    sf0.1 baselines and promote everything). Likewise for `cpus`
+    (round-12 rule, VERDICT r11 what's-wrong #2: the driver's
+    SPARK_GRAFT_CPUS=8 scaling sweep must not become the promotion
+    baseline for 32-core runs); records that predate the field are
+    accepted as legacy."""
     local = Path(_REPO) / "BENCH_LOCAL.json"
     try:
         d = json.loads(local.read_text())
-        if d.get("sf") == sf:
+        if d.get("sf") == sf and d.get("cpus", cpus) == cpus:
             return d["queries"]
     except Exception:
         pass
@@ -460,13 +464,49 @@ def _prior_bench_queries(sf: float) -> dict[str, float]:
     for f in reversed(files):
         try:
             d = json.loads(f.read_text())
+            rec_cpus = d.get("cpus")  # driver wrapper stores it here
             if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
                 d = d["parsed"]
-            if "queries" in d and d.get("sf") == sf:
+            if rec_cpus is None:
+                rec_cpus = d.get("cpus")
+            if (
+                "queries" in d
+                and d.get("sf") == sf
+                and (rec_cpus is None or rec_cpus == cpus)
+            ):
                 return d["queries"]
         except Exception:
             continue
     return {}
+
+
+def _bench_cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def _write_bench_local(out: dict) -> None:
+    """BENCH_LOCAL.json is the next round's adjudication baseline —
+    only overwrite it from a run at the adjudication scale (sf0.1),
+    and never replace a record taken at a different core count (the
+    driver also runs the bench at SPARK_GRAFT_CPUS=8 for its scaling
+    block; round 11's 8-core sweep silently replaced the 32-core
+    record — VERDICT r11 what's-wrong #2)."""
+    if out.get("sf") != 0.1:
+        return
+    path = Path(_REPO) / "BENCH_LOCAL.json"
+    try:
+        existing = json.loads(path.read_text())
+        if existing.get("cpus", out["cpus"]) != out["cpus"]:
+            return
+    except Exception:
+        pass
+    try:
+        path.write_text(json.dumps(out))
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -533,9 +573,10 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "value": total,
+        "cpus": _bench_cpus(),
     }
     if not only:
-        prior = _prior_bench_queries(sf)
+        prior = _prior_bench_queries(sf, out["cpus"])
         promoted = sorted(
             (
                 k
@@ -554,14 +595,7 @@ def main() -> None:
         isolated = _run_isolated(sf_dir, ISOLATED_KEYS + promoted)
         if isolated:
             out["queries_isolated"] = isolated
-        # BENCH_LOCAL.json is the next round's adjudication baseline —
-        # only overwrite it from a run at the adjudication scale
-        # (sf0.1); an ad-hoc run at another SF must not poison it.
-        if sf == 0.1:
-            try:
-                (Path(_REPO) / "BENCH_LOCAL.json").write_text(json.dumps(out))
-            except Exception:
-                pass
+        _write_bench_local(out)
     print(json.dumps(out))
     sys.stdout.flush()
 
@@ -592,8 +626,9 @@ def _main_chunked(sf_dir: str, sf: float) -> None:
         "queries": timings,
         "n_queries": len(timings),
         "value": total,
+        "cpus": _bench_cpus(),
     }
-    prior = _prior_bench_queries(sf)
+    prior = _prior_bench_queries(sf, out["cpus"])
     promoted = sorted(
         (
             k
@@ -608,11 +643,7 @@ def _main_chunked(sf_dir: str, sf: float) -> None:
     isolated = _run_isolated(sf_dir, ISOLATED_KEYS + promoted)
     if isolated:
         out["queries_isolated"] = isolated
-    if sf == 0.1:
-        try:
-            (Path(_REPO) / "BENCH_LOCAL.json").write_text(json.dumps(out))
-        except Exception:
-            pass
+    _write_bench_local(out)
     print(json.dumps(out))
     sys.stdout.flush()
 

